@@ -1,0 +1,23 @@
+"""Test harness configuration.
+
+Tests run on CPU with 8 virtual devices so that the multi-chip sharding path
+(`mrs_optic_flow_tpu.parallel`) is exercised without TPU hardware — the
+stand-in for the reference's dual-backend useOCL cross-check
+(src/optic_flow.cpp:853, src/FftMethod.cpp:1824-1836).
+"""
+
+import os
+
+# must be set before jax is imported anywhere
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
