@@ -1,0 +1,245 @@
+"""Pallas TPU kernels: the fused device core.
+
+Re-design of the reference's single fused OpenCL kernel
+``phaseCorrelateField`` (``cl/FftMethod.cl:1381-1485``).  The reference fuses
+rowFFT -> colFFT -> conj-multiply-normalize -> icolFFT -> irowFFT(+fftshift
++mask) -> workgroup max reduction -> centroid refine into one kernel launch
+per frame pair; these Pallas kernels realize the same fusion on TPU:
+
+- :func:`peak_refine_pallas` — the ``minmaxloc`` + ``refine`` stages
+  (``cl/FftMethod.cl:1164-1379``) fused with the fftshift and the
+  SEARCH_RADIUS mask of ``ifft_multi_radix_rows`` (``cl/FftMethod.cl:737``,
+  ``:826``).  Operates on the *raw* (unshifted) inverse-FFT output: the shift
+  and mask are applied in index space, so the surface is never materialized
+  twice in HBM.
+
+- :func:`phase_correlate_fused_pallas` — the full post-forward-FFT chain in
+  one launch: normalized cross-power (``cmulnormf``, ``cl/FftMethod.cl:976``)
+  -> inverse 2-D DFT as in-kernel MXU matmuls -> masked peak -> centroid.
+  One grid step per patch; all intermediates live in VMEM.
+
+Both produce, per patch, ``(maxval, shift_x, shift_y)`` with the exact
+reference semantics (min-flat-index ties, positive-only radius-3 centroid
+with an epsilon-seeded denominator, result relative to ``N>>1``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mrs_optic_flow_tpu.ops.phase_correlate import FLT_EPSILON, _dft_matrices
+
+
+def _auto_interpret(interpret):
+    """Pallas kernels compile only on TPU; elsewhere fall back to the
+    interpreter so the CPU test harness exercises identical code."""
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
+def _masked_peak_centroid(v, n: int, search_radius: int, centroid_radius: int):
+    """Shared kernel body: v is the raw (unshifted) [N, N] surface.
+
+    Works entirely in index space: pre-shift index ``i`` corresponds to the
+    fftshifted coordinate ``(i + N//2) % N``, so instead of rolling the data
+    we roll the coordinates (free on the VPU).
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    # fftshifted coordinates of every element
+    srow = (rows + n // 2) % n
+    scol = (cols + n // 2) % n
+
+    # SEARCH_RADIUS mask (cl/FftMethod.cl:737, :826): keep |s - N//2| <= R
+    keep = (jnp.abs(srow - n // 2) <= search_radius) & (
+        jnp.abs(scol - n // 2) <= search_radius
+    )
+    v = jnp.where(keep, v, 0.0)
+
+    # argmax with min-flat-index-in-shifted-space ties (cl:1250-1253 operates
+    # on the shifted surface, so ties break on the shifted flat index)
+    maxval = jnp.max(v)
+    sflat = srow * n + scol
+    loc = jnp.min(jnp.where(v == maxval, sflat, n * n))
+    yc = loc // n
+    xc = loc % n
+
+    # positive-only weighted centroid over the radius window in shifted
+    # coordinates (refine, cl/FftMethod.cl:1315-1379); window is contiguous
+    # in shifted space because R + centroid_radius < N//2.
+    in_win = (jnp.abs(srow - yc) <= centroid_radius) & (
+        jnp.abs(scol - xc) <= centroid_radius
+    )
+    w = jnp.where(in_win & (v > 0.0), v, 0.0)
+    denom = jnp.sum(w) + FLT_EPSILON
+    cx = jnp.sum(w * scol.astype(v.dtype)) / denom - (n // 2)
+    cy = jnp.sum(w * srow.astype(v.dtype)) / denom - (n // 2)
+
+    nanv = jnp.float32(jnp.nan)
+    bad = jnp.isnan(maxval)
+    return maxval, jnp.where(bad, nanv, cx), jnp.where(bad, nanv, cy)
+
+
+def _pack_row(maxval, cx, cy):
+    """Pack three scalars into a (1, 4) float32 vector for a VMEM row store."""
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
+    row = jnp.where(cidx == 0, maxval, jnp.where(cidx == 1, cx, jnp.where(cidx == 2, cy, 0.0)))
+    return row.astype(jnp.float32)
+
+
+def _peak_kernel(surf_ref, out_ref, *, n, search_radius, centroid_radius):
+    maxval, cx, cy = _masked_peak_centroid(
+        surf_ref[0], n, search_radius, centroid_radius
+    )
+    # the [P, 4] result block stays VMEM-resident across the whole grid
+    # (constant index map); each step fills its own row — the analogue of the
+    # per-field result packing into the shared ML buffer
+    # (cl/FftMethod.cl:1292-1300).  VMEM stores must be vectors, so the three
+    # scalars are packed into one (1, 4) row.
+    out_ref[pl.ds(pl.program_id(0), 1), :] = _pack_row(maxval, cx, cy)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("search_radius", "centroid_radius", "interpret")
+)
+def peak_refine_raw_pallas(
+    raw_surf: jnp.ndarray,
+    *,
+    search_radius: int = 55,
+    centroid_radius: int = 3,
+    interpret: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused fftshift+mask+argmax+centroid on a raw irfft2 output.
+
+    ``raw_surf``: ``[P, N, N]`` *unshifted* inverse-FFT surfaces.  Returns
+    ``(shift [P, 2], maxval [P])``.
+    """
+    interpret = _auto_interpret(interpret)
+    p, n, _ = raw_surf.shape
+    out = pl.pallas_call(
+        functools.partial(
+            _peak_kernel, n=n, search_radius=search_radius, centroid_radius=centroid_radius
+        ),
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((p, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, 4), jnp.float32),
+        interpret=interpret,
+    )(raw_surf)
+    return out[:, 1:3], out[:, 0]
+
+
+def peak_refine_pallas(
+    surf: jnp.ndarray,
+    *,
+    centroid_radius: int = 3,
+    interpret: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pallas peak+centroid on an already fftshifted+masked surface.
+
+    Drop-in replacement for :func:`...phase_correlate.peak_refine` (same
+    contract); un-shifts in index space and reuses the raw kernel.  The
+    surface is already masked, so the widest radius is passed through.
+    """
+    n = surf.shape[-1]
+    batch = surf.shape[:-2]
+    flat = surf.reshape((-1, n, n))
+    # raw kernel expects unshifted data: ifftshift == fftshift for even N
+    raw = jnp.fft.ifftshift(flat, axes=(-2, -1))
+    shift, maxval = peak_refine_raw_pallas(
+        raw, search_radius=n // 2, centroid_radius=centroid_radius, interpret=interpret
+    )
+    return shift.reshape(batch + (2,)), maxval.reshape(batch)
+
+
+# ---------------------------------------------------------------------------
+# fully fused cross-power -> inverse DFT -> peak kernel
+# ---------------------------------------------------------------------------
+
+
+def _fused_kernel(
+    f1r_ref, f1i_ref, f2r_ref, f2i_ref, c_ref, s_ref, out_ref,
+    *, n, search_radius, centroid_radius,
+):
+    """Per-patch: cmulnormf -> inverse DFT (4+2 MXU matmuls) -> masked peak.
+
+    The in-kernel matmul inverse transform is the TPU analogue of the
+    ``ifft_multi_radix_cols/rows`` stages (``cl/FftMethod.cl:723-969``); the
+    twiddle tables (``src/FftMethod.cpp:546-565``) become the DFT weight
+    matrices ``C``/``S`` resident in VMEM.
+    """
+    f1r, f1i = f1r_ref[0], f1i_ref[0]
+    f2r, f2i = f2r_ref[0], f2i_ref[0]
+    c, s = c_ref[...], s_ref[...]
+
+    # R = F1 * conj(F2), normalized (cmulnormf, cl/FftMethod.cl:976-982)
+    rr = f1r * f2r + f1i * f2i
+    ri = f1i * f2r - f1r * f2i
+    denom = jax.lax.rsqrt(rr * rr + ri * ri + FLT_EPSILON)
+    rr = rr * denom
+    ri = ri * denom
+
+    # r = Re( conj(W) @ R @ conj(W) ) / N^2, conj(W) = (C, -S)
+    dot = functools.partial(jax.lax.dot, precision=jax.lax.Precision.HIGHEST)
+    ur = dot(rr, c) + dot(ri, s)
+    ui = dot(ri, c) - dot(rr, s)
+    v = (dot(c, ur) + dot(s, ui)) * (1.0 / (n * n))
+
+    maxval, cx, cy = _masked_peak_centroid(v, n, search_radius, centroid_radius)
+    out_ref[pl.ds(pl.program_id(0), 1), :] = _pack_row(maxval, cx, cy)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("search_radius", "centroid_radius", "interpret")
+)
+def phase_correlate_fused_pallas(
+    curr: jnp.ndarray,
+    prev: jnp.ndarray,
+    *,
+    search_radius: int = 55,
+    centroid_radius: int = 3,
+    interpret: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One-launch phase correlation over a ``[P, N, N]`` patch batch.
+
+    Forward transforms run as XLA batched matmul-DFTs (they saturate the MXU
+    already); everything after — cross-power normalize, inverse transform,
+    mask, peak, centroid — is a single Pallas kernel, one grid step per
+    patch.  This mirrors the reference's one-enqueue-per-frame-pair design
+    (``src/FftMethod.cpp:398``) with the readback reduced to ``[P, 4]``.
+
+    Returns ``(shift [P, 2], maxval [P])`` in float32.
+    """
+    from mrs_optic_flow_tpu.ops.phase_correlate import _dft2_real
+
+    interpret = _auto_interpret(interpret)
+    p, n, _ = curr.shape
+    f1r, f1i = _dft2_real(curr.astype(jnp.float32))
+    f2r, f2i = _dft2_real(prev.astype(jnp.float32))
+    c, s = (jnp.asarray(m) for m in _dft_matrices(n))
+
+    spec = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_kernel, n=n, search_radius=search_radius, centroid_radius=centroid_radius
+        ),
+        grid=(p,),
+        in_specs=[spec, spec, spec, spec, wspec, wspec],
+        out_specs=pl.BlockSpec((p, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, 4), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * 2 * n * n * n * p, bytes_accessed=4 * 4 * n * n * p, transcendentals=0
+        ),
+        interpret=interpret,
+    )(f1r, f1i, f2r, f2i, c, s)
+    return out[:, 1:3], out[:, 0]

@@ -1,0 +1,80 @@
+"""Pallas kernel conformance: must agree with the jnp path and the oracle.
+
+On CPU the kernels run in interpret mode — the cross-backend equivalence
+stands in for the reference's useOCL dual-path cross-check
+(src/FftMethod.cpp:1824-1836, storageA/storageB diffing :1482-1483).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mrs_optic_flow_tpu.ops.phase_correlate import (
+    correlation_surface,
+    peak_refine,
+    phase_correlate_field,
+)
+from mrs_optic_flow_tpu.ops import pallas_kernels as pk
+
+from oracle import fourier_shift, phase_correlate_oracle, smooth_random_image
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def _random_pair_batch(rng, p=16, n=120):
+    prev = np.stack([smooth_random_image(rng, n) for _ in range(p)])
+    d = rng.uniform(-30, 30, size=(p, 2))
+    curr = np.stack(
+        [fourier_shift(prev[i], d[i, 0], d[i, 1]).astype(np.float32) for i in range(p)]
+    )
+    return jnp.asarray(curr), jnp.asarray(prev), d
+
+
+def test_peak_refine_pallas_matches_jnp(rng):
+    curr, prev, d = _random_pair_batch(rng, p=4)
+    surf = correlation_surface(curr, prev)
+    s_ref, m_ref = peak_refine(surf)
+    s_pal, m_pal = pk.peak_refine_pallas(surf, interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(s_pal), np.asarray(s_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m_pal), np.asarray(m_ref), rtol=1e-5)
+    assert np.all(np.abs(np.asarray(s_pal) - d) < 0.1)
+
+
+def test_fused_pallas_matches_oracle(rng):
+    curr, prev, d = _random_pair_batch(rng, p=4)
+    s, m = pk.phase_correlate_fused_pallas(curr, prev, interpret=INTERPRET)
+    s, m = np.asarray(s), np.asarray(m)
+    assert np.all(np.abs(s - d) < 0.1)
+    for i in range(curr.shape[0]):
+        ref, ref_max = phase_correlate_oracle(np.asarray(curr[i]), np.asarray(prev[i]))
+        np.testing.assert_allclose(s[i], ref, atol=0.05)
+        np.testing.assert_allclose(m[i], ref_max, rtol=1e-3)
+
+
+def test_fused_pallas_via_field_api(rng):
+    curr, prev, d = _random_pair_batch(rng, p=2)
+    if INTERPRET:
+        s, _ = pk.phase_correlate_fused_pallas(curr, prev, interpret=True)
+    else:
+        s, _ = phase_correlate_field(curr, prev, use_pallas=True)
+    assert np.all(np.abs(np.asarray(s) - d) < 0.1)
+
+
+def test_pallas_nan_propagation(rng):
+    n = 120
+    bad = jnp.full((2, n, n), jnp.nan, dtype=jnp.float32)
+    s, _ = pk.phase_correlate_fused_pallas(bad, bad, interpret=INTERPRET)
+    assert np.all(np.isnan(np.asarray(s)))
+
+
+def test_pallas_masked_large_shift(rng):
+    """A shift beyond SEARCH_RADIUS must not be reported as a valid peak."""
+    n = 120
+    prev = smooth_random_image(rng, n)
+    curr = np.roll(prev, (0, 58), axis=(0, 1))
+    s, m = pk.phase_correlate_fused_pallas(
+        jnp.asarray(curr)[None], jnp.asarray(prev)[None], interpret=INTERPRET
+    )
+    assert float(m[0]) < 0.5  # true peak masked away
