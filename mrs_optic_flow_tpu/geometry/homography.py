@@ -1,0 +1,256 @@
+"""Homography estimation and decomposition, jit-compatible.
+
+Replaces the two OpenCV calls at the heart of getRT:
+
+- ``cv::findHomography(undistPtsA, undistPtsB, cv::RANSAC, 0.01)``
+  (``src/optic_flow.cpp:558``) -> :func:`find_homography_ransac`.  OpenCV's
+  adaptive-iteration RANSAC becomes a *fixed* budget of vmapped 4-point DLT
+  hypotheses scored in parallel (SURVEY.md section 7 "hard parts": no
+  data-dependent loops under jit), followed by a weighted least-squares DLT
+  refit on the consensus set (OpenCV refines with LM; one linear refit is
+  within noise for the 16-point grids used here).
+
+- ``cv::decomposeHomographyMat`` (``src/optic_flow.cpp:592``) ->
+  :func:`decompose_homography`, the Malis-Vargas analytical decomposition
+  (the same algorithm OpenCV implements), returning the fixed 4-solution
+  tensor plus a count (1 for the pure-rotation case, else 4).
+
+All points are in *normalized* camera coordinates (the reference undistorts
+first and decomposes against an identity camera matrix,
+``src/optic_flow.cpp:592``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# JAX's default f32 matmul runs at reduced precision on some backends (~1e-2
+# relative error observed on both the CPU and TPU builds here); geometry needs
+# true float32, so every contraction pins Precision.HIGHEST.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _dlt_rows(src: jnp.ndarray, dst: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Weighted DLT design matrix A [2N, 9] for H mapping src -> dst.
+
+    src, dst: [N, 2]; w: [N] row weights (0 masks a point out).
+    Rows per point i:
+      [ x y 1 0 0 0 -x*u -y*u -u ]
+      [ 0 0 0 x y 1 -x*v -y*v -v ]   with (x,y)=src_i, (u,v)=dst_i.
+    """
+    x, y = src[:, 0], src[:, 1]
+    u, v = dst[:, 0], dst[:, 1]
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    r1 = jnp.stack([x, y, one, zero, zero, zero, -x * u, -y * u, -u], axis=-1)
+    r2 = jnp.stack([zero, zero, zero, x, y, one, -x * v, -y * v, -v], axis=-1)
+    a = jnp.concatenate([r1, r2], axis=0)  # [2N, 9]
+    return a * jnp.concatenate([w, w], axis=0)[:, None]
+
+
+def _norm_h(h: jnp.ndarray) -> jnp.ndarray:
+    """Normalize so h22 ~ 1 where possible (OpenCV convention)."""
+    scale = jnp.where(jnp.abs(h[..., 2, 2]) > 1e-12, h[..., 2, 2], 1.0)
+    return h / scale[..., None, None]
+
+
+def _solve_h_eigh(a: jnp.ndarray) -> jnp.ndarray:
+    """Null vector via eigh(A^T A) — cheap, batches well; ~1e-3 accurate in
+    float32 (fine for scoring RANSAC hypotheses against threshold 0.01)."""
+    ata = jnp.einsum("...ij,...ik->...jk", a, a, precision=_HI)
+    _, vecs = jnp.linalg.eigh(ata)
+    return _norm_h(vecs[..., :, 0].reshape(ata.shape[:-2] + (3, 3)))
+
+
+def _solve_h_svd(a: jnp.ndarray) -> jnp.ndarray:
+    """Null vector via SVD of A itself — ~3e-7 accurate in float32 (the
+    normal equations square the conditioning; the final fit uses this)."""
+    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
+    return _norm_h(vt[..., -1, :].reshape(a.shape[:-2] + (3, 3)))
+
+
+def _project(h: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Apply homography h [...,3,3] to pts [N,2] -> [...,N,2]."""
+    x = pts[..., 0]
+    y = pts[..., 1]
+    d = h[..., 2, 0] * x + h[..., 2, 1] * y + h[..., 2, 2]
+    d = jnp.where(jnp.abs(d) > 1e-12, d, 1e-12)
+    u = (h[..., 0, 0] * x + h[..., 0, 1] * y + h[..., 0, 2]) / d
+    v = (h[..., 1, 0] * x + h[..., 1, 1] * y + h[..., 1, 2]) / d
+    return jnp.stack([u, v], axis=-1)
+
+
+class HomographyResult(NamedTuple):
+    h: jnp.ndarray  # [3, 3]
+    inliers: jnp.ndarray  # [N] bool
+    n_inliers: jnp.ndarray  # scalar int32
+    ok: jnp.ndarray  # scalar bool
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def find_homography_ransac(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    valid: jnp.ndarray,
+    key: jax.Array,
+    *,
+    threshold: float = 0.01,
+    iterations: int = 512,
+) -> HomographyResult:
+    """RANSAC homography over masked points.
+
+    ``src``/``dst``: [N, 2] normalized coords; ``valid``: [N] bool (NaN
+    windows arrive masked out, the jit-safe version of the NaN-drop loop at
+    ``src/optic_flow.cpp:527-547``).  ``threshold`` is the forward
+    reprojection distance, 0.01 as in ``src/optic_flow.cpp:558``.
+
+    Invalid points contribute weight 0 everywhere, and hypotheses drawn from
+    fewer than 4 distinct valid points lose the consensus vote naturally.
+    """
+    n = src.shape[0]
+    src = jnp.where(valid[:, None], src, 0.0)
+    dst = jnp.where(valid[:, None], dst, 0.0)
+
+    p = valid.astype(jnp.float32)
+    p_norm = p / jnp.maximum(jnp.sum(p), 1.0)
+
+    def hypothesis(k):
+        # 4 distinct valid indices (Gumbel top-k choice without replacement)
+        idx = jax.random.choice(k, n, shape=(4,), replace=False, p=p_norm)
+        h = _solve_h_eigh(_dlt_rows(src[idx], dst[idx], jnp.ones((4,), src.dtype)))
+        err = jnp.sum((_project(h, src) - dst) ** 2, axis=-1)
+        inl = (err < threshold * threshold) & valid
+        return h, inl, jnp.sum(inl)
+
+    keys = jax.random.split(key, iterations)
+    hs, inls, counts = jax.vmap(hypothesis)(keys)
+    best = jnp.argmax(counts)
+    inliers = inls[best]
+    n_inl = counts[best]
+
+    # least-squares refit on the consensus set (stable even if degenerate —
+    # eigh of the weighted normal matrix always returns something; `ok`
+    # gates downstream use)
+    h = _solve_h_svd(_dlt_rows(src, dst, inliers.astype(src.dtype)))
+    ok = n_inl >= 4
+    h = jnp.where(ok, h, jnp.eye(3, dtype=src.dtype))
+    return HomographyResult(h=h, inliers=inliers, n_inliers=n_inl, ok=ok)
+
+
+# ---------------------------------------------------------------------------
+# Malis-Vargas homography decomposition
+# ---------------------------------------------------------------------------
+
+
+class HomographyDecomposition(NamedTuple):
+    rotations: jnp.ndarray  # [4, 3, 3]
+    translations: jnp.ndarray  # [4, 3]
+    normals: jnp.ndarray  # [4, 3]
+    n_solutions: jnp.ndarray  # scalar int32 (1 or 4)
+
+
+def _opposite_of_minor(m: jnp.ndarray, row: int, col: int) -> jnp.ndarray:
+    x1 = 1 if col == 0 else 0
+    x2 = 1 if col == 2 else 2
+    y1 = 1 if row == 0 else 0
+    y2 = 1 if row == 2 else 2
+    return m[..., y1, x2] * m[..., y2, x1] - m[..., y1, x1] * m[..., y2, x2]
+
+
+def _signd(x: jnp.ndarray) -> jnp.ndarray:
+    """sign with signd(0) = +1 (OpenCV homography_decomp convention)."""
+    return jnp.where(x >= 0.0, 1.0, -1.0)
+
+
+def decompose_homography(h: jnp.ndarray) -> HomographyDecomposition:
+    """Analytical Malis-Vargas decomposition of a calibrated homography.
+
+    Returns the same solution set as ``cv::decomposeHomographyMat(H, I)``
+    (``src/optic_flow.cpp:592``): up to four ``{R, t, n}`` triples with
+    ``H ~ gamma * (R + t n^T)``.  For a (near-)pure rotation, solution 0 is
+    ``{H_n, 0, 0}`` and ``n_solutions == 1`` (OpenCV epsilon 1e-3 on
+    ``|H^T H - I|``).  Output order matches OpenCV: ``[Ra+, Ra-, Rb+, Rb-]``.
+
+    Runs in float64 when x64 is enabled (the reference's calib3d path is
+    CV_64F; the sqrt cancellations here lose ~2 digits in float32).
+    """
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    h = jnp.asarray(h, dtype=dtype)
+
+    # normalize by the middle singular value (gamma), sign-correct so that
+    # points in front of the camera map with positive depth
+    sv = jnp.linalg.svd(h, compute_uv=False)
+    gamma = sv[..., 1]
+    hn = h / gamma
+    # OpenCV flips the sign so that the decomposition exists: require
+    # x2^T * Hn * x1 > 0 for visible points; use the (0,0,1) ray.
+    sign = _signd(hn[..., 2, 2])
+    hn = hn * sign
+
+    s = jnp.matmul(hn.swapaxes(-1, -2), hn, precision=_HI) - jnp.eye(3, dtype=hn.dtype)
+    rotation_only = jnp.max(jnp.abs(s)) < 1e-3
+
+    m00 = _opposite_of_minor(s, 0, 0)
+    m11 = _opposite_of_minor(s, 1, 1)
+    m22 = _opposite_of_minor(s, 2, 2)
+    rt_m00 = jnp.sqrt(jnp.maximum(m00, 0.0))
+    rt_m11 = jnp.sqrt(jnp.maximum(m11, 0.0))
+    rt_m22 = jnp.sqrt(jnp.maximum(m22, 0.0))
+    m01 = _opposite_of_minor(s, 0, 1)
+    m12 = _opposite_of_minor(s, 1, 2)
+    m02 = _opposite_of_minor(s, 0, 2)
+    e12, e02, e01 = _signd(m12), _signd(m02), _signd(m01)
+
+    s00, s11, s22 = s[..., 0, 0], s[..., 1, 1], s[..., 2, 2]
+    idx = jnp.argmax(jnp.stack([jnp.abs(s00), jnp.abs(s11), jnp.abs(s22)], -1), axis=-1)
+
+    npa0 = jnp.stack([s00, s[..., 0, 1] + rt_m22, s[..., 0, 2] + e12 * rt_m11], -1)
+    npb0 = jnp.stack([s00, s[..., 0, 1] - rt_m22, s[..., 0, 2] - e12 * rt_m11], -1)
+    npa1 = jnp.stack([s[..., 0, 1] + rt_m22, s11, s[..., 1, 2] - e02 * rt_m00], -1)
+    npb1 = jnp.stack([s[..., 0, 1] - rt_m22, s11, s[..., 1, 2] + e02 * rt_m00], -1)
+    npa2 = jnp.stack([s[..., 0, 2] + e01 * rt_m11, s[..., 1, 2] + rt_m00, s22], -1)
+    npb2 = jnp.stack([s[..., 0, 2] - e01 * rt_m11, s[..., 1, 2] - rt_m00, s22], -1)
+    npa = jnp.select([idx == 0, idx == 1], [npa0, npa1], npa2)
+    npb = jnp.select([idx == 0, idx == 1], [npb0, npb1], npb2)
+
+    trace_s = s00 + s11 + s22
+    v = 2.0 * jnp.sqrt(jnp.maximum(1.0 + trace_s - m00 - m11 - m22, 0.0))
+    s_ii = jnp.select([idx == 0, idx == 1], [s00, s11], s22)
+    es_ii = _signd(s_ii)
+    r = jnp.sqrt(jnp.maximum(2.0 + trace_s + v, 0.0))
+    nt = jnp.sqrt(jnp.maximum(2.0 + trace_s - v, 0.0))
+
+    def unit(x):
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+    na = unit(npa)
+    nb = unit(npb)
+    half_nt = 0.5 * nt
+    esii_t_r = es_ii * r
+    ta_star = half_nt[..., None] * (esii_t_r[..., None] * nb - nt[..., None] * na)
+    tb_star = half_nt[..., None] * (esii_t_r[..., None] * na - nt[..., None] * nb)
+
+    def rmat_from(tstar, nvec):
+        # R = Hn (I - (2/v) tstar n^T)
+        outer = tstar[..., :, None] * nvec[..., None, :]
+        return jnp.matmul(hn, jnp.eye(3, dtype=hn.dtype) - (2.0 / v) * outer, precision=_HI)
+
+    ra = rmat_from(ta_star, na)
+    rb = rmat_from(tb_star, nb)
+    ta = jnp.matmul(ra, ta_star[..., :, None], precision=_HI)[..., 0]
+    tb = jnp.matmul(rb, tb_star[..., :, None], precision=_HI)[..., 0]
+
+    rots = jnp.stack([ra, ra, rb, rb], axis=-3)
+    trans = jnp.stack([ta, -ta, tb, -tb], axis=-2)
+    norms = jnp.stack([na, -na, nb, -nb], axis=-2)
+
+    # pure-rotation fallback in slot 0
+    rots = jnp.where(rotation_only, jnp.broadcast_to(hn, rots.shape), rots)
+    trans = jnp.where(rotation_only, jnp.zeros_like(trans), trans)
+    norms = jnp.where(rotation_only, jnp.zeros_like(norms), norms)
+    n_solutions = jnp.where(rotation_only, 1, 4).astype(jnp.int32)
+    return HomographyDecomposition(rots, trans, norms, n_solutions)

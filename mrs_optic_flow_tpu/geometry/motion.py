@@ -1,0 +1,249 @@
+"""Motion decomposition: pixel shifts -> body-frame (rotation rate, velocity).
+
+JAX re-build of ``OpticFlow::getRT`` (``src/optic_flow.cpp:515-774``),
+``get2DT`` (``:388-510``) and ``getInliers`` (``:335-358``), with the
+reference's data-dependent control flow replaced by masked fixed-shape math
+(SURVEY.md section 7 "hard parts": NaN-as-control-flow under jit).
+
+Deliberate deviations from the reference, each documented inline:
+
+1. ``tempTfC2B * axis`` in the reference applies a full tf2 *Transform* to
+   the rotation axis — i.e. it also **adds the camera->base translation** to
+   the axis before renormalizing (``src/optic_flow.cpp:645``, ``:1747``).
+   Rotating a direction must not translate it; we apply the rotation only.
+2. ``allSmall`` (``src/optic_flow.cpp:561``) is initialized ``false`` and
+   only ever *set* ``false``, so the reference's "No motion detected" branch
+   (``:580-585``) is dead code; we do not reproduce the dead branch.
+3. ``get2DT`` undistorts the grid points but then uses the *raw pixel*
+   differences (``undistShifts`` is built from ``shiftedPts - initialPts``,
+   ``src/optic_flow.cpp:448-450``) — reproduced as-is (pixel shifts).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrs_optic_flow_tpu.geometry.homography import (
+    decompose_homography,
+    find_homography_ransac,
+)
+from mrs_optic_flow_tpu.geometry.rotations import (
+    matrix_from_quat,
+    quat_angle,
+    quat_axis_angle,
+    quat_from_axis_angle,
+    quat_from_matrix,
+    quat_inverse,
+    quat_rotate,
+)
+from mrs_optic_flow_tpu.geometry.undistort import undistort_points
+
+
+def grid_centers(frame_size: int, patch: int) -> np.ndarray:
+    """Patch-grid centre pixels ``[P, 2]`` in field order ``i + q*j``.
+
+    ``xi = i*S + S/2`` exactly as getRT builds them
+    (``src/optic_flow.cpp:538-540``).
+    """
+    q = frame_size // patch
+    i = np.arange(q)
+    xs, ys = np.meshgrid(i * patch + patch // 2, i * patch + patch // 2)
+    return np.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1).astype(np.float32)
+
+
+def get_inliers(shifts: jnp.ndarray, valid: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """Largest mutual-agreement inlier set (``src/optic_flow.cpp:335-358``).
+
+    For each point, counts the points within ``threshold`` of it; returns the
+    bool mask of the winning neighbourhood (including the seed point).
+    """
+    d2 = jnp.sum((shifts[:, None, :] - shifts[None, :, :]) ** 2, axis=-1)
+    near = (d2 < threshold * threshold) & valid[None, :] & valid[:, None]
+    # the reference counts the seed plus strict neighbours; diagonal is near
+    counts = jnp.sum(near, axis=1)
+    counts = jnp.where(valid, counts, -1)
+    best = jnp.argmax(counts)
+    return near[best]
+
+
+class GetRTResult(NamedTuple):
+    ok: jnp.ndarray  # scalar bool
+    rot: jnp.ndarray  # [4] quaternion (x,y,z,w): axis + angle/dt encoding
+    tran: jnp.ndarray  # [3] camera-frame velocity [m/s]
+    n_inliers: jnp.ndarray  # scalar int32
+    ang_diff: jnp.ndarray  # scalar: best IMU-consistency angle [rad]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("frame_size", "patch", "shifted_pts_thr", "ransac_iterations"),
+)
+def get_rt(
+    shifts: jnp.ndarray,
+    height: jnp.ndarray,
+    dt: jnp.ndarray,
+    ul_corner_x: jnp.ndarray,
+    camera_matrix: jnp.ndarray,
+    dist_coeffs: jnp.ndarray,
+    c2b_quat: jnp.ndarray,
+    ang_rate_quat: jnp.ndarray,
+    key: jax.Array,
+    *,
+    frame_size: int,
+    patch: int,
+    shifted_pts_thr: int = 8,
+    ransac_threshold: float = 0.01,
+    ransac_iterations: int = 512,
+) -> GetRTResult:
+    """``getRT`` (``src/optic_flow.cpp:515-774``): shifts -> (R rate, v).
+
+    Steps: grid centres + NaN mask (``:527-547``) -> local camera matrix with
+    ``cx -= ulCorner.x`` (``:524`` — the reference does *not* adjust cy; kept
+    for parity) -> undistort (``:549-550``) -> RANSAC homography, threshold
+    0.01 (``:558``) -> Malis-Vargas decomposition (``:592``) -> pick the
+    solution whose rotation rate is closest (in tf2 angle) to the IMU rate,
+    testing both quaternion covers (``:630-671``) -> reject if the best
+    solution differs from IMU by more than pi/4 (``:682-684``) -> scale:
+    ``v = R (+-t) * height / dt`` (``:701``), rate quaternion with the angle
+    divided by dt (``:697``).
+    """
+    centers = jnp.asarray(grid_centers(frame_size, patch))
+    valid = jnp.all(jnp.isfinite(shifts), axis=-1)
+    shifts_f = jnp.where(valid[:, None], shifts, 0.0)
+    shifted = centers + shifts_f
+
+    cam_local = camera_matrix.at[0, 2].add(-ul_corner_x)
+
+    ok = jnp.isfinite(1.0 / dt)
+    ok &= jnp.sum(valid) >= shifted_pts_thr
+
+    und_a = undistort_points(centers, cam_local, dist_coeffs)
+    und_b = undistort_points(shifted, cam_local, dist_coeffs)
+
+    hres = find_homography_ransac(
+        und_a,
+        und_b,
+        valid,
+        key,
+        threshold=ransac_threshold,
+        iterations=ransac_iterations,
+    )
+    ok &= hres.ok
+    ok &= hres.n_inliers >= shifted_pts_thr
+
+    dec = decompose_homography(hres.h)
+
+    # --- IMU-nearest solution selection (src/optic_flow.cpp:630-671) ---
+    quats = quat_from_matrix(dec.rotations)  # [4, 4]
+    axes, angles = quat_axis_angle(quats)
+    # deviation 1 (module docstring): rotate the axis only, no translation
+    axes_b = quat_rotate(c2b_quat[None, :], axes)
+    q_rate_b = quat_from_axis_angle(axes_b, angles / dt)
+    d_plus = quat_angle(q_rate_b, ang_rate_quat[None, :])
+    d_minus = quat_angle(q_rate_b, quat_inverse(ang_rate_quat)[None, :])
+    ang_diffs = jnp.minimum(d_plus, d_minus)
+
+    sol_idx = jnp.arange(4)
+    usable = sol_idx < dec.n_solutions
+    ang_diffs = jnp.where(usable, ang_diffs, jnp.pi + 1.0)
+    best = jnp.argmin(ang_diffs)
+    best_diff = ang_diffs[best]
+    # bestIndex stays -1 if no solution beats the initial pi (strict <, :665)
+    found = best_diff < jnp.pi
+    ok &= found
+
+    multi = dec.n_solutions > 1
+    # pi/4 gate applies on the multi-solution path only (:682-684)
+    ok &= jnp.where(multi, best_diff <= (jnp.pi / 4), True)
+
+    # inverseSolution <=> n_z >= 0 (:657-660); sign flip of t on the
+    # multi-solution path only (:700-703)
+    inverse_sol = dec.normals[best, 2] >= 0.0
+    inv_unit = jnp.where(multi & inverse_sol, -1.0, 1.0)
+
+    r_best = dec.rotations[best]
+    t_best = dec.translations[best]
+    tran = jnp.matmul(r_best, inv_unit * t_best, precision=jax.lax.Precision.HIGHEST) * height / dt
+    rot = quat_from_axis_angle(axes[best], angles[best] / dt)
+
+    finite = jnp.all(jnp.isfinite(tran)) & jnp.all(jnp.isfinite(rot))
+    ok &= finite
+
+    nanq = jnp.full((4,), jnp.nan, dtype=rot.dtype)
+    nant = jnp.full((3,), jnp.nan, dtype=tran.dtype)
+    return GetRTResult(
+        ok=ok,
+        rot=jnp.where(ok, rot, nanq),
+        tran=jnp.where(ok, tran, nant),
+        n_inliers=hres.n_inliers,
+        ang_diff=best_diff,
+    )
+
+
+class Get2DTResult(NamedTuple):
+    ok: jnp.ndarray  # scalar bool
+    tran: jnp.ndarray  # [3] camera-frame velocity [m/s] (z = 0)
+    tran_diff: jnp.ndarray  # [3] rate-correction delta (see docstring)
+
+
+@functools.partial(jax.jit, static_argnames=("long_range_ratio",))
+def get_2dt(
+    shifts: jnp.ndarray,
+    height: jnp.ndarray,
+    dt: jnp.ndarray,
+    ul_corner_x: jnp.ndarray,
+    camera_matrix: jnp.ndarray,
+    imu_roll_rate: jnp.ndarray,
+    imu_pitch_rate: jnp.ndarray,
+    cam_yaw: jnp.ndarray,
+    *,
+    long_range_ratio: int = 4,
+) -> Get2DTResult:
+    """``get2DT`` (``src/optic_flow.cpp:388-510``), ratio-4 long-range mode.
+
+    Takes the first valid (finite) pixel shift of the long-range grid
+    (``avgShift = undistShifts[0]``, ``:470``; deviation 3 in the module
+    docstring: these are raw pixel shifts), applies the roll/pitch-rate
+    feed-forward correction (``:478-490``), and converts to metric velocity
+    ``v = -shift * height / f * ratio / dt`` (``:491-495``).
+
+    ``tran_diff`` reproduces the reference's double-added correction
+    (``avgShift += corr`` happens twice, ``:486-505``), so
+    ``tran_diff = -corr * height/f * ratio / dt`` — the topic published as
+    ``velocity_out_longrange_diff`` (``src/optic_flow.cpp:1831``).
+    """
+    fx = camera_matrix[0, 0]
+    fy = camera_matrix[1, 1]
+    mult = float(long_range_ratio)
+
+    valid = jnp.all(jnp.isfinite(shifts), axis=-1)
+    ok = jnp.isfinite(1.0 / dt) & jnp.any(valid)
+    first = jnp.argmax(valid)
+    avg = jnp.where(valid[first], shifts[first], jnp.zeros((2,), shifts.dtype))
+
+    # roll/pitch rate feed-forward, rotated by cam_yaw (:478-488)
+    x_corr = -jnp.tan(imu_roll_rate * dt) * fx / mult
+    y_corr = jnp.tan(imu_pitch_rate * dt) * fy / mult
+    t_corr = jnp.sqrt(x_corr * x_corr + y_corr * y_corr)
+    yaw_corr = jnp.arctan2(y_corr, x_corr) + cam_yaw
+    corr = jnp.stack([jnp.cos(yaw_corr) * t_corr, jnp.sin(yaw_corr) * t_corr])
+
+    scale = jnp.stack([height / fx * mult, height / fy * mult])
+
+    a1 = avg + corr
+    tran = -jnp.concatenate([a1 * scale, jnp.zeros((1,), shifts.dtype)]) / dt
+    a2 = avg + 2.0 * corr
+    tran_corr = -jnp.concatenate([a2 * scale, jnp.zeros((1,), shifts.dtype)]) / dt
+    tran_diff = tran_corr - tran
+
+    nant = jnp.full((3,), jnp.nan, dtype=tran.dtype)
+    return Get2DTResult(
+        ok=ok,
+        tran=jnp.where(ok, tran, nant),
+        tran_diff=jnp.where(ok, tran_diff, nant),
+    )

@@ -1,0 +1,25 @@
+"""Flow engines (layer L2/L3 of the reference).
+
+The reference exposes one abstract interface, ``OpticFlowCalc``
+(``include/OpticFlowCalc.h:6-22``), with four implementations of which one is
+live.  All are rebuilt here, each TPU-native:
+
+=========================================  =================================
+reference engine                           here
+=========================================  =================================
+``FftMethod`` (method 4, live)             :mod:`.fft_method`
+``BlockMethod`` (method 3, dormant)        :mod:`.block_method`
+``FastSpacedBMMethod`` (method 5, dormant) :mod:`.fast_spaced_bm`
+``scaleRotationEstimator`` (disabled)      :mod:`.scale_rotation`
+=========================================  =================================
+
+Engines are functional: a frozen config dataclass holds the static
+parameters; per-stream state (the previous frame, first-frame flag — the
+reference's ``imPrev`` and ``first`` members, ``include/OpticFlowCalc.h:18``,
+``src/FftMethod.cpp:1764``) lives in a small pytree threaded through
+``step``.  This is what makes the engines jittable, batchable, and shardable
+over a device mesh.
+"""
+
+from mrs_optic_flow_tpu.models.base import FlowEngine, FlowState  # noqa: F401
+from mrs_optic_flow_tpu.models.fft_method import FftMethod, FftMethodConfig  # noqa: F401

@@ -149,6 +149,12 @@ def correlation_surface(
     if prev.shape != curr.shape:
         raise ValueError(f"curr/prev shapes differ: {curr.shape} vs {prev.shape}")
 
+    # the reference converts frames to CV_32F before correlating
+    # (src/FftMethod.cpp:1805-1806); pin float32 regardless of input dtype
+    # or the global x64 flag.
+    curr = curr.astype(jnp.float32)
+    prev = prev.astype(jnp.float32)
+
     if backend == "fft":
         f1 = jnp.fft.rfft2(curr)
         f2 = jnp.fft.rfft2(prev)

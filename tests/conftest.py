@@ -14,6 +14,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import sys
+
+# interpret-mode Pallas tracing nests deeply; pytest's own frames push the
+# default 1000 limit over the edge
+sys.setrecursionlimit(10000)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,291 @@
+"""Geometry-layer conformance: OpenCV is the golden oracle here, since the
+reference calls cv::undistortPoints / cv::findHomography /
+cv::decomposeHomographyMat directly (src/optic_flow.cpp:549-592)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mrs_optic_flow_tpu.geometry import (
+    decompose_homography,
+    find_homography_ransac,
+    undistort_points,
+    get_rt,
+    get_2dt,
+    get_inliers,
+)
+from mrs_optic_flow_tpu.geometry.rotations import (
+    matrix_from_quat,
+    quat_from_axis_angle,
+    quat_from_matrix,
+    quat_from_rpy,
+    quat_rotate,
+    rpy_from_quat,
+    quat_angle,
+)
+from mrs_optic_flow_tpu.geometry.motion import grid_centers
+
+cv2 = pytest.importorskip("cv2")
+
+K = np.array([[420.0, 0, 376.0], [0, 420.0, 240.0], [0, 0, 1.0]])
+DIST = np.array([-0.28, 0.07, 1e-4, -2e-4, -0.006])
+
+
+def _rot(rng, scale=0.3):
+    r, _ = np.linalg.qr(np.eye(3) + scale * rng.standard_normal((3, 3)))
+    if np.linalg.det(r) < 0:
+        r[:, 0] *= -1
+    return r
+
+
+# ------------------------------ rotations ---------------------------------
+
+
+def test_quat_roundtrip(rng):
+    for _ in range(20):
+        r = _rot(rng, 1.0)
+        q = quat_from_matrix(jnp.asarray(r))
+        np.testing.assert_allclose(np.asarray(matrix_from_quat(q)), r, atol=1e-5)
+
+
+def test_rpy_vs_scipy(rng):
+    from scipy.spatial.transform import Rotation
+
+    for _ in range(10):
+        rpy = rng.uniform(-1.2, 1.2, 3)
+        q = quat_from_rpy(*rpy)
+        q_sp = Rotation.from_euler("xyz", rpy).as_quat()  # (x,y,z,w)
+        assert min(np.abs(np.asarray(q) - q_sp).max(), np.abs(np.asarray(q) + q_sp).max()) < 1e-6
+        back = np.array(rpy_from_quat(q))
+        np.testing.assert_allclose(back, rpy, atol=1e-6)
+
+
+def test_quat_rotate(rng):
+    for _ in range(10):
+        r = _rot(rng, 1.0)
+        v = rng.standard_normal(3)
+        q = quat_from_matrix(jnp.asarray(r))
+        np.testing.assert_allclose(np.asarray(quat_rotate(q, jnp.asarray(v))), r @ v, atol=1e-5)
+
+
+# ------------------------------ undistort ---------------------------------
+
+
+def test_undistort_matches_opencv(rng):
+    pts = rng.uniform(100, 650, size=(16, 2)).astype(np.float64)
+    ours = np.asarray(undistort_points(jnp.asarray(pts), jnp.asarray(K), jnp.asarray(DIST)))
+    ref = cv2.undistortPoints(pts.reshape(-1, 1, 2), K, DIST).reshape(-1, 2)
+    np.testing.assert_allclose(ours, ref, atol=2e-6)
+
+
+# ------------------------------ homography --------------------------------
+
+
+def _apply_h(h, pts):
+    p = np.concatenate([pts, np.ones((len(pts), 1))], axis=1) @ h.T
+    return p[:, :2] / p[:, 2:3]
+
+
+def test_homography_clean(rng):
+    h_true = np.eye(3) + 0.1 * rng.standard_normal((3, 3))
+    h_true /= h_true[2, 2]
+    src = rng.uniform(-0.5, 0.5, size=(16, 2))
+    dst = _apply_h(h_true, src)
+    res = find_homography_ransac(
+        jnp.asarray(src, jnp.float32),
+        jnp.asarray(dst, jnp.float32),
+        jnp.ones(16, bool),
+        jax.random.PRNGKey(0),
+    )
+    assert bool(res.ok) and int(res.n_inliers) == 16
+    np.testing.assert_allclose(np.asarray(res.h), h_true, atol=2e-3)
+
+
+def test_homography_with_outliers_vs_opencv(rng):
+    h_true = np.eye(3) + 0.05 * rng.standard_normal((3, 3))
+    h_true /= h_true[2, 2]
+    src = rng.uniform(-0.5, 0.5, size=(16, 2))
+    dst = _apply_h(h_true, src) + rng.normal(0, 0.001, size=(16, 2))
+    dst[3] += 0.3  # outliers
+    dst[11] -= 0.25
+    res = find_homography_ransac(
+        jnp.asarray(src, jnp.float32),
+        jnp.asarray(dst, jnp.float32),
+        jnp.ones(16, bool),
+        jax.random.PRNGKey(1),
+    )
+    inl = np.asarray(res.inliers)
+    assert not inl[3] and not inl[11]
+    h_cv, mask_cv = cv2.findHomography(src, dst, cv2.RANSAC, 0.01)
+    np.testing.assert_allclose(np.asarray(res.h), h_cv, atol=5e-3)
+
+
+def test_homography_masked_points(rng):
+    h_true = np.eye(3) + 0.05 * rng.standard_normal((3, 3))
+    h_true /= h_true[2, 2]
+    src = rng.uniform(-0.5, 0.5, size=(16, 2))
+    dst = _apply_h(h_true, src)
+    valid = np.ones(16, bool)
+    valid[[0, 5, 9]] = False
+    dst[0] = np.nan  # masked points may carry NaN without poisoning the fit
+    res = find_homography_ransac(
+        jnp.asarray(np.where(valid[:, None], src, 0.0), jnp.float32),
+        jnp.asarray(np.where(valid[:, None], dst, 0.0), jnp.float32),
+        jnp.asarray(valid),
+        jax.random.PRNGKey(2),
+    )
+    assert bool(res.ok) and int(res.n_inliers) == 13
+    np.testing.assert_allclose(np.asarray(res.h), h_true, atol=2e-3)
+
+
+def _make_h(r, t, n):
+    return r + np.outer(t, n)
+
+
+def test_decompose_vs_opencv(rng):
+    for trial in range(8):
+        r = _rot(rng)
+        n = np.array([0.1, -0.05, -1.0]) + 0.1 * rng.standard_normal(3)
+        n /= np.linalg.norm(n)
+        if n[2] > 0:
+            n = -n  # plane in front of camera: n_z < 0 convention
+        t = 0.3 * rng.standard_normal(3)
+        h = _make_h(r, t, n)
+        nsol, rs_cv, ts_cv, ns_cv = cv2.decomposeHomographyMat(h, np.eye(3))
+        dec = decompose_homography(jnp.asarray(h, jnp.float64))
+        assert int(dec.n_solutions) == 4
+        # same solution *set* (order may differ): match each cv solution
+        ours = [
+            (np.asarray(dec.rotations[i]), np.asarray(dec.translations[i]), np.asarray(dec.normals[i]))
+            for i in range(4)
+        ]
+        for rc, tc, nc in zip(rs_cv, ts_cv, ns_cv):
+            errs = [
+                np.abs(ro - rc).max() + np.abs(to - tc.ravel()).max() + np.abs(no - nc.ravel()).max()
+                for ro, to, no in ours
+            ]
+            assert min(errs) < 1e-4, (trial, min(errs))
+        # and the true (R, t, n) is among the solutions
+        errs = [np.abs(ro - r).max() + np.abs(no - n).max() for ro, _, no in ours]
+        assert min(errs) < 1e-4
+
+
+def test_decompose_pure_rotation(rng):
+    r = _rot(rng)
+    dec = decompose_homography(jnp.asarray(r, jnp.float64))
+    assert int(dec.n_solutions) == 1
+    np.testing.assert_allclose(np.asarray(dec.rotations[0]), r, atol=1e-6)
+
+
+# ------------------------------ get_rt / get_2dt ---------------------------
+
+
+def _synthetic_shifts(v_cam, omega_cam, height, dt, frame_size=480, patch=120):
+    """Generate the pixel shifts a camera moving at v (m/s) and rotating at
+    omega (rad/s) above a flat floor at `height` would observe, ground truth
+    for getRT: planar homography H = R + (t/d) n^T in normalized coords."""
+    from scipy.spatial.transform import Rotation
+
+    n = np.array([0.0, 0.0, -1.0])  # floor normal in camera frame (z fwd/down)
+    r = Rotation.from_rotvec(np.asarray(omega_cam) * dt).as_matrix()
+    t = np.asarray(v_cam) * dt / height
+    h = r + np.outer(t, n)
+
+    centers = grid_centers(frame_size, patch)
+    cam_local = K.copy()
+    # mimic processImage: crop centred on cx -> ulCorner.x = cx - frame/2
+    ul_x = K[0, 2] - frame_size / 2
+    cam_local[0, 2] -= ul_x
+    und = cv2.undistortPoints(centers.reshape(-1, 1, 2).astype(np.float64), cam_local, DIST).reshape(-1, 2)
+    moved = _apply_h(h, und)
+    # re-distort/project back to pixels
+    moved_px = cv2.projectPoints(
+        np.concatenate([moved, np.ones((len(moved), 1))], axis=1),
+        np.zeros(3), np.zeros(3), cam_local, DIST,
+    )[0].reshape(-1, 2)
+    return (moved_px - centers).astype(np.float32), ul_x
+
+
+def test_get_rt_recovers_motion(rng):
+    height, dt = 4.0, 0.05
+    v_cam = np.array([1.2, -0.4, 0.0])
+    omega = np.array([0.05, -0.1, 0.3])
+    shifts, ul_x = _synthetic_shifts(v_cam, omega, height, dt)
+
+    c2b = quat_from_rpy(0.0, 0.0, 0.0)  # camera == body for this test
+    rate_q = quat_from_rpy(omega[0], omega[1], omega[2])  # setRPY on rates (:1313)
+    res = get_rt(
+        jnp.asarray(shifts),
+        jnp.float32(height),
+        jnp.float32(dt),
+        jnp.float32(ul_x),
+        jnp.asarray(K, jnp.float32),
+        jnp.asarray(DIST, jnp.float32),
+        c2b,
+        rate_q,
+        jax.random.PRNGKey(0),
+        frame_size=480,
+        patch=120,
+    )
+    assert bool(res.ok)
+    tran = np.asarray(res.tran)
+    # v = R^T? the reference returns R*t*height/dt in camera frame; ground
+    # truth: t = v*dt/height (camera frame), so tran ~ R @ v (small rotation)
+    assert np.abs(tran - v_cam).max() < 0.15, tran
+    # rotation rate: quaternion with angle/dt ~ |omega|
+    from mrs_optic_flow_tpu.geometry.rotations import quat_axis_angle
+
+    axis, ang = quat_axis_angle(res.rot)
+    rate_vec = np.asarray(axis) * float(ang)
+    assert np.abs(np.abs(rate_vec) - np.abs(omega)).max() < 0.05 or np.abs(rate_vec - omega).max() < 0.08
+
+
+def test_get_rt_rejects_sparse(rng):
+    shifts = np.full((16, 2), np.nan, np.float32)
+    shifts[:5] = 1.0  # only 5 valid < shifted_pts_thr 8
+    res = get_rt(
+        jnp.asarray(shifts), jnp.float32(3.0), jnp.float32(0.05), jnp.float32(0.0),
+        jnp.asarray(K, jnp.float32), jnp.asarray(DIST, jnp.float32),
+        quat_from_rpy(0.0, 0.0, 0.0), quat_from_rpy(0.0, 0.0, 0.0),
+        jax.random.PRNGKey(0), frame_size=480, patch=120,
+    )
+    assert not bool(res.ok)
+    assert np.all(np.isnan(np.asarray(res.tran)))
+
+
+def test_get_2dt_basic():
+    shifts = np.array([[np.nan, np.nan], [6.0, -3.0]], np.float32)  # first invalid
+    height, dt = 2.0, 0.1
+    res = get_2dt(
+        jnp.asarray(shifts), jnp.float32(height), jnp.float32(dt), jnp.float32(0.0),
+        jnp.asarray(K, jnp.float32), jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+    )
+    assert bool(res.ok)
+    tran = np.asarray(res.tran)
+    # v = -shift * height/f * ratio / dt  (src/optic_flow.cpp:491-495)
+    exp = -np.array([6.0 * height / K[0, 0] * 4, -3.0 * height / K[1, 1] * 4, 0.0]) / dt
+    np.testing.assert_allclose(tran, exp, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.tran_diff), 0.0, atol=1e-7)
+
+
+def test_get_2dt_rate_correction():
+    shifts = np.zeros((1, 2), np.float32)
+    res = get_2dt(
+        jnp.asarray(shifts), jnp.float32(2.0), jnp.float32(0.1), jnp.float32(0.0),
+        jnp.asarray(K, jnp.float32), jnp.float32(0.2), jnp.float32(-0.1), jnp.float32(0.0),
+    )
+    assert bool(res.ok)
+    # zero shift + nonzero rates -> nonzero feed-forward velocity and diff
+    assert np.abs(np.asarray(res.tran)[:2]).min() > 0
+    np.testing.assert_allclose(np.asarray(res.tran_diff), np.asarray(res.tran), rtol=1e-5)
+
+
+def test_get_inliers():
+    shifts = jnp.asarray(
+        np.array([[1, 1], [1.1, 0.9], [0.9, 1.0], [5, 5], [1.05, 1.0]], np.float32)
+    )
+    valid = jnp.ones(5, bool)
+    mask = np.asarray(get_inliers(shifts, valid, 0.5))
+    assert mask.tolist() == [True, True, True, False, True]
