@@ -23,3 +23,22 @@ over a device mesh.
 
 from mrs_optic_flow_tpu.models.base import FlowEngine, FlowState  # noqa: F401
 from mrs_optic_flow_tpu.models.fft_method import FftMethod, FftMethodConfig  # noqa: F401
+from mrs_optic_flow_tpu.models.block_method import BlockMethod, BlockMethodConfig  # noqa: F401
+from mrs_optic_flow_tpu.models.fast_spaced_bm import FastSpacedBM, FastSpacedBMConfig  # noqa: F401
+from mrs_optic_flow_tpu.models.scale_rotation import (  # noqa: F401
+    ScaleRotationEstimator,
+    ScaleRotationConfig,
+)
+
+
+def make_engine(method: int, **kwargs) -> FlowEngine:
+    """Method-id dispatch matching the reference's switch
+    (``src/optic_flow.cpp:952-1014``): 3 = block matching, 4 = FFT,
+    5 = spaced block matching.  Unlike the reference, all three are live."""
+    if method == 3:
+        return BlockMethod(BlockMethodConfig(**kwargs))
+    if method == 4:
+        return FftMethod(FftMethodConfig(**kwargs))
+    if method == 5:
+        return FastSpacedBM(FastSpacedBMConfig(**kwargs))
+    raise ValueError(f"invalid method id {method} (expected 3, 4, or 5)")

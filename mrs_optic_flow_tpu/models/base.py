@@ -1,0 +1,58 @@
+"""Abstract flow-engine interface — the ``OpticFlowCalc`` contract.
+
+The reference's base class (``include/OpticFlowCalc.h:6-22``) prescribes:
+``processImage(imCurr, gui, debug, midPoint, yaw_angle, rot_center,
+raw_output, fx, fy) -> vector<Point2d>`` plus ``setImPrev``.  The TPU-native
+contract keeps the same shape (gray frame in, per-window pixel shifts out;
+invalid windows poisoned with NaN) but is functional: state in, state out.
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+
+class FlowState(NamedTuple):
+    """Per-stream engine state.
+
+    ``prev``  — previous grayscale frame, float32 ``[H, W]`` (the reference's
+    ``imPrev`` member, seeded black at init, ``src/optic_flow.cpp:1016-1018``).
+    ``first`` — scalar bool; on the first frame the reference copies the
+    current frame into ``imPrev`` so the first output is a zero-shift
+    measurement (``src/FftMethod.cpp:1787-1789``).
+    """
+
+    prev: jnp.ndarray
+    first: jnp.ndarray
+
+
+class FlowResult(NamedTuple):
+    """``shifts``: gated per-window shifts ``[P, 2]`` (x, y), NaN where
+    invalid — matching the NaN-poisoning at ``src/FftMethod.cpp:1851-1854``.
+    ``shifts_raw``: ungated shifts (the reference's ``shift_raw``,
+    ``src/FftMethod.cpp:1828``).  ``response``: correlation peak value per
+    window (observability; the reference discards it after the decode loop).
+    """
+
+    shifts: jnp.ndarray
+    shifts_raw: jnp.ndarray
+    response: jnp.ndarray
+
+
+class FlowEngine(abc.ABC):
+    """Stateless engine object; all per-stream state is explicit."""
+
+    @abc.abstractmethod
+    def init_state(self) -> FlowState:
+        """Fresh state with a black previous frame."""
+
+    @abc.abstractmethod
+    def step(self, state: FlowState, frame: jnp.ndarray) -> Tuple[FlowState, FlowResult]:
+        """One frame in, per-window pixel shifts out (jit-compiled)."""
+
+    def set_im_prev(self, state: FlowState, frame: jnp.ndarray) -> FlowState:
+        """``OpticFlowCalc::setImPrev`` (``include/OpticFlowCalc.h:16``)."""
+        return FlowState(prev=jnp.asarray(frame, jnp.float32), first=jnp.asarray(False))

@@ -1,0 +1,196 @@
+"""FftMethod — the live flow engine (method 4 of the reference).
+
+Rebuild of ``FftMethod`` (``src/FftMethod.cpp:1680-2007``,
+``include/FftMethod.h``): a grid of ``sqNum x sqNum`` phase correlations per
+frame pair, with validity gating, plus the 4x-downsampled long-range variant.
+
+What changed going TPU-native:
+
+- the ctor's device-buffer zoo (usrc/FFT/FFTR/MUL/IFFTC/PCR/ML...,
+  ``src/FftMethod.cpp:1723-1758``) disappears — XLA owns intermediate
+  buffers inside the jitted program;
+- the plan cache keyed by (size, depth) (``OCL_FftPlanCache``,
+  ``include/FftMethod.h:284-317``) becomes the jit cache keyed by shape;
+- the `useOCL` CPU/GPU switch (``src/FftMethod.cpp:1824-1836``) becomes
+  `use_pallas` (fused Pallas kernel vs plain XLA) — both on-device, both
+  bit-identical in tests;
+- the per-frame blocking enqueue + host readback decode loop
+  (``src/FftMethod.cpp:398-472``) becomes one device program returning a
+  ``[P, 2]`` array; a batched ``step_batch`` amortizes dispatch for
+  throughput mode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mrs_optic_flow_tpu.models.base import FlowEngine, FlowResult, FlowState
+from mrs_optic_flow_tpu.ops.phase_correlate import (
+    DEFAULT_CENTROID_RADIUS,
+    DEFAULT_SEARCH_RADIUS,
+    correlation_surface,
+    peak_refine,
+)
+from mrs_optic_flow_tpu.ops.preprocess import patchify, resize_by
+
+
+@dataclasses.dataclass(frozen=True)
+class FftMethodConfig:
+    """Static engine parameters (the FftMethod ctor args,
+    ``src/FftMethod.cpp:1680-1684``)."""
+
+    frame_size: int = 480  # config/default.yaml:32
+    sample_point_size: int = 120  # config/default.yaml:33
+    max_pixel_speed: float = 80.0  # config/default.yaml:63
+    search_radius: int = DEFAULT_SEARCH_RADIUS  # src/FftMethod.cpp:819-822
+    centroid_radius: int = DEFAULT_CENTROID_RADIUS  # cl/FftMethod.cl:1478
+    long_range_ratio: int = 4  # LONG_RANGE_RATIO, src/FftMethod.cpp:3
+    backend: str = "dft"  # 'dft' (MXU matmul) or 'fft' (XLA FFT)
+    use_pallas: bool = True  # useOCL analogue (src/optic_flow.cpp:853)
+
+    def normalized(self) -> "FftMethodConfig":
+        """Derived-size normalization from the reference ctor:
+        even frame size (``src/FftMethod.cpp:1707-1709``), frame forced to a
+        multiple of the patch else one window (``:1710-1716``)."""
+        frame = self.frame_size - (self.frame_size % 2)
+        patch = self.sample_point_size
+        if frame % patch != 0:
+            patch = frame
+        if frame == self.frame_size and patch == self.sample_point_size:
+            return self
+        return dataclasses.replace(self, frame_size=frame, sample_point_size=patch)
+
+
+class FftMethod(FlowEngine):
+    """Multi-patch FFT phase-correlation engine."""
+
+    def __init__(self, config: FftMethodConfig = FftMethodConfig()):
+        self.config = config.normalized()
+        c = self.config
+        #: grid side (sqNum = frameSize / samplePointSize, src/FftMethod.cpp:1719)
+        self.sq_num = c.frame_size // c.sample_point_size
+        #: long-range grid side (sqNum_lr = sqNum / LONG_RANGE_RATIO, :1720);
+        #: the long-range patch size equals the normal one (:1685)
+        self.sq_num_lr = max(self.sq_num // c.long_range_ratio, 1)
+        self.num_windows = self.sq_num * self.sq_num
+        self.num_windows_lr = self.sq_num_lr * self.sq_num_lr
+
+    # -- state ---------------------------------------------------------------
+
+    def init_state(self) -> FlowState:
+        c = self.config
+        return FlowState(
+            prev=jnp.zeros((c.frame_size, c.frame_size), jnp.float32),
+            first=jnp.asarray(True),
+        )
+
+    # -- core ----------------------------------------------------------------
+
+    def _correlate(self, curr_p: jnp.ndarray, prev_p: jnp.ndarray):
+        """Patch batch -> (shifts, response), backend-selected."""
+        c = self.config
+        if c.use_pallas and c.backend == "dft":
+            from mrs_optic_flow_tpu.ops.pallas_kernels import phase_correlate_fused_pallas
+
+            lead = curr_p.shape[:-3]
+            flat_c = curr_p.reshape((-1,) + curr_p.shape[-2:])
+            flat_p = prev_p.reshape((-1,) + prev_p.shape[-2:])
+            s, m = phase_correlate_fused_pallas(
+                flat_c,
+                flat_p,
+                search_radius=c.search_radius,
+                centroid_radius=c.centroid_radius,
+            )
+            return s.reshape(lead + curr_p.shape[-3:-2] + (2,)), m.reshape(
+                lead + curr_p.shape[-3:-2]
+            )
+        surf = correlation_surface(
+            curr_p, prev_p, search_radius=c.search_radius, backend=c.backend
+        )
+        if c.use_pallas:
+            from mrs_optic_flow_tpu.ops.pallas_kernels import peak_refine_pallas
+
+            return peak_refine_pallas(surf, centroid_radius=c.centroid_radius)
+        return peak_refine(surf, centroid_radius=c.centroid_radius)
+
+    def _gate(self, shifts: jnp.ndarray, patch: int, max_speed: float) -> jnp.ndarray:
+        """Validity gating -> NaN poisoning (``src/FftMethod.cpp:1840-1854``):
+        reject ``|s|^2 > max_px^2``, ``|sx| > S/2``, ``|sy| > S/2``, NaN."""
+        sx, sy = shifts[..., 0], shifts[..., 1]
+        ok = (sx * sx + sy * sy) <= max_speed * max_speed
+        ok &= jnp.abs(sx) <= patch / 2.0
+        ok &= jnp.abs(sy) <= patch / 2.0
+        ok &= jnp.isfinite(sx) & jnp.isfinite(sy)
+        return jnp.where(ok[..., None], shifts, jnp.nan)
+
+    # -- public steps ----------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def step(self, state: FlowState, frame: jnp.ndarray) -> Tuple[FlowState, FlowResult]:
+        """``FftMethod::processImage`` (``src/FftMethod.cpp:1772-1903``).
+
+        ``frame``: grayscale ``[H, W]`` (uint8 or float); conversion to
+        float32 happens on device (``convertTo(CV_32FC1)``, ``:1805``).
+        """
+        c = self.config
+        curr = jnp.asarray(frame, jnp.float32)
+        prev = jnp.where(state.first, curr, state.prev)  # first-frame copy (:1788)
+
+        curr_p = patchify(curr, c.sample_point_size)
+        prev_p = patchify(prev, c.sample_point_size)
+        raw, resp = self._correlate(curr_p, prev_p)
+        shifts = self._gate(raw, c.sample_point_size, c.max_pixel_speed)
+
+        new_state = FlowState(prev=curr, first=jnp.asarray(False))  # imPrev swap (:1872)
+        return new_state, FlowResult(shifts=shifts, shifts_raw=raw, response=resp)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def step_long_range(
+        self, state: FlowState, frame: jnp.ndarray
+    ) -> Tuple[FlowState, FlowResult]:
+        """``processImageLongRange`` (``src/FftMethod.cpp:1905-2007``):
+        both frames downsampled by LONG_RANGE_RATIO (``:1931-1932``), coarser
+        ``sq_num_lr`` grid at the same patch size, same gating with the
+        long-range bounds (``max_px_speed_lr = max_px_speed``, ``:1687``).
+        """
+        c = self.config
+        curr = jnp.asarray(frame, jnp.float32)
+        prev = jnp.where(state.first, curr, state.prev)
+
+        curr_d = resize_by(curr, c.long_range_ratio)
+        prev_d = resize_by(prev, c.long_range_ratio)
+        curr_p = patchify(curr_d, c.sample_point_size)
+        prev_p = patchify(prev_d, c.sample_point_size)
+        raw, resp = self._correlate(curr_p, prev_p)
+        shifts = self._gate(raw, c.sample_point_size, c.max_pixel_speed)
+
+        new_state = FlowState(prev=curr, first=jnp.asarray(False))
+        return new_state, FlowResult(shifts=shifts, shifts_raw=raw, response=resp)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def step_batch(self, prev_frames: jnp.ndarray, curr_frames: jnp.ndarray) -> FlowResult:
+        """Throughput mode: ``[B, H, W]`` frame pairs -> ``[B, P, 2]`` shifts.
+
+        No reference equivalent — the OpenCL kernel processes one frame pair
+        per blocking enqueue (``src/FftMethod.cpp:398``); batching is how the
+        TPU amortizes dispatch and fills the MXU (SURVEY.md section 2,
+        parallelism item 1).
+        """
+        c = self.config
+        curr_p = patchify(jnp.asarray(curr_frames, jnp.float32), c.sample_point_size)
+        prev_p = patchify(jnp.asarray(prev_frames, jnp.float32), c.sample_point_size)
+        raw, resp = self._correlate(curr_p, prev_p)
+        shifts = self._gate(raw, c.sample_point_size, c.max_pixel_speed)
+        return FlowResult(shifts=shifts, shifts_raw=raw, response=resp)
+
+    # hashable/static for jax.jit static_argnames=("self",)
+    def __hash__(self):
+        return hash(self.config)
+
+    def __eq__(self, other):
+        return isinstance(other, FftMethod) and self.config == other.config

@@ -1,0 +1,26 @@
+"""Runtime / node layer (L5 of the reference).
+
+Replaces the ROS nodelet plumbing of ``src/optic_flow.cpp`` with a
+transport-agnostic node:
+
+- :mod:`.msgs` — message dataclasses mirroring the ROS types the reference
+  subscribes to / publishes;
+- :mod:`.node` — :class:`OpticFlowNode`: readiness gating, rate limiting,
+  sensor fusion state, engine + geometry orchestration, twist publishing;
+- :mod:`.stream` — rosbag-replay-style harness: timestamped event streams
+  (frames, IMU, odometry, height) driven through the node, plus a synthetic
+  scene generator for end-to-end tests;
+- :mod:`.profiler` — the ``mrs_lib::Profiler``/``Routine`` equivalent;
+- :mod:`.viz` — flow-overlay rendering replacing the GUI window / video
+  writer (``src/FftMethod.cpp:1859-1897``).
+"""
+
+from mrs_optic_flow_tpu.runtime.msgs import (  # noqa: F401
+    CameraInfo,
+    Imu,
+    Odometry,
+    TwistWithCovarianceStamped,
+)
+from mrs_optic_flow_tpu.runtime.node import OpticFlowNode  # noqa: F401
+from mrs_optic_flow_tpu.runtime.profiler import Profiler  # noqa: F401
+from mrs_optic_flow_tpu.runtime.stream import FrameStream, SyntheticScene  # noqa: F401

