@@ -1,0 +1,86 @@
+"""Headline benchmark: multi-point FFT flow throughput on 752x480 frames.
+
+Measures the reference's hot path end-to-end on device — grayscale-equivalent
+480x480 crop, 4x4 grid of 120 px patches, phase correlation + peak + centroid
++ validity gating — in steady-state batched mode, with a data-dependent chain
+between iterations so dispatch pipelining / RPC dedupe cannot inflate the
+number (see .claude/skills/verify/SKILL.md).
+
+Prints ONE JSON line:
+  {"metric": "flow_frame_pairs_per_sec", "value": N, "unit": "fps",
+   "vs_baseline": N / 2000}
+(baseline: BASELINE.md target of 2,000 frame-pairs/sec/chip.)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# prefer the real TPU when the axon sitecustomize is active; JAX_PLATFORMS
+# from the sandbox env ("axon") is fine as-is
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrs_optic_flow_tpu.models import FftMethod, FftMethodConfig
+
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+ITERS = int(os.environ.get("BENCH_ITERS", "15"))
+WARMUP = 3
+BASELINE_FPS = 2000.0
+
+
+def main():
+    engine = FftMethod(FftMethodConfig(backend="dft", use_pallas=False))
+
+    rng = np.random.default_rng(0)
+    # 752x480 capture -> 480x480 crop happens upstream; the flow engine's
+    # input contract is the cropped frame (the crop is a view; the transfer
+    # below is the full cropped frame per pair member)
+    prev = jnp.asarray(rng.integers(0, 255, size=(BATCH, 480, 480)), jnp.float32)
+    curr = jnp.asarray(rng.integers(0, 255, size=(BATCH, 480, 480)), jnp.float32)
+
+    @jax.jit
+    def chained(prev, curr):
+        res = engine.step_batch(prev, curr)
+        # feed a reduction of the output back into the next input so each
+        # iteration depends on the previous one
+        bump = 1e-6 * jnp.nan_to_num(jnp.sum(res.response))
+        return prev + bump, res.shifts
+
+    p, s = chained(prev, curr)
+    _ = np.asarray(s)
+    for _ in range(WARMUP):
+        p, s = chained(p, curr)
+        _ = np.asarray(s)
+
+    # steady state: each step is synced by reading the shifts back to the
+    # host — exactly what a consumer of the flow does; p50 of per-step
+    # times is robust to tunnel jitter
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        p, s = chained(p, curr)
+        _ = np.asarray(s)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
+
+    fps = BATCH / dt
+    print(
+        json.dumps(
+            {
+                "metric": "flow_frame_pairs_per_sec",
+                "value": round(fps, 1),
+                "unit": "fps",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

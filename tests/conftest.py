@@ -8,11 +8,18 @@ stand-in for the reference's dual-backend useOCL cross-check
 
 import os
 
-# must be set before jax is imported anywhere
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# must be set before the first backend initialization
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The environment's axon sitecustomize pins jax_platforms via jax.config at
+# interpreter startup, which overrides the JAX_PLATFORMS env var — the config
+# update below is the only reliable way to force the CPU backend here.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.devices()
 
 import sys
 
