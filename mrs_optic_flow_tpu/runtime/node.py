@@ -315,10 +315,16 @@ class OpticFlowNode:
         channels = img.shape[2] if img.ndim == 3 else 1
         cx = float(self.camera_matrix[0, 2])
         cx_eff = int(cx / c.scale_factor) if abs(c.scale_factor - 1.0) > 0.01 else int(cx)
+        pre_cropped = channels == 1 and img.shape[:2] == (c.frame_size, c.frame_size)
         with self.profiler.routine("preprocess"):
-            gray = self._preprocess_fn(img.shape[0], img.shape[1], channels, cx_eff)(
-                jnp.asarray(img)
-            )
+            if pre_cropped:
+                # already grayscale + cropped (e.g. by the native feeder's
+                # fused uint8 gray_crop) — goes straight to the device
+                gray = jnp.asarray(img, jnp.float32)
+            else:
+                gray = self._preprocess_fn(img.shape[0], img.shape[1], channels, cx_eff)(
+                    jnp.asarray(img)
+                )
         # ulCorner of the crop in scaled-image pixels (src/optic_flow.cpp:1613)
         ul_x = cx_eff - c.frame_size // 2
 
@@ -337,6 +343,9 @@ class OpticFlowNode:
 
         if c.raw_output:
             self.publish("points_raw_out", np.asarray(flow.shifts_raw))
+
+        if c.store_video:
+            self._record_overlay(msg.stamp, gray, flow)
 
         self._key, key = jax.random.split(self._key)
         detilt = quat_from_rpy(self.imu_roll, self.imu_pitch, 0.0)  # (:1702)
@@ -430,6 +439,81 @@ class OpticFlowNode:
             twists.append(twist)
         self._frames_processed += 1
         return twists[0]
+
+    def warmup(self, image_shape=None):
+        """Pre-compile the whole per-frame program chain.
+
+        The reference JITs its OpenCL kernel lazily on the first frame
+        (``src/FftMethod.cpp:344-345``), stalling the stream for the build;
+        on TPU the first-compile stall is seconds, so production brings the
+        node up warm.  Runs one synthetic frame pair through preprocess,
+        engine (both modes), and the geometry stage with the current camera;
+        requires camera info.  Returns the wall time spent.
+        """
+        import time as _time
+
+        if not self.got_camera_info:
+            raise RuntimeError("warmup needs camera info (on_camera_info first)")
+        t0 = _time.perf_counter()
+        c = self.config
+        if image_shape is None:
+            image_shape = (480, 752, 3)
+        dummy = np.zeros(image_shape, np.uint8)
+        saved = (
+            self.flow_state, self.first_image, self._begin, self.dt,
+            self.got_height, self.got_odometry, self.got_imu, self.got_tfs,
+            self.uav_height, self.got_active_tracker,
+        )
+        pub = self.publish
+        self.publish = lambda *a: None
+        try:
+            self.got_height = self.got_odometry = self.got_imu = self.got_tfs = True
+            self.got_active_tracker = True
+            self.uav_height = max(self.uav_height, 1.0)
+            self.first_image = False
+            self._begin = 0.0
+            self.dt = 0.05
+            from mrs_optic_flow_tpu.runtime.msgs import ImageMsg
+
+            self._process_image(ImageMsg(stamp=0.05, data=dummy))
+            # compile the long-range path too
+            if hasattr(self.engine, "step_long_range"):
+                self.engine.step_long_range(
+                    self.engine.init_state(),
+                    jnp.zeros((c.frame_size, c.frame_size), jnp.float32),
+                )
+        finally:
+            self.publish = pub
+            (
+                self.flow_state, self.first_image, self._begin, self.dt,
+                self.got_height, self.got_odometry, self.got_imu, self.got_tfs,
+                self.uav_height, self.got_active_tracker,
+            ) = saved
+        return _time.perf_counter() - t0
+
+    def _record_overlay(self, stamp, gray, flow):
+        """store_video equivalent (``src/FftMethod.cpp:1695-1704``,
+        ``:1895-1897``): flow-overlay frames into a native Recorder log at
+        ``video_path`` (raw timestamped frames instead of MPEG)."""
+        from mrs_optic_flow_tpu.runtime.viz import flow_overlay
+
+        if not hasattr(self, "_recorder"):
+            try:
+                from mrs_optic_flow_tpu import native
+
+                self._recorder = native.Recorder(
+                    self.config.video_path,
+                    width=self.config.frame_size,
+                    height=self.config.frame_size,
+                )
+            except Exception as e:  # no toolchain / unwritable path
+                self.log(f"[OpticFlow]: could not open video recorder: {e}")
+                self._recorder = None
+        if self._recorder is not None:
+            overlay = flow_overlay(
+                np.asarray(gray), np.asarray(flow.shifts), self.config.sample_point_size
+            )
+            self._recorder.write(stamp, overlay)
 
     def _publish_scale_rotation(self, stamp, sr, height):
         """Scale/rotation outputs (the reference's wiring at

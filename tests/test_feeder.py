@@ -1,0 +1,64 @@
+"""Native feeder: threaded capture -> queue -> node pipeline."""
+
+import time
+
+import numpy as np
+import pytest
+
+from mrs_optic_flow_tpu import native
+from mrs_optic_flow_tpu.config import load_config
+from mrs_optic_flow_tpu.runtime import OpticFlowNode, SyntheticScene
+from mrs_optic_flow_tpu.runtime.msgs import Float64Stamped, Imu, Odometry
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+
+
+def test_feeder_end_to_end():
+    published = []
+    node = OpticFlowNode(
+        load_config(), publish=lambda t, m: published.append((t, m)), log=lambda s: None
+    )
+    node.set_transforms((0.0, 0.0, 0.0, 1.0))
+    scene = SyntheticScene(uav_height=2.0, seed=9)
+    node.on_camera_info(scene.camera_info())
+
+    from mrs_optic_flow_tpu.runtime.feeder import NativeFeeder
+
+    feeder = NativeFeeder(node, width=752, height=480, realtime=False)
+
+    v = (0.9, 0.2)
+    dt = 0.05
+    for i in range(6):
+        t = 100.0 + i * dt
+        node.on_imu(Imu(stamp=t, angular_velocity=(0, 0, 0), orientation=(0, 0, 0, 1)))
+        node.on_odometry(Odometry(stamp=t, orientation=(0, 0, 0, 1)))
+        node.on_height(Float64Stamped(stamp=t, value=2.0))
+        gray = scene.render((v[0] * i * dt, v[1] * i * dt))
+        bgr = np.repeat(gray[..., None].astype(np.uint8), 3, axis=-1)
+        assert feeder.push(bgr, t)
+        assert feeder.feed_once()
+
+    twists = [m for t, m in published if t == "velocity_out"]
+    assert len(twists) >= 3
+    vel = np.array([tw.linear[:2] for tw in twists[1:]])
+    assert np.abs(vel - np.array(v)).max() < 0.2, vel.mean(0)
+
+
+def test_feeder_realtime_drains_to_newest():
+    published = []
+    node = OpticFlowNode(load_config(), publish=lambda t, m: published.append((t, m)),
+                         log=lambda s: None)
+    node.set_transforms((0.0, 0.0, 0.0, 1.0))
+    scene = SyntheticScene(uav_height=2.0, seed=10)
+    node.on_camera_info(scene.camera_info())
+
+    from mrs_optic_flow_tpu.runtime.feeder import NativeFeeder
+
+    feeder = NativeFeeder(node, width=752, height=480, realtime=True)
+    gray = scene.render((0.0, 0.0))
+    bgr = np.repeat(gray[..., None].astype(np.uint8), 3, axis=-1)
+    for i in range(5):
+        feeder.push(bgr, 100.0 + i * 0.01)
+    assert feeder.feed_once()
+    assert feeder.frames_skipped == 4
+    assert len(feeder.queue) == 0
