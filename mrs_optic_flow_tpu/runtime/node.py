@@ -63,6 +63,12 @@ from mrs_optic_flow_tpu.runtime.msgs import (
     TwistWithCovarianceStamped,
 )
 from mrs_optic_flow_tpu.runtime.profiler import Profiler, ThrottledLog
+from mrs_optic_flow_tpu.utils.quat_np import (
+    np_quat_from_rpy,
+    np_quat_inverse,
+    np_quat_multiply,
+    np_rpy_from_quat,
+)
 
 
 class OpticFlowNode:
@@ -135,6 +141,9 @@ class OpticFlowNode:
         self._mutex = threading.Lock()  # mutex_process_ (src/optic_flow.cpp:1683)
         self._key = jax.random.PRNGKey(0)
         self._frames_processed = 0
+        #: rolling (flow, odometry) speed pairs for a-posteriori precision
+        #: stats over the analyze_duration window (config/default.yaml:52)
+        self._speed_history: list = []
 
     # ------------------------------------------------------------------ #
     # callbacks                                                           #
@@ -166,12 +175,11 @@ class OpticFlowNode:
             self.angular_rate = np.asarray(msg.angular_velocity, float)
             # setRPY on angular rates (:1313) — the reference treats rates as
             # euler angles to build the comparison quaternion
-            self.angular_rate_quat = np.asarray(
-                quat_from_rpy(*self.angular_rate), float
-            )
+            self.angular_rate_quat = np_quat_from_rpy(*self.angular_rate)
             self.got_imu = True
-        r, p, y = rpy_from_quat(jnp.asarray(msg.orientation, jnp.float32))
-        self.imu_roll, self.imu_pitch, self.imu_yaw = float(r), float(p), float(y)
+        self.imu_roll, self.imu_pitch, self.imu_yaw = np_rpy_from_quat(
+            np.asarray(msg.orientation, float)
+        )
         # filter_ratio == 1.0 (src/optic_flow.cpp:66) makes this a passthrough
         self.imu_roll_rate = float(msg.angular_velocity[0])
         self.imu_pitch_rate = float(msg.angular_velocity[1])
@@ -180,12 +188,10 @@ class OpticFlowNode:
         """``callbackOdometry`` (``src/optic_flow.cpp:1347-1375``)."""
         if self.config.ang_rate_source == "odometry":
             self.angular_rate = np.asarray(msg.angular_velocity, float)
-            self.angular_rate_quat = np.asarray(quat_from_rpy(*self.angular_rate), float)
+            self.angular_rate_quat = np_quat_from_rpy(*self.angular_rate)
         self.odometry_speed = np.asarray(msg.linear_velocity[:2], float)
         self.odometry_orientation = np.asarray(msg.orientation, float)
-        self.odom_rpy = np.asarray(
-            [float(a) for a in rpy_from_quat(jnp.asarray(msg.orientation, jnp.float32))]
-        )
+        self.odom_rpy = np.asarray(np_rpy_from_quat(np.asarray(msg.orientation, float)))
         self.got_odometry = True
 
     def on_tracker_status(self, msg: TrackerStatus):
@@ -199,7 +205,7 @@ class OpticFlowNode:
         pi/2 as at ``:1206-1208``."""
         self.c2b_quat = np.asarray(c2b_quat, float)
         if cam_yaw is None:
-            _, _, yaw = rpy_from_quat(jnp.asarray(quat_inverse(jnp.asarray(self.c2b_quat))))
+            _, _, yaw = np_rpy_from_quat(np_quat_inverse(self.c2b_quat))
             cam_yaw = float(yaw) + np.pi / 2
         self.cam_yaw = float(cam_yaw)
         self.got_tfs = True
@@ -244,6 +250,48 @@ class OpticFlowNode:
 
         return run
 
+    @functools.lru_cache(maxsize=8)
+    def _frame_program(self, h: int, w: int, channels: int, cx_eff: int):
+        """ONE fused device program per input geometry for the short-range
+        path: preprocess -> engine step -> getRT -> detilt + body-frame
+        rotation.  The reference performs one blocking kernel launch plus a
+        readback per frame (``src/FftMethod.cpp:398-407``); dispatching the
+        whole chain once keeps the same shape and, through the tunnelled
+        device here, saves two host round-trips per frame (~2 ms p50).
+        """
+        c = self.config
+        from mrs_optic_flow_tpu.geometry.motion import get_rt as _get_rt
+
+        pre_cropped = channels == 1 and (h, w) == (c.frame_size, c.frame_size)
+        ul_x = jnp.float32(cx_eff - c.frame_size // 2)
+
+        @jax.jit
+        def run(state, img, height, dt, cam, dist, c2b, rate_quat, detilt, key):
+            if pre_cropped:
+                gray = jnp.asarray(img, jnp.float32)
+            else:
+                g = to_grayscale(img) if channels == 3 else jnp.asarray(img, jnp.float32)
+                if abs(c.scale_factor - 1.0) > 0.01:
+                    g = resize_by(g, c.scale_factor)
+                gray = center_crop(g, c.frame_size, cx_eff)
+
+            new_state, flow = self.engine.step(state, gray)
+            res = _get_rt(
+                flow.shifts, height, dt, ul_x, cam, dist, c2b, rate_quat, key,
+                frame_size=c.frame_size,
+                patch=c.sample_point_size,
+                shifted_pts_thr=c.shifted_pts_thr,
+            )
+            # detilt * (C2B * tran) (src/optic_flow.cpp:1694); axis into the
+            # body frame (:1747, rotation-only)
+            tran_b = quat_rotate(detilt, quat_rotate(c2b, res.tran))
+            axis, angle = quat_axis_angle(res.rot)
+            rot_b = quat_from_axis_angle(quat_rotate(c2b, axis), angle)
+            ang = jnp.stack(rpy_from_matrix(matrix_from_quat(rot_b)))
+            return new_state, gray, flow, res, tran_b, ang
+
+        return run
+
     # ------------------------------------------------------------------ #
     # image path                                                          #
     # ------------------------------------------------------------------ #
@@ -282,16 +330,9 @@ class OpticFlowNode:
         if self.config.ang_rate_source == "odometry_diff":
             # orientation delta since the previous frame (:1453-1464)
             tilt_curr = self.odometry_orientation
-            diff = np.asarray(
-                quat_multiply(
-                    jnp.asarray(quat_inverse(jnp.asarray(self._tilt_prev))),
-                    jnp.asarray(tilt_curr),
-                )
-            )
-            self.angle_diff = np.asarray(
-                [float(a) for a in rpy_from_quat(jnp.asarray(diff, jnp.float32))]
-            )
-            self.angular_rate_quat = np.asarray(quat_from_rpy(*self.angle_diff), float)
+            diff = np_quat_multiply(np_quat_inverse(self._tilt_prev), tilt_curr)
+            self.angle_diff = np.asarray(np_rpy_from_quat(diff))
+            self.angular_rate_quat = np_quat_from_rpy(*self.angle_diff)
             self._tilt_prev = tilt_curr
 
         return self._process_image(msg)
@@ -316,88 +357,86 @@ class OpticFlowNode:
         cx = float(self.camera_matrix[0, 2])
         cx_eff = int(cx / c.scale_factor) if abs(c.scale_factor - 1.0) > 0.01 else int(cx)
         pre_cropped = channels == 1 and img.shape[:2] == (c.frame_size, c.frame_size)
+        # ulCorner of the crop in scaled-image pixels (src/optic_flow.cpp:1613)
+        ul_x = cx_eff - c.frame_size // 2
+
+        self._key, key = jax.random.split(self._key)
+        detilt = np_quat_from_rpy(self.imu_roll, self.imu_pitch, 0.0)  # (:1702)
+        c2b = jnp.asarray(self.c2b_quat, jnp.float32)
+
+        if not long_range:
+            # ---- short-range: the whole per-frame chain in one dispatch ----
+            prog = self._frame_program(img.shape[0], img.shape[1], channels, cx_eff)
+            with self._mutex, self.profiler.routine("frame_program"):
+                (self.flow_state, gray, flow, res, tran_b_dev, ang_dev) = prog(
+                    self.flow_state,
+                    jnp.asarray(img),
+                    jnp.float32(height),
+                    jnp.float32(self.dt),
+                    jnp.asarray(self.camera_matrix, jnp.float32),
+                    jnp.asarray(self.dist_coeffs, jnp.float32),
+                    c2b,
+                    jnp.asarray(self.angular_rate_quat, jnp.float32),
+                    jnp.asarray(detilt, jnp.float32),
+                    key,
+                )
+
+            if self.scale_rotation_estimator is not None:
+                with self.profiler.routine("scale_rotation"):
+                    self.scale_rot_state, sr = self.scale_rotation_estimator.step(
+                        self.scale_rot_state, gray
+                    )
+                    self._publish_scale_rotation(msg.stamp, sr, height)
+            if c.raw_output:
+                self.publish("points_raw_out", np.asarray(flow.shifts_raw))
+            if c.store_video:
+                self._record_overlay(msg.stamp, gray, flow)
+
+            if not bool(res.ok):
+                return None
+            tran_b = np.asarray(tran_b_dev)
+            ang = [float(a) for a in np.asarray(ang_dev)]
+            if not np.all(np.isfinite(tran_b)):
+                self.log("[OpticFlow]: NaNs in output, returning.")
+                return None
+            if np.linalg.norm(tran_b) > 7.0:
+                self.log(f"[OpticFlow]: LARGE SPEED: {tran_b}")
+
+            fx = float(self.camera_matrix[0, 0])
+            twist = TwistWithCovarianceStamped.make(
+                frame_id=self.uav_untilted_frame,
+                stamp=msg.stamp,
+                linear=tuple(float(x) for x in tran_b),
+                angular=tuple(ang),
+                # 5 px expected error (src/optic_flow.cpp:1757-1763)
+                cov_xy=(50.0 * height / fx) ** 2,
+            )
+            self.publish("velocity_out", twist)
+            self._publish_diagnostics(msg.stamp, tran_b[:2], height, fx, res)
+            self._frames_processed += 1
+            return twist
+
+        # ---- long-range branch (src/optic_flow.cpp:1779-1867) ----
         with self.profiler.routine("preprocess"):
             if pre_cropped:
-                # already grayscale + cropped (e.g. by the native feeder's
-                # fused uint8 gray_crop) — goes straight to the device
                 gray = jnp.asarray(img, jnp.float32)
             else:
                 gray = self._preprocess_fn(img.shape[0], img.shape[1], channels, cx_eff)(
                     jnp.asarray(img)
                 )
-        # ulCorner of the crop in scaled-image pixels (src/optic_flow.cpp:1613)
-        ul_x = cx_eff - c.frame_size // 2
-
         with self._mutex, self.profiler.routine("engine_step"):
-            if not long_range:
-                self.flow_state, flow = self.engine.step(self.flow_state, gray)
-            else:
-                self.flow_state, flow = self.engine.step_long_range(self.flow_state, gray)
-
+            self.flow_state, flow = self.engine.step_long_range(self.flow_state, gray)
         if self.scale_rotation_estimator is not None:
             with self.profiler.routine("scale_rotation"):
                 self.scale_rot_state, sr = self.scale_rotation_estimator.step(
                     self.scale_rot_state, gray
                 )
                 self._publish_scale_rotation(msg.stamp, sr, height)
-
         if c.raw_output:
             self.publish("points_raw_out", np.asarray(flow.shifts_raw))
-
         if c.store_video:
             self._record_overlay(msg.stamp, gray, flow)
 
-        self._key, key = jax.random.split(self._key)
-        detilt = quat_from_rpy(self.imu_roll, self.imu_pitch, 0.0)  # (:1702)
-        c2b = jnp.asarray(self.c2b_quat, jnp.float32)
-
-        if not long_range:
-            with self.profiler.routine("get_rt"):
-                res = get_rt(
-                    flow.shifts,
-                    jnp.float32(height),
-                    jnp.float32(self.dt),
-                    jnp.float32(ul_x),
-                    jnp.asarray(self.camera_matrix, jnp.float32),
-                    jnp.asarray(self.dist_coeffs, jnp.float32),
-                    c2b,
-                    jnp.asarray(self.angular_rate_quat, jnp.float32),
-                    key,
-                    frame_size=c.frame_size,
-                    patch=c.sample_point_size,
-                    shifted_pts_thr=c.shifted_pts_thr,
-                )
-            if not bool(res.ok):
-                return None
-            tran = np.asarray(res.tran)
-            rot = res.rot
-            if not (np.all(np.isfinite(tran)) and np.all(np.isfinite(np.asarray(rot)))):
-                self.log("[OpticFlow]: NaNs in output, returning.")
-                return None
-            if np.linalg.norm(tran) > 7.0:
-                self.log(f"[OpticFlow]: LARGE SPEED: {tran}")
-
-            # detilt * (C2B * tran)  (src/optic_flow.cpp:1694)
-            tran_b = quat_rotate(jnp.asarray(detilt), quat_rotate(c2b, jnp.asarray(tran)))
-            # rotation axis into body frame (:1747; rotation-only, see module doc)
-            axis, angle = quat_axis_angle(rot)
-            rot_b = quat_from_axis_angle(quat_rotate(c2b, axis), angle)
-            ang = [float(a) for a in rpy_from_matrix(matrix_from_quat(rot_b))]
-
-            fx = float(self.camera_matrix[0, 0])
-            twist = TwistWithCovarianceStamped.make(
-                frame_id=self.uav_untilted_frame,
-                stamp=msg.stamp,
-                linear=tuple(float(x) for x in np.asarray(tran_b)),
-                angular=tuple(ang),
-                # 5 px expected error (src/optic_flow.cpp:1757-1763)
-                cov_xy=(50.0 * height / fx) ** 2,
-            )
-            self.publish("velocity_out", twist)
-            self._frames_processed += 1
-            return twist
-
-        # ---- long-range branch (src/optic_flow.cpp:1779-1867) ----
         with self.profiler.routine("get_2dt"):
             res2 = get_2dt(
                 flow.shifts,
@@ -439,6 +478,37 @@ class OpticFlowNode:
             twists.append(twist)
         self._frames_processed += 1
         return twists[0]
+
+    def _publish_diagnostics(self, stamp, v_xy, height, fx, rt_result):
+        """Diagnostics the reference advertises but never publishes
+        (``velocity_stddev_out``, ``max_velocity_out``, ``allsac_chosen_out``
+        are advertised at ``src/optic_flow.cpp:1036-1045`` with no publish
+        sites) — implemented here:
+
+        - ``allsac_chosen_out``: the consensus size of the motion fit (the
+          RANSAC inlier count, the live analogue of the allsac chosen count);
+        - ``max_velocity_out``: fastest measurable horizontal speed at the
+          current height/rate: ``max_pixel_speed * height / (fx * dt)``;
+        - ``velocity_stddev_out``: error statistics of flow vs odometry over
+          the ``analyze_duration`` window (``analyzeSpeeds``,
+          ``src/utilityFunctions.cpp:291-344``).
+        """
+        from mrs_optic_flow_tpu.filters import SpeedBox, analyze_speeds
+
+        self.publish("allsac_chosen_out", int(rt_result.n_inliers))
+        if self.dt > 0:
+            self.publish(
+                "max_velocity_out",
+                float(self.config.constraints.max_pixel_speed * height / (fx * self.dt)),
+            )
+        self._speed_history.append(
+            SpeedBox(time=stamp, speed=np.asarray(v_xy), odometry_speed=self.odometry_speed.copy())
+        )
+        cutoff = stamp - self.config.analyze_duration
+        self._speed_history = [s for s in self._speed_history if s.time > cutoff - 5.0]
+        sd = analyze_speeds(cutoff, self._speed_history)
+        if sd.num >= 2:
+            self.publish("velocity_stddev_out", (sd.std_dev_x, sd.std_dev_y, 0.0))
 
     def warmup(self, image_shape=None):
         """Pre-compile the whole per-frame program chain.

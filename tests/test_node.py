@@ -138,7 +138,25 @@ def test_profiler_collects():
     scene.trajectory_events(stream, velocity=(0.3, 0.3), n_frames=4, dt=DT)
     stream.run()
     stats = node.profiler.stats()
-    assert "engine_step" in stats and stats["engine_step"]["count"] >= 3
-    assert "get_rt" in stats
+    assert "frame_program" in stats and stats["frame_program"]["count"] >= 3
     report = node.profiler.report()
-    assert "engine_step" in report
+    assert "frame_program" in report
+
+
+def test_diagnostics_topics():
+    """The reference advertises velocity_stddev_out / max_velocity_out /
+    allsac_chosen_out without ever publishing (src/optic_flow.cpp:1036-1045);
+    here they carry real data."""
+    published = []
+    node = _make_node(published)
+    scene = SyntheticScene(uav_height=HEIGHT, seed=12)
+    stream = FrameStream(node)
+    scene.trajectory_events(stream, velocity=(0.5, 0.1), n_frames=6, dt=DT)
+    stream.run()
+    chosen = [m for t, m in published if t == "allsac_chosen_out"]
+    maxv = [m for t, m in published if t == "max_velocity_out"]
+    stddev = [m for t, m in published if t == "velocity_stddev_out"]
+    assert chosen and all(c >= 8 for c in chosen)
+    # max measurable speed: 80 px * h / (fx * dt)
+    assert maxv and abs(maxv[0] - 80.0 * HEIGHT / (420.0 * DT)) < 1e-6
+    assert stddev and all(len(s) == 3 for s in stddev)
