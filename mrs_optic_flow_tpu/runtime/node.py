@@ -393,6 +393,7 @@ class OpticFlowNode:
                 self._record_overlay(msg.stamp, gray, flow)
 
             if not bool(res.ok):
+                self._note_result(False)
                 return None
             tran_b = np.asarray(tran_b_dev)
             ang = [float(a) for a in np.asarray(ang_dev)]
@@ -413,6 +414,7 @@ class OpticFlowNode:
             )
             self.publish("velocity_out", twist)
             self._publish_diagnostics(msg.stamp, tran_b[:2], height, fx, res)
+            self._note_result(True)
             self._frames_processed += 1
             return twist
 
@@ -560,6 +562,74 @@ class OpticFlowNode:
                 self.uav_height, self.got_active_tracker,
             ) = saved
         return _time.perf_counter() - t0
+
+    # ------------------------------------------------------------------ #
+    # state checkpoint / resume + health                                  #
+    # ------------------------------------------------------------------ #
+
+    def save_state(self, path: str):
+        """Checkpoint the streaming state (previous frame + sensor snapshot).
+
+        The reference has no checkpointing — its only carried state is
+        ``imPrev`` (SURVEY.md section 5: "resume = next frame").  For a
+        serving deployment, warm-restarting without a first-frame glitch is
+        worth having: this captures exactly the state that survives a frame
+        boundary.
+        """
+        np.savez(
+            path,
+            prev=np.asarray(self.flow_state.prev),
+            first=np.asarray(self.flow_state.first),
+            begin=np.asarray(self._begin if self._begin is not None else np.nan),
+            first_image=np.asarray(self.first_image),
+            uav_height=np.asarray(self.uav_height),
+            angular_rate_quat=self.angular_rate_quat,
+            c2b_quat=self.c2b_quat,
+            cam_yaw=np.asarray(self.cam_yaw),
+            camera_matrix=self.camera_matrix if self.camera_matrix is not None else np.zeros(0),
+            dist_coeffs=self.dist_coeffs if self.dist_coeffs is not None else np.zeros(0),
+        )
+
+    def load_state(self, path: str):
+        from mrs_optic_flow_tpu.models.base import FlowState
+
+        z = np.load(path)
+        self.flow_state = FlowState(
+            prev=jnp.asarray(z["prev"]), first=jnp.asarray(bool(z["first"]))
+        )
+        begin = float(z["begin"])
+        self._begin = None if np.isnan(begin) else begin
+        self.first_image = bool(z["first_image"])
+        self.uav_height = float(z["uav_height"])
+        self.angular_rate_quat = z["angular_rate_quat"]
+        self.c2b_quat = z["c2b_quat"]
+        self.cam_yaw = float(z["cam_yaw"])
+        if z["camera_matrix"].size:
+            self.camera_matrix = z["camera_matrix"]
+            self.dist_coeffs = z["dist_coeffs"]
+            self.got_camera_info = True
+            self.got_height = self.got_tfs = True
+
+    @property
+    def health(self) -> dict:
+        """Failure-detection summary: the reference's defenses are silent
+        per-frame skips (SURVEY.md section 5); this exposes them as data."""
+        return {
+            "frames_processed": self._frames_processed,
+            "consecutive_failures": getattr(self, "_consecutive_failures", 0),
+            "ready": self.got_camera_info and self.got_height and self.got_odometry
+            and self.got_tfs and (self.got_imu or self.config.ang_rate_source != "imu"),
+        }
+
+    def _note_result(self, ok: bool):
+        n = getattr(self, "_consecutive_failures", 0)
+        self._consecutive_failures = 0 if ok else n + 1
+        if not ok and self._consecutive_failures in (10, 100, 1000):
+            self.log_throttled(
+                "health",
+                f"[OpticFlow]: {self._consecutive_failures} consecutive frames "
+                "without a valid motion estimate",
+            )
 
     def _record_overlay(self, stamp, gray, flow):
         """store_video equivalent (``src/FftMethod.cpp:1695-1704``,

@@ -160,3 +160,48 @@ def test_diagnostics_topics():
     # max measurable speed: 80 px * h / (fx * dt)
     assert maxv and abs(maxv[0] - 80.0 * HEIGHT / (420.0 * DT)) < 1e-6
     assert stddev and all(len(s) == 3 for s in stddev)
+
+
+def test_checkpoint_resume(tmp_path):
+    """save_state/load_state: a restored node continues without the
+    first-frame glitch (no checkpointing exists in the reference —
+    SURVEY.md section 5, 'resume = next frame')."""
+    published = []
+    node = _make_node(published)
+    scene = SyntheticScene(uav_height=HEIGHT, seed=13)
+    stream = FrameStream(node)
+    scene.trajectory_events(stream, velocity=V_TRUE, n_frames=4, dt=DT)
+    stream.run()
+    path = str(tmp_path / "state.npz")
+    node.save_state(path)
+
+    published2 = []
+    node2 = _make_node(published2)
+    node2.load_state(path)
+    node2.got_odometry = node2.got_imu = True
+    assert not bool(node2.flow_state.first)
+    # continue the same trajectory: the very next frame yields a velocity
+    t = 100.0 + 4 * DT
+    node2.on_imu(Imu(stamp=t, angular_velocity=(0, 0, 0), orientation=(0, 0, 0, 1)))
+    node2.on_odometry(Odometry(stamp=t, orientation=(0, 0, 0, 1)))
+    node2.on_height(Float64Stamped(stamp=t, value=HEIGHT))
+    node2._begin = t - DT
+    pos = (V_TRUE[0] * 4 * DT, V_TRUE[1] * 4 * DT)
+    tw = node2.on_image(ImageMsg(stamp=t, data=scene.render(pos)))
+    assert tw is not None
+    assert np.abs(np.array(tw.linear[:2]) - np.array(V_TRUE)).max() < 0.15
+
+
+def test_health_tracking():
+    published = []
+    node = _make_node(published)
+    scene = SyntheticScene(uav_height=HEIGHT, seed=14)
+    node.on_camera_info(scene.camera_info())
+    assert node.health["ready"] is False  # no height/odometry yet
+    stream = FrameStream(node)
+    scene.trajectory_events(stream, velocity=(0.2, 0.0), n_frames=3, dt=DT)
+    stream.run()
+    h = node.health
+    assert h["ready"] is True
+    assert h["frames_processed"] >= 1
+    assert h["consecutive_failures"] == 0
