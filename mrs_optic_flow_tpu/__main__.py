@@ -1,0 +1,118 @@
+"""CLI runner — the launch-file analog (``launch/optic_flow.launch``).
+
+Drives :class:`OpticFlowNode` from the command line over either a recorded
+stream (``--replay file.ofrec``, the native Recorder format) or a synthetic
+constant-velocity scene (``--synthetic``), printing published twists and the
+profiler report.  Config overrides take ``key=value`` dotted paths like
+launch-file substitutions.
+
+Examples::
+
+    python -m mrs_optic_flow_tpu --synthetic --frames 20 --velocity 1.0,-0.3
+    python -m mrs_optic_flow_tpu --replay flight.ofrec --fps 30 \
+        --set mrs_optic_flow.long_range_mode=height_based
+    python -m mrs_optic_flow_tpu --synthetic --profile
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parse_overrides(pairs):
+    tree: dict = {}
+    for pair in pairs or []:
+        key, _, value = pair.partition("=")
+        node = tree
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        try:
+            parsed = json.loads(value)
+        except json.JSONDecodeError:
+            parsed = value
+        node[parts[-1]] = parsed
+    return tree
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="mrs_optic_flow_tpu")
+    ap.add_argument("--config", help="YAML config path (default: packaged default.yaml)")
+    ap.add_argument("--set", dest="overrides", action="append", metavar="KEY=VALUE",
+                    help="config override (dotted path), repeatable")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--replay", metavar="FILE.ofrec", help="replay a recorded stream")
+    src.add_argument("--synthetic", action="store_true", help="synthetic scene run")
+    ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--fps", type=float, default=20.0)
+    ap.add_argument("--velocity", default="1.0,-0.3", help="synthetic vx,vy [m/s]")
+    ap.add_argument("--height", type=float, default=2.0, help="UAV height [m]")
+    ap.add_argument("--profile", action="store_true", help="print the profiler report")
+    ap.add_argument("--record", metavar="FILE.ofrec",
+                    help="with --synthetic: also record the frame stream")
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from mrs_optic_flow_tpu.config import load_config
+    from mrs_optic_flow_tpu.runtime import FrameStream, OpticFlowNode, SyntheticScene
+    from mrs_optic_flow_tpu.runtime.msgs import Float64Stamped, ImageMsg, Imu, Odometry
+
+    cfg = load_config(args.config, overrides=_parse_overrides(args.overrides))
+    published = []
+    log = (lambda s: None) if args.quiet else print
+    node = OpticFlowNode(cfg, publish=lambda t, m: published.append((t, m)), log=log)
+    node.set_transforms((0.0, 0.0, 0.0, 1.0))
+
+    dt = 1.0 / args.fps
+    if args.synthetic:
+        v = tuple(float(x) for x in args.velocity.split(","))
+        scene = SyntheticScene(uav_height=args.height)
+        stream = FrameStream(node)
+        scene.trajectory_events(stream, velocity=v, n_frames=args.frames, dt=dt)
+        if args.record:
+            from mrs_optic_flow_tpu import native
+
+            with native.Recorder(args.record, width=scene.width,
+                                 height=scene.height_px) as rec:
+                for i in range(args.frames):
+                    t = 100.0 + i * dt
+                    pos = (v[0] * i * dt, v[1] * i * dt)
+                    rec.write(t, scene.render(pos).astype(np.uint8))
+        stream.run()
+        truth = f" (true {v[0]:+.3f} {v[1]:+.3f})"
+    else:
+        from mrs_optic_flow_tpu import native
+
+        with native.Replay(args.replay) as rep:
+            ci_k = [420.0, 0, rep.width / 2, 0, 420.0, rep.height / 2, 0, 0, 1]
+            from mrs_optic_flow_tpu.runtime.msgs import CameraInfo
+
+            node.on_camera_info(CameraInfo(k=ci_k, d=[0.0] * 5))
+            for stamp, frame in rep:
+                node.on_imu(Imu(stamp=stamp, angular_velocity=(0, 0, 0),
+                                orientation=(0, 0, 0, 1)))
+                node.on_odometry(Odometry(stamp=stamp, orientation=(0, 0, 0, 1)))
+                node.on_height(Float64Stamped(stamp=stamp, value=args.height))
+                node.on_image(ImageMsg(stamp=stamp, data=frame))
+        truth = ""
+
+    twists = [m for t, m in published if t.startswith("velocity_out")]
+    for tw in twists:
+        print(
+            f"[{tw.stamp:10.3f}] {getattr(tw, 'frame_id', '?')}: "
+            f"v = {tw.linear[0]:+.3f} {tw.linear[1]:+.3f} {tw.linear[2]:+.3f} m/s"
+            + truth
+        )
+    print(f"{len(twists)} twists from {args.frames if args.synthetic else 'replay'} frames; "
+          f"health: {node.health}")
+    if args.profile:
+        print(node.profiler.report())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

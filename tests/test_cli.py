@@ -1,0 +1,35 @@
+"""CLI runner (the launch-file analog)."""
+
+import numpy as np
+import pytest
+
+from mrs_optic_flow_tpu import native
+from mrs_optic_flow_tpu.__main__ import main
+
+
+def test_cli_synthetic(capsys):
+    rc = main(["--synthetic", "--frames", "5", "--velocity", "0.5,0.0", "--quiet"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "fcu_untilted" in out and "health" in out
+
+
+def test_cli_overrides(capsys):
+    rc = main([
+        "--synthetic", "--frames", "4", "--quiet",
+        "--set", "mrs_optic_flow.shifted_pts_thr=4",
+        "--set", "constraints.max_pixel_speed=60",
+    ])
+    assert rc == 0
+
+
+@pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+def test_cli_record_and_replay(tmp_path, capsys):
+    rec = str(tmp_path / "run.ofrec")
+    rc = main(["--synthetic", "--frames", "5", "--velocity", "0.6,0.2",
+               "--record", rec, "--quiet"])
+    assert rc == 0
+    rc = main(["--replay", rec, "--quiet"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "twists from replay" in out
