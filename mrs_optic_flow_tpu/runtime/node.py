@@ -335,7 +335,15 @@ class OpticFlowNode:
             self.angular_rate_quat = np_quat_from_rpy(*self.angle_diff)
             self._tilt_prev = tilt_curr
 
-        return self._process_image(msg)
+        # per-frame fault containment: a malformed frame must not take the
+        # stream down (the reference wraps publishing in try/catch,
+        # src/optic_flow.cpp:1770-1776; we widen it to the whole frame)
+        try:
+            return self._process_image(msg)
+        except Exception as e:  # noqa: BLE001
+            self.log(f"[OpticFlow]: frame at t={msg.stamp} failed: {type(e).__name__}: {e}")
+            self._note_result(False)
+            return None
 
     def _process_image(self, msg: ImageMsg) -> Optional[TwistWithCovarianceStamped]:
         if self.first_image:

@@ -18,11 +18,28 @@ from typing import Dict, Optional
 
 class Profiler:
     def __init__(self, name: str = "OpticFlow", enabled: bool = True,
-                 event_log_path: Optional[str] = None):
+                 event_log_path: Optional[str] = None,
+                 jax_trace_dir: Optional[str] = None):
+        """``jax_trace_dir`` enables device-level tracing: routines run under
+        ``jax.profiler.TraceAnnotation`` and :meth:`start_device_trace` /
+        :meth:`stop_device_trace` capture a TensorBoard-compatible profile —
+        the device-side visibility the reference only had as commented-out
+        ``std::clock`` scaffolding (``src/FftMethod.cpp:1399-1411``)."""
         self.name = name
         self.enabled = enabled
+        self.jax_trace_dir = jax_trace_dir
         self._samples: Dict[str, list] = defaultdict(list)
         self._event_log = open(event_log_path, "a") if event_log_path else None
+
+    def start_device_trace(self):
+        import jax
+
+        jax.profiler.start_trace(self.jax_trace_dir or "/tmp/of_jax_trace")
+
+    def stop_device_trace(self):
+        import jax
+
+        jax.profiler.stop_trace()
 
     @contextlib.contextmanager
     def routine(self, routine_name: str):
@@ -31,9 +48,17 @@ class Profiler:
             yield
             return
         t0 = time.perf_counter()
+        ctx = None
+        if self.jax_trace_dir is not None:
+            import jax
+
+            ctx = jax.profiler.TraceAnnotation(routine_name)
+            ctx.__enter__()
         try:
             yield
         finally:
+            if ctx is not None:
+                ctx.__exit__(None, None, None)
             dt = time.perf_counter() - t0
             self._samples[routine_name].append(dt)
             if self._event_log is not None:

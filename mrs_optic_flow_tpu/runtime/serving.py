@@ -1,0 +1,112 @@
+"""Batched throughput serving over the BatchPipeline.
+
+The deployment shape for fleet workloads (many camera streams, one or more
+chips): frame pairs accumulate into fixed-size batches; batch k+1 is
+dispatched before batch k's results are read back, so host I/O and device
+compute overlap (the double-buffering the reference's single blocking queue
+cannot do, ``src/FftMethod.cpp:398``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrs_optic_flow_tpu.parallel.pipeline import BatchPipeline, PipelineOutput
+
+
+@dataclasses.dataclass
+class ServingRequest:
+    """One frame pair + its scalar context."""
+
+    prev: np.ndarray  # [H, W] or [H, W, 3]
+    curr: np.ndarray
+    height: float
+    dt: float
+    rate_quat: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.0, 0.0, 0.0, 1.0], np.float32)
+    )
+
+
+@dataclasses.dataclass
+class ServingResult:
+    ok: bool
+    tran: np.ndarray  # [3]
+    rot: np.ndarray  # [4]
+    shifts: np.ndarray  # [P, 2]
+
+
+class ServingLoop:
+    def __init__(
+        self,
+        pipeline: BatchPipeline,
+        *,
+        batch_size: int = 32,
+        c2b_quat=(0.0, 0.0, 0.0, 1.0),
+        seed: int = 0,
+    ):
+        self.pipeline = pipeline
+        self.batch_size = batch_size
+        self.c2b = jnp.asarray(c2b_quat, jnp.float32)
+        self._key = jax.random.PRNGKey(seed)
+
+    def _dispatch(self, batch: List[ServingRequest]):
+        b = self.batch_size
+        n = len(batch)
+        pad = b - n
+
+        def stack(get, dtype=np.float32):
+            arr = np.stack([np.asarray(get(r), dtype) for r in batch])
+            if pad:
+                arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+            return jnp.asarray(arr)
+
+        prev = stack(lambda r: r.prev)
+        curr = stack(lambda r: r.curr)
+        heights = stack(lambda r: r.height)
+        dts = stack(lambda r: r.dt)
+        rates = stack(lambda r: r.rate_quat)
+        self._key, sub = jax.random.split(self._key)
+        keys = jax.random.split(sub, b)
+        out = self.pipeline.step(prev, curr, heights, dts, rates, self.c2b, keys)
+        return out, n
+
+    @staticmethod
+    def _collect(out: PipelineOutput, n: int) -> List[ServingResult]:
+        ok = np.asarray(out.ok)[:n]
+        tran = np.asarray(out.tran)[:n]
+        rot = np.asarray(out.rot)[:n]
+        shifts = np.asarray(out.shifts)[:n]
+        return [
+            ServingResult(ok=bool(ok[i]), tran=tran[i], rot=rot[i], shifts=shifts[i])
+            for i in range(n)
+        ]
+
+    def run(self, requests: Iterable[ServingRequest]) -> Iterator[ServingResult]:
+        """Stream requests through the device with one batch in flight."""
+        in_flight: Optional[Tuple[PipelineOutput, int]] = None
+        batch: List[ServingRequest] = []
+
+        def flush():
+            nonlocal in_flight, batch
+            if not batch:
+                return []
+            dispatched = self._dispatch(batch)  # async: returns device futures
+            batch = []
+            done: List[ServingResult] = []
+            if in_flight is not None:
+                done = self._collect(*in_flight)  # sync point for batch k-1
+            in_flight = dispatched
+            return done
+
+        for req in requests:
+            batch.append(req)
+            if len(batch) == self.batch_size:
+                yield from flush()
+        yield from flush()
+        if in_flight is not None:
+            yield from self._collect(*in_flight)

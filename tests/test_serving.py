@@ -1,0 +1,76 @@
+"""Batched serving loop + failure injection."""
+
+import numpy as np
+import pytest
+
+from mrs_optic_flow_tpu.parallel import BatchPipeline
+from mrs_optic_flow_tpu.runtime.serving import ServingLoop, ServingRequest
+
+from oracle import smooth_random_image
+
+K = np.array([[40.0, 0, 32.0], [0, 40.0, 24.0], [0, 0, 1.0]], np.float32)
+
+
+def _requests(rng, n, frame=48):
+    reqs = []
+    for i in range(n):
+        prev = smooth_random_image(rng, 64)
+        dx = int(rng.integers(-3, 4))
+        curr = np.roll(prev, dx, axis=1)
+        reqs.append(
+            ServingRequest(prev=prev, curr=curr, height=2.0, dt=0.05)
+        )
+    return reqs
+
+
+def test_serving_loop_batches(rng):
+    pipe = BatchPipeline(
+        frame_size=48, sample_point_size=12, camera_matrix=K,
+        dist_coeffs=np.zeros(5, np.float32), ransac_iterations=32,
+    )
+    loop = ServingLoop(pipe, batch_size=4)
+    reqs = _requests(rng, 10)  # 2 full batches + remainder of 2
+    results = list(loop.run(reqs))
+    assert len(results) == 10
+    assert all(r.shifts.shape == (16, 2) for r in results)
+    # at least the clean small-shift pairs produce valid motion
+    assert sum(r.ok for r in results) >= 5
+
+
+def test_serving_partial_batch(rng):
+    pipe = BatchPipeline(
+        frame_size=48, sample_point_size=12, camera_matrix=K,
+        dist_coeffs=np.zeros(5, np.float32), ransac_iterations=32,
+    )
+    loop = ServingLoop(pipe, batch_size=8)
+    results = list(loop.run(_requests(rng, 3)))  # less than one batch
+    assert len(results) == 3
+
+
+def test_node_contains_bad_frames():
+    """A malformed frame (wrong size) is contained, logged, and counted."""
+    from mrs_optic_flow_tpu.config import load_config
+    from mrs_optic_flow_tpu.runtime import OpticFlowNode, SyntheticScene
+    from mrs_optic_flow_tpu.runtime.msgs import Float64Stamped, ImageMsg, Imu, Odometry
+
+    logs = []
+    node = OpticFlowNode(load_config(), publish=lambda t, m: None, log=logs.append)
+    node.set_transforms((0.0, 0.0, 0.0, 1.0))
+    scene = SyntheticScene(uav_height=2.0, seed=20)
+    node.on_camera_info(scene.camera_info())
+    t = 100.0
+    node.on_imu(Imu(stamp=t, angular_velocity=(0, 0, 0), orientation=(0, 0, 0, 1)))
+    node.on_odometry(Odometry(stamp=t, orientation=(0, 0, 0, 1)))
+    node.on_height(Float64Stamped(stamp=t, value=2.0))
+    node.on_image(ImageMsg(stamp=t, data=scene.render((0, 0))))  # first frame
+    # too-small frame: crop would slice out of range
+    bad = np.zeros((64, 64), np.float32)
+    out = node.on_image(ImageMsg(stamp=t + 0.05, data=bad))
+    assert out is None
+    assert node.health["consecutive_failures"] >= 1
+    assert any("failed" in s for s in logs)
+    # stream recovers on the next good frame
+    good = scene.render((0.05, 0.0))
+    out = node.on_image(ImageMsg(stamp=t + 0.10, data=good))
+    assert out is not None
+    assert node.health["consecutive_failures"] == 0
