@@ -222,9 +222,22 @@ def get_2dt(
     mult = float(long_range_ratio)
 
     valid = jnp.all(jnp.isfinite(shifts), axis=-1)
-    ok = jnp.isfinite(1.0 / dt) & jnp.any(valid)
-    first = jnp.argmax(valid)
-    avg = jnp.where(valid[first], shifts[first], jnp.zeros((2,), shifts.dtype))
+    shifts_f = jnp.where(valid[:, None], shifts, 0.0)
+    if long_range_ratio == 2:
+        # ratio-2 policy (src/optic_flow.cpp:414-421, :452-467): need >= 3
+        # valid points, mutual-agreement inliers within the long-range
+        # threshold, >= 3 inliers, average over the inlier set
+        ok = jnp.isfinite(1.0 / dt) & (jnp.sum(valid) >= 3)
+        inl = get_inliers(shifts_f, valid, 2.0)  # LONGRANGE_INLIER_THRESHOLD
+        ok &= jnp.sum(inl) >= 3
+        w = inl.astype(shifts.dtype)
+        avg = jnp.sum(shifts_f * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    else:
+        # ratio-4 policy: the first valid shift (src/optic_flow.cpp:423-427,
+        # :470)
+        ok = jnp.isfinite(1.0 / dt) & jnp.any(valid)
+        first = jnp.argmax(valid)
+        avg = jnp.where(valid[first], shifts[first], jnp.zeros((2,), shifts.dtype))
 
     # roll/pitch rate feed-forward, rotated by cam_yaw (:478-488)
     x_corr = -jnp.tan(imu_roll_rate * dt) * fx / mult

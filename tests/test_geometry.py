@@ -289,3 +289,29 @@ def test_get_inliers():
     valid = jnp.ones(5, bool)
     mask = np.asarray(get_inliers(shifts, valid, 0.5))
     assert mask.tolist() == [True, True, True, False, True]
+
+
+def test_get_2dt_ratio2_inlier_vote():
+    """Ratio-2 long-range policy: mutual-agreement inliers averaged,
+    >= 3 required (src/optic_flow.cpp:414-421, :452-467)."""
+    shifts = np.array(
+        [[4.0, -1.0], [4.2, -0.8], [3.9, -1.1], [30.0, 30.0]], np.float32
+    )
+    res = get_2dt(
+        jnp.asarray(shifts), jnp.float32(2.0), jnp.float32(0.1), jnp.float32(0.0),
+        jnp.asarray(K, jnp.float32), jnp.float32(0.0), jnp.float32(0.0),
+        jnp.float32(0.0), long_range_ratio=2,
+    )
+    assert bool(res.ok)
+    exp_shift = shifts[:3].mean(0)
+    exp = -np.array([
+        exp_shift[0] * 2.0 / K[0, 0] * 2, exp_shift[1] * 2.0 / K[1, 1] * 2, 0.0
+    ]) / 0.1
+    np.testing.assert_allclose(np.asarray(res.tran), exp, rtol=1e-5)
+    # fewer than 3 inliers -> not ok
+    res2 = get_2dt(
+        jnp.asarray(shifts[2:]), jnp.float32(2.0), jnp.float32(0.1), jnp.float32(0.0),
+        jnp.asarray(K, jnp.float32), jnp.float32(0.0), jnp.float32(0.0),
+        jnp.float32(0.0), long_range_ratio=2,
+    )
+    assert not bool(res2.ok)

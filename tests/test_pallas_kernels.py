@@ -78,3 +78,14 @@ def test_pallas_masked_large_shift(rng):
         jnp.asarray(curr)[None], jnp.asarray(prev)[None], interpret=INTERPRET
     )
     assert float(m[0]) < 0.5  # true peak masked away
+
+
+def test_cross_backend_conformance(rng):
+    """All five backend paths agree within the guard band — the live
+    version of the reference's storageA/storageB debug diff."""
+    from mrs_optic_flow_tpu.ops import conformance
+
+    curr, prev, _ = _random_pair_batch(rng, p=2)
+    report = conformance.check(curr, prev, tolerance_px=0.05)
+    assert len(report) == 10  # all pairs of 5 backends
+    assert max(report.values()) < 0.05
