@@ -14,16 +14,24 @@ Prints ONE JSON line:
 
 import json
 import os
+import signal
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# fail fast instead of hanging the driver if the device link is wedged
+signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "540")))
 
 # prefer the real TPU when the axon sitecustomize is active; JAX_PLATFORMS
 # from the sandbox env ("axon") is fine as-is
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from mrs_optic_flow_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 from mrs_optic_flow_tpu.models import FftMethod, FftMethodConfig
 
