@@ -21,7 +21,7 @@ reference's ``imPrev`` and ``first`` members, ``include/OpticFlowCalc.h:18``,
 over a device mesh.
 """
 
-from mrs_optic_flow_tpu.models.base import FlowEngine, FlowState  # noqa: F401
+from mrs_optic_flow_tpu.models.base import FlowEngine, FlowState, OpticFlowCalc  # noqa: F401
 from mrs_optic_flow_tpu.models.fft_method import FftMethod, FftMethodConfig  # noqa: F401
 from mrs_optic_flow_tpu.models.block_method import BlockMethod, BlockMethodConfig  # noqa: F401
 from mrs_optic_flow_tpu.models.fast_spaced_bm import FastSpacedBM, FastSpacedBMConfig  # noqa: F401

@@ -56,3 +56,47 @@ class FlowEngine(abc.ABC):
     def set_im_prev(self, state: FlowState, frame: jnp.ndarray) -> FlowState:
         """``OpticFlowCalc::setImPrev`` (``include/OpticFlowCalc.h:16``)."""
         return FlowState(prev=jnp.asarray(frame, jnp.float32), first=jnp.asarray(False))
+
+
+class OpticFlowCalc:
+    """Signature-compatible wrapper over a :class:`FlowEngine`.
+
+    Mirrors the reference's abstract interface
+    (``include/OpticFlowCalc.h:9-16``): a *stateful* object whose
+    ``process_image(im_curr, gui, debug, mid_point, yaw_angle, rot_center,
+    raw_output, fx, fy) -> [P, 2] shifts`` hides the functional state
+    threading — the migration path for code written against the reference.
+    The GUI/debug/midpoint arguments are accepted for signature parity; the
+    ones the reference itself ignores are ignored here too (``raw_output``
+    is filled in-place like the reference's out-parameter *would* be — the
+    reference declares it and never writes it, ``src/FftMethod.cpp:1772``).
+    """
+
+    def __init__(self, engine: FlowEngine):
+        self.engine = engine
+        self.state = engine.init_state()
+        self.last_result: FlowResult | None = None
+
+    def process_image(
+        self,
+        im_curr,
+        gui: bool = False,
+        debug: bool = False,
+        mid_point=None,
+        yaw_angle: float = 0.0,
+        rot_center=None,
+        raw_output=None,
+        fx: float = 0.0,
+        fy: float = 0.0,
+    ):
+        self.state, result = self.engine.step(self.state, im_curr)
+        self.last_result = result
+        if raw_output is not None:
+            try:
+                raw_output[:] = result.shifts_raw
+            except (TypeError, ValueError):
+                pass
+        return result.shifts
+
+    def set_im_prev(self, frame):
+        self.state = self.engine.set_im_prev(self.state, frame)

@@ -99,3 +99,19 @@ def test_pallas_engine_equivalence(rng):
         _, res = eng.step(state, jnp.asarray(f1))
         outs.append(np.asarray(res.shifts))
     np.testing.assert_allclose(outs[0], outs[1], atol=5e-3)
+
+
+def test_optic_flow_calc_compat(rng):
+    """OpticFlowCalc wrapper: the reference's stateful interface
+    (include/OpticFlowCalc.h:9-16) over the functional engine."""
+    from mrs_optic_flow_tpu.models import OpticFlowCalc
+
+    calc = OpticFlowCalc(FftMethod(CFG))
+    f0 = smooth_random_image(rng, 480)
+    f1 = np.roll(f0, (2, 5), axis=(0, 1))
+    calc.set_im_prev(jnp.asarray(f0))
+    raw = np.zeros((16, 2), np.float32)
+    shifts = calc.process_image(jnp.asarray(f1), raw_output=raw)
+    s = np.asarray(shifts)
+    assert np.all(np.abs(s - np.array([5, 2])) < 0.3)
+    assert np.abs(raw - np.array([5, 2])).max() < 0.3  # out-param filled
