@@ -38,6 +38,7 @@ class BlockMethodConfig:
     scan_radius: int = 21
     step_size: int = 24  # unused by BlockMethod's own grid, kept for parity
     refine_passes: int = 2  # Refine(..., 2), src/BlockMethod.cpp:82
+    use_pallas: bool = False  # fused Pallas SAD kernel vs lax.scan
 
 
 class BlockMethod(FlowEngine):
@@ -75,10 +76,18 @@ class BlockMethod(FlowEngine):
         prev_regions = _extract_blocks(
             prev, origins - c.scan_radius, region
         )
-        sad = sad_search(
-            curr_blocks, prev_regions,
-            block_size=c.sample_point_size, scan_radius=c.scan_radius,
-        )
+        if c.use_pallas:
+            from mrs_optic_flow_tpu.ops.block_matching import sad_search_pallas
+
+            sad = sad_search_pallas(
+                curr_blocks, prev_regions,
+                block_size=c.sample_point_size, scan_radius=c.scan_radius,
+            )
+        else:
+            sad = sad_search(
+                curr_blocks, prev_regions,
+                block_size=c.sample_point_size, scan_radius=c.scan_radius,
+            )
         cell_flow = sad_min_flow(sad, c.scan_radius)
         top_x, top_y = histogram_vote(cell_flow, c.scan_radius)
         refined = refine_subpixel(

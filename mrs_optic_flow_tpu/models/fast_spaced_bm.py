@@ -36,6 +36,7 @@ class FastSpacedBMConfig:
     scan_radius: int = 21
     step_size: int = 24  # blockStep (grid pitch = size + step)
     test_depth: int = 3  # TestDepth (src/FastSpacedBMMethod_OCL.cpp:100)
+    use_pallas: bool = False  # fused Pallas SAD kernel vs lax.scan
 
 
 class FastSpacedBM(FlowEngine):
@@ -68,10 +69,18 @@ class FastSpacedBM(FlowEngine):
         curr_blocks = _extract_blocks(curr, origins, c.sample_point_size)
         region = c.sample_point_size + 2 * c.scan_radius
         prev_regions = _extract_blocks(prev, origins - c.scan_radius, region)
-        sad = sad_search(
-            curr_blocks, prev_regions,
-            block_size=c.sample_point_size, scan_radius=c.scan_radius,
-        )
+        if c.use_pallas:
+            from mrs_optic_flow_tpu.ops.block_matching import sad_search_pallas
+
+            sad = sad_search_pallas(
+                curr_blocks, prev_regions,
+                block_size=c.sample_point_size, scan_radius=c.scan_radius,
+            )
+        else:
+            sad = sad_search(
+                curr_blocks, prev_regions,
+                block_size=c.sample_point_size, scan_radius=c.scan_radius,
+            )
         # flat-area -> (0, 0): MinValThreshold = scanRadius^2 * 0.2
         # (src/FastSpacedBMMethod.cl:2, :79-84)
         cell_flow = sad_min_flow(

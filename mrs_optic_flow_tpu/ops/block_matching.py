@@ -63,6 +63,61 @@ def sad_search(
     return jnp.moveaxis(sads, 0, 1)  # [G, D, D] rows = di (y), cols = dj (x)
 
 
+def sad_search_pallas(
+    curr_blocks: jnp.ndarray,
+    prev_regions: jnp.ndarray,
+    *,
+    block_size: int,
+    scan_radius: int,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Pallas version of :func:`sad_search` — one fused kernel per grid cell.
+
+    The TPU counterpart of the ``OptFlow_C1_D0`` workgroup kernel
+    (``src/FastSpacedBMMethod.cl:4-84``): each grid step holds one current
+    block and its full search region in VMEM and emits the complete
+    ``[D, D]`` SAD map; the reference's ``atomic_add`` accumulation across
+    threads becomes plain vectorized reductions on the VPU.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    g = curr_blocks.shape[0]
+    s = block_size
+    d = 2 * scan_radius + 1
+    region = s + 2 * scan_radius
+
+    def kernel(curr_ref, region_ref, out_ref):
+        curr = curr_ref[0].astype(jnp.float32)  # [S, S]
+        reg = region_ref[0].astype(jnp.float32)  # [region, region]
+
+        def row(di, _):
+            rows = jax.lax.dynamic_slice(reg, (di, 0), (s, region))
+            # all D column shifts vectorized: [D, S, S]
+            cols = jnp.stack(
+                [jax.lax.slice(rows, (0, dj), (s, dj + s)) for dj in range(d)]
+            )
+            sad = jnp.sum(jnp.abs(cols - curr[None]), axis=(-2, -1))  # [D]
+            out_ref[0, pl.ds(di, 1), :] = sad[None, :]
+            return 0
+
+        jax.lax.fori_loop(0, d, row, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, s, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, region, region), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, d, d), jnp.float32),
+        interpret=interpret,
+    )(curr_blocks, prev_regions)
+
+
 def sad_min_flow(
     sad: jnp.ndarray, scan_radius: int, *, noise_threshold: float | None = None
 ) -> jnp.ndarray:
