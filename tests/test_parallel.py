@@ -1,0 +1,79 @@
+"""Device-mesh scaling tests (8 virtual CPU devices via conftest)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mrs_optic_flow_tpu.models import FftMethod, FftMethodConfig
+from mrs_optic_flow_tpu.parallel import BatchPipeline, make_mesh, shard_batch, sharded_flow_step
+
+from oracle import smooth_random_image
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+K = np.array([[40.0, 0, 32.0], [0, 40.0, 24.0], [0, 0, 1.0]], np.float32)
+
+
+def test_make_mesh():
+    mesh = make_mesh(8)
+    assert mesh.devices.shape == (8,)
+    assert mesh.axis_names == ("data",)
+    half = make_mesh(4)
+    assert half.devices.shape == (4,)
+
+
+def test_sharded_flow_step(rng):
+    mesh = make_mesh(8)
+    eng = FftMethod(FftMethodConfig(frame_size=48, sample_point_size=12,
+                                    use_pallas=False, backend="fft"))
+    step = sharded_flow_step(eng, mesh)
+    b = 16
+    prev = np.stack([smooth_random_image(rng, 48, cutoff=0.45) for _ in range(b)])
+    curr = np.stack([np.roll(prev[i], (1, 2), axis=(0, 1)) for i in range(b)])
+    prev_s = shard_batch(jnp.asarray(prev), mesh)
+    curr_s = shard_batch(jnp.asarray(curr), mesh)
+    shifts, fleet_mean = step(prev_s, curr_s)
+    assert shifts.shape == (b, 16, 2)
+    # sharding survives the step
+    assert "data" in str(shifts.sharding.spec)
+    # fleet statistic is replicated and sane
+    assert 0.0 < float(fleet_mean) < 10.0
+    # result correctness unaffected by sharding
+    s = np.asarray(shifts)
+    # 12-px windows have coarse sub-pixel resolution; median is the signal
+    assert np.abs(np.nanmedian(s - np.array([2.0, 1.0]), axis=(0, 1))).max() < 0.3
+
+
+def test_batch_pipeline_sharded_matches_unsharded(rng):
+    b = 8
+    prev = np.stack([smooth_random_image(rng, 64) for _ in range(b)])
+    curr = np.stack([np.roll(prev[i], (0, 2), axis=(0, 1)) for i in range(b)])
+    heights = jnp.full((b,), 2.0, jnp.float32)
+    dts = jnp.full((b,), 0.05, jnp.float32)
+    rates = jnp.tile(jnp.asarray([0, 0, 0, 1], jnp.float32), (b, 1))
+    c2b = jnp.asarray([0, 0, 0, 1], jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), b)
+
+    kwargs = dict(frame_size=48, sample_point_size=12, camera_matrix=K,
+                  dist_coeffs=np.zeros(5, np.float32), ransac_iterations=32)
+    plain = BatchPipeline(**kwargs)
+    out_a = plain.step(jnp.asarray(prev), jnp.asarray(curr), heights, dts, rates, c2b, keys)
+
+    mesh = make_mesh(8)
+    sharded = BatchPipeline(**kwargs, mesh=mesh)
+    out_b = sharded.step(
+        shard_batch(jnp.asarray(prev), mesh), shard_batch(jnp.asarray(curr), mesh),
+        heights, dts, rates, c2b, keys,
+    )
+    np.testing.assert_allclose(np.asarray(out_a.shifts), np.asarray(out_b.shifts), atol=1e-5)
+    np.testing.assert_allclose(
+        float(out_a.fleet_mean_speed), float(out_b.fleet_mean_speed), rtol=1e-5
+    )
+    # identical RANSAC keys -> identical motion estimates
+    np.testing.assert_allclose(
+        np.asarray(out_a.tran), np.asarray(out_b.tran), atol=1e-4, equal_nan=True
+    )
