@@ -214,6 +214,32 @@ class OpticFlowNode:
     # helpers                                                             #
     # ------------------------------------------------------------------ #
 
+    def poll_camera_init(self, now: float) -> Optional[str]:
+        """timerCamInit analogue (``src/optic_flow.cpp:1102-1158``): once
+        images arrive, camera info must follow within 15 s; past the timeout
+        this reports (and logs) the condition.  The reference's fallback
+        calibration path is disabled there (``:1125-1152``) and intentionally
+        absent here — flying with guessed intrinsics is worse than not
+        publishing.  Returns "waiting_image" / "waiting_info" / "timeout" /
+        None (ready)."""
+        if not self.got_image:
+            self._caminfo_deadline = now + 15.0
+            self.log_throttled("caminit", "[OpticFlow]: waiting for camera")
+            return "waiting_image"
+        if self.got_camera_info:
+            return None
+        if not hasattr(self, "_caminfo_deadline"):
+            self._caminfo_deadline = now + 15.0
+        if now < self._caminfo_deadline:
+            self.log_throttled("caminit", "[OpticFlow]: waiting for camera info")
+            return "waiting_info"
+        self.log_throttled(
+            "caminit",
+            "[OpticFlow]: missing camera calibration parameters "
+            "(nothing on camera_info / wrong matrices)",
+        )
+        return "timeout"
+
     def is_uav_landoff(self) -> bool:
         """``isUavLandoff`` (``src/optic_flow.cpp:364-384``)."""
         if not self.got_active_tracker:

@@ -205,3 +205,16 @@ def test_health_tracking():
     assert h["ready"] is True
     assert h["frames_processed"] >= 1
     assert h["consecutive_failures"] == 0
+
+
+def test_camera_init_timeout():
+    """timerCamInit analogue: images without camera info time out at 15 s
+    (src/optic_flow.cpp:1116-1125)."""
+    node = _make_node([])
+    assert node.poll_camera_init(0.0) == "waiting_image"
+    node.got_image = True
+    assert node.poll_camera_init(5.0) == "waiting_info"
+    assert node.poll_camera_init(20.0) == "timeout"
+    scene = SyntheticScene(uav_height=HEIGHT, seed=15)
+    node.on_camera_info(scene.camera_info())
+    assert node.poll_camera_init(21.0) is None
