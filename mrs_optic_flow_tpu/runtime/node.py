@@ -562,9 +562,13 @@ class OpticFlowNode:
             raise RuntimeError("warmup needs camera info (on_camera_info first)")
         t0 = _time.perf_counter()
         c = self.config
-        if image_shape is None:
-            image_shape = (480, 752, 3)
-        dummy = np.zeros(image_shape, np.uint8)
+        shapes = (
+            [image_shape]
+            if image_shape is not None
+            # default: both the raw-BGR path and the pre-cropped grayscale
+            # path the native feeder uses
+            else [(480, 752, 3), (c.frame_size, c.frame_size)]
+        )
         saved = (
             self.flow_state, self.first_image, self._begin, self.dt,
             self.got_height, self.got_odometry, self.got_imu, self.got_tfs,
@@ -581,7 +585,8 @@ class OpticFlowNode:
             self.dt = 0.05
             from mrs_optic_flow_tpu.runtime.msgs import ImageMsg
 
-            self._process_image(ImageMsg(stamp=0.05, data=dummy))
+            for shape in shapes:
+                self._process_image(ImageMsg(stamp=0.05, data=np.zeros(shape, np.uint8)))
             # compile the long-range path too
             if hasattr(self.engine, "step_long_range"):
                 self.engine.step_long_range(

@@ -12,10 +12,18 @@ from __future__ import annotations
 import os
 
 
-def enable_persistent_cache(path: str | None = None) -> str:
-    """Enable the on-disk jit cache (idempotent). Returns the directory."""
+def enable_persistent_cache(path: str | None = None, force: bool = False) -> str | None:
+    """Enable the on-disk jit cache (idempotent). Returns the directory.
+
+    No-op under the tunnelled axon TPU backend (detected via
+    PALLAS_AXON_POOL_IPS): its PJRT plugin cannot serialize executables, so
+    every large program pays the serialization *attempt* (~2x compile time)
+    and caches nothing.  Pass ``force=True`` to enable anyway.
+    """
     import jax
 
+    if os.environ.get("PALLAS_AXON_POOL_IPS") and not force:
+        return None
     path = path or os.environ.get(
         "MRS_OPTIC_FLOW_CACHE", os.path.expanduser("~/.cache/mrs_optic_flow_tpu/xla")
     )
