@@ -40,7 +40,7 @@ enable_persistent_cache()
 
 from mrs_optic_flow_tpu.models import FftMethod, FftMethodConfig
 
-BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
 ITERS = int(os.environ.get("BENCH_ITERS", "16"))
 PIPELINE = int(os.environ.get("BENCH_PIPELINE", "4"))
 WARMUP = 3

@@ -184,9 +184,25 @@ class FftMethod(FlowEngine):
         parallelism item 1).
         """
         c = self.config
-        curr_p = patchify(jnp.asarray(curr_frames, jnp.float32), c.sample_point_size)
-        prev_p = patchify(jnp.asarray(prev_frames, jnp.float32), c.sample_point_size)
-        raw, resp = self._correlate(curr_p, prev_p)
+        curr_f = jnp.asarray(curr_frames, jnp.float32)
+        prev_f = jnp.asarray(prev_frames, jnp.float32)
+        if c.use_pallas and c.backend == "dft":
+            # frame-tiled kernel: patch extraction happens in the BlockSpec
+            # index map — no patchify copies in HBM
+            from mrs_optic_flow_tpu.ops.pallas_kernels import (
+                phase_correlate_frames_pallas,
+            )
+
+            raw, resp = phase_correlate_frames_pallas(
+                curr_f, prev_f,
+                patch=c.sample_point_size,
+                search_radius=c.search_radius,
+                centroid_radius=c.centroid_radius,
+            )
+        else:
+            curr_p = patchify(curr_f, c.sample_point_size)
+            prev_p = patchify(prev_f, c.sample_point_size)
+            raw, resp = self._correlate(curr_p, prev_p)
         shifts = self._gate(raw, c.sample_point_size, c.max_pixel_speed)
         return FlowResult(shifts=shifts, shifts_raw=raw, response=resp)
 

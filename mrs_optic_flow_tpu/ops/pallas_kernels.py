@@ -161,6 +161,86 @@ def peak_refine_pallas(
     return shift.reshape(batch + (2,)), maxval.reshape(batch)
 
 
+def _fullfused_frames_kernel(
+    src1_ref, src2_ref, chi_ref, clo_ref, shi_ref, slo_ref, out_ref,
+    *, n, q, search_radius, centroid_radius, bf16x3,
+):
+    """Frame-banded variant: the grid is (batch, qy) and each step's
+    BlockSpec carves a full row band ``[S, W]`` straight out of the frame —
+    patch extraction happens as VMEM slices of the band, so the
+    reshape/transpose patchify (two full-frame HBM copies per step)
+    disappears.  (Mosaic requires lane-dim blocks of 128 or full width, so
+    the tiling is per-band, not per-patch.)  Field order stays
+    ``index = i + q*j`` (``src/FftMethod.cpp:417``)."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    band1 = src1_ref[0]  # [S, W]
+    band2 = src2_ref[0]
+    for i in range(q):
+        row = (b * q + j) * q + i
+        _phase_correlate_body(
+            jax.lax.slice(band1, (0, i * n), (n, (i + 1) * n)),
+            jax.lax.slice(band2, (0, i * n), (n, (i + 1) * n)),
+            chi_ref, clo_ref, shi_ref, slo_ref,
+            out_ref, row, n=n, search_radius=search_radius,
+            centroid_radius=centroid_radius, bf16x3=bf16x3,
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("patch", "search_radius", "centroid_radius", "interpret", "bf16x3"),
+)
+def phase_correlate_frames_pallas(
+    curr_frames: jnp.ndarray,
+    prev_frames: jnp.ndarray,
+    *,
+    patch: int,
+    search_radius: int = 55,
+    centroid_radius: int = 3,
+    interpret: bool | None = None,
+    bf16x3: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whole-frame batched phase correlation without patch extraction:
+    ``[B, H, W]`` frame pairs -> ``(shift [B, q*q, 2], maxval [B, q*q])``."""
+    interpret = _auto_interpret(interpret)
+    if interpret:
+        bf16x3 = False
+    b, h, w = curr_frames.shape
+    qy, qx = h // patch, w // patch
+    if qy != qx:
+        raise ValueError(f"expected a square patch grid, got {qy}x{qx}")
+    q = qx
+    n = patch
+    c, s = _dft_matrices(n)
+    chi, clo = _split_bf16(c)
+    shi, slo = _split_bf16(s)
+    if not bf16x3:
+        chi, shi = jnp.asarray(c), jnp.asarray(s)
+    fspec = pl.BlockSpec((1, n, w), lambda bb, j: (bb, j, 0), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((n, n), lambda bb, j: (0, 0), memory_space=pltpu.VMEM)
+    rows = b * q * q
+    out = pl.pallas_call(
+        functools.partial(
+            _fullfused_frames_kernel, n=n, q=q, search_radius=search_radius,
+            centroid_radius=centroid_radius, bf16x3=bf16x3,
+        ),
+        grid=(b, q),
+        in_specs=[fspec, fspec, wspec, wspec, wspec, wspec],
+        out_specs=pl.BlockSpec((rows, 4), lambda bb, j: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, 4), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=18 * 2 * n * n * n * rows, bytes_accessed=2 * 4 * n * n * rows,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        curr_frames.astype(jnp.float32), prev_frames.astype(jnp.float32),
+        jnp.asarray(chi), jnp.asarray(clo), jnp.asarray(shi), jnp.asarray(slo),
+    )
+    return out[:, 1:3].reshape(b, q * q, 2), out[:, 0].reshape(b, q * q)
+
+
 # ---------------------------------------------------------------------------
 # fully fused cross-power -> inverse DFT -> peak kernel
 # ---------------------------------------------------------------------------
@@ -208,18 +288,18 @@ def _split_bf16(m: np.ndarray):
     return hi, lo
 
 
-def _fullfused_kernel(
-    src1_ref, src2_ref, chi_ref, clo_ref, shi_ref, slo_ref, out_ref,
+def _phase_correlate_body(
+    src1, src2, chi_ref, clo_ref, shi_ref, slo_ref, out_ref, row,
     *, n, search_radius, centroid_radius, bf16x3,
 ):
-    """Whole phase correlation per patch in VMEM: forward DFTs (12 MXU
-    dots), cmulnormf, inverse DFT (6 dots), masked peak + centroid.
+    """Shared per-patch computation: forward DFTs (12 MXU dots), cmulnormf,
+    inverse DFT (6 dots), masked peak + centroid; result into row ``row``.
 
     This is the complete ``phaseCorrelateField`` chain
-    (``cl/FftMethod.cl:1381-1485``) as one Pallas program: the only HBM
-    traffic is the two input patches and a ``[1, 4]`` result row — the
-    XLA-graph version materializes ~15 patch-sized intermediates in HBM and
-    is bandwidth-bound at large batch.
+    (``cl/FftMethod.cl:1381-1485``) in VMEM: the only HBM traffic is the two
+    input patches and a ``[1, 4]`` result row — the XLA-graph version
+    materializes ~15 patch-sized intermediates in HBM and is bandwidth-bound
+    at large batch.
 
     ``bf16x3=True`` runs each f32 matmul as three bf16 MXU passes
     (hi@whi + hi@wlo + lo@whi with f32 accumulation): ~1.6x faster than
@@ -256,8 +336,8 @@ def _fullfused_kernel(
         tr, ti = dot_c(x), dot_s(x)
         return left_c(tr) - left_s(ti), left_c(ti) + left_s(tr)
 
-    f1r, f1i = dft2(src1_ref[0].astype(jnp.float32))
-    f2r, f2i = dft2(src2_ref[0].astype(jnp.float32))
+    f1r, f1i = dft2(src1.astype(jnp.float32))
+    f2r, f2i = dft2(src2.astype(jnp.float32))
 
     rr = f1r * f2r + f1i * f2i
     ri = f1i * f2r - f1r * f2i
@@ -270,7 +350,19 @@ def _fullfused_kernel(
     v = (left_c(ur) + left_s(ui)) * (1.0 / (n * n))
 
     maxval, cx, cy = _masked_peak_centroid(v, n, search_radius, centroid_radius)
-    out_ref[pl.ds(pl.program_id(0), 1), :] = _pack_row(maxval, cx, cy)
+    out_ref[pl.ds(row, 1), :] = _pack_row(maxval, cx, cy)
+
+
+def _fullfused_kernel(
+    src1_ref, src2_ref, chi_ref, clo_ref, shi_ref, slo_ref, out_ref,
+    *, n, search_radius, centroid_radius, bf16x3,
+):
+    """Patch-batch variant: grid (P,), one patch per step."""
+    _phase_correlate_body(
+        src1_ref[0], src2_ref[0], chi_ref, clo_ref, shi_ref, slo_ref,
+        out_ref, pl.program_id(0), n=n, search_radius=search_radius,
+        centroid_radius=centroid_radius, bf16x3=bf16x3,
+    )
 
 
 @functools.partial(

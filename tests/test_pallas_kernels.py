@@ -104,3 +104,31 @@ def test_fullfused_pallas_matches_oracle(rng):
         for i in range(curr.shape[0]):
             ref, _ = phase_correlate_oracle(np.asarray(curr[i]), np.asarray(prev[i]))
             np.testing.assert_allclose(s[i], ref, atol=0.05)
+
+
+def test_frames_pallas_matches_patchified(rng):
+    """Frame-tiled kernel (patch extraction in the index map) matches the
+    patch-batch kernel and keeps the field order index = i + q*j."""
+    from mrs_optic_flow_tpu.ops.preprocess import patchify
+
+    b, n, q = 2, 120, 2
+    prev = np.stack([smooth_random_image(rng, n * q) for _ in range(b)])
+    d = rng.integers(-20, 20, size=(b, q * q, 2))
+    curr = np.empty_like(prev)
+    for bi in range(b):
+        for j in range(q):
+            for i in range(q):
+                dx, dy = d[bi, i + q * j]
+                blk = prev[bi, j * n:(j + 1) * n, i * n:(i + 1) * n]
+                curr[bi, j * n:(j + 1) * n, i * n:(i + 1) * n] = np.roll(blk, (dy, dx), (0, 1))
+    s_f, m_f = pk.phase_correlate_frames_pallas(
+        jnp.asarray(curr), jnp.asarray(prev), patch=n, interpret=INTERPRET
+    )
+    s_p, m_p = pk.phase_correlate_fullfused_pallas(
+        patchify(jnp.asarray(curr), n).reshape(-1, n, n),
+        patchify(jnp.asarray(prev), n).reshape(-1, n, n),
+        interpret=INTERPRET,
+    )
+    np.testing.assert_allclose(np.asarray(s_f).reshape(-1, 2), np.asarray(s_p), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m_f).reshape(-1), np.asarray(m_p), rtol=1e-5)
+    assert np.all(np.abs(np.asarray(s_f) - d) < 0.3)
