@@ -143,9 +143,22 @@ class FftMethod(FlowEngine):
         curr = jnp.asarray(frame, jnp.float32)
         prev = jnp.where(state.first, curr, state.prev)  # first-frame copy (:1788)
 
-        curr_p = patchify(curr, c.sample_point_size)
-        prev_p = patchify(prev, c.sample_point_size)
-        raw, resp = self._correlate(curr_p, prev_p)
+        if c.use_pallas and c.backend == "dft":
+            from mrs_optic_flow_tpu.ops.pallas_kernels import (
+                phase_correlate_frames_pallas,
+            )
+
+            raw, resp = phase_correlate_frames_pallas(
+                curr[None], prev[None],
+                patch=c.sample_point_size,
+                search_radius=c.search_radius,
+                centroid_radius=c.centroid_radius,
+            )
+            raw, resp = raw[0], resp[0]
+        else:
+            curr_p = patchify(curr, c.sample_point_size)
+            prev_p = patchify(prev, c.sample_point_size)
+            raw, resp = self._correlate(curr_p, prev_p)
         shifts = self._gate(raw, c.sample_point_size, c.max_pixel_speed)
 
         new_state = FlowState(prev=curr, first=jnp.asarray(False))  # imPrev swap (:1872)

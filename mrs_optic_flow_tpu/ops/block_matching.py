@@ -90,22 +90,23 @@ def sad_search_pallas(
     region = s + 2 * scan_radius
 
     def kernel(curr_ref, region_ref, out_ref):
+        # Mosaic constraints shape this kernel: values must stay rank >= 2,
+        # and dynamic sublane/lane indexing needs 8/128 alignment — so the
+        # row-shift loop is unrolled statically (all slices compile-time)
+        # and each SAD row is stored as a [1, D] vector.
         curr = curr_ref[0].astype(jnp.float32)  # [S, S]
-        reg = region_ref[0].astype(jnp.float32)  # [region, region]
+        reg = region_ref[0].astype(jnp.float32)  # [S+2R, S+2R]
 
-        def row(di, _):
-            rows = jax.lax.dynamic_slice(reg, (di, 0), (s, region))
-            # all D column shifts vectorized: [D, S, S]
+        for di in range(d):
+            rows = jax.lax.slice(reg, (di, 0), (di + s, region))
             cols = jnp.stack(
                 [jax.lax.slice(rows, (0, dj), (s, dj + s)) for dj in range(d)]
             )
-            sad = jnp.sum(jnp.abs(cols - curr[None]), axis=(-2, -1))  # [D]
-            out_ref[0, pl.ds(di, 1), :] = sad[None, :]
-            return 0
+            part = jnp.sum(jnp.abs(cols - curr[None]), axis=-1)  # [D, S]
+            sad_col = jnp.sum(part, axis=-1, keepdims=True)  # [D, 1]
+            out_ref[0, di : di + 1, :] = jnp.swapaxes(sad_col, 0, 1)
 
-        jax.lax.fori_loop(0, d, row, 0)
-
-    return pl.pallas_call(
+    out_t = pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
@@ -116,6 +117,7 @@ def sad_search_pallas(
         out_shape=jax.ShapeDtypeStruct((g, d, d), jnp.float32),
         interpret=interpret,
     )(curr_blocks, prev_regions)
+    return out_t
 
 
 def sad_min_flow(
