@@ -143,7 +143,9 @@ class FftMethod(FlowEngine):
         curr = jnp.asarray(frame, jnp.float32)
         prev = jnp.where(state.first, curr, state.prev)  # first-frame copy (:1788)
 
-        if c.use_pallas and c.backend == "dft":
+        # the frame-banded kernel needs sublane-aligned bands (patch % 8);
+        # other geometries take the patch-batch kernel via _correlate
+        if c.use_pallas and c.backend == "dft" and c.sample_point_size % 8 == 0:
             from mrs_optic_flow_tpu.ops.pallas_kernels import (
                 phase_correlate_frames_pallas,
             )
@@ -199,9 +201,10 @@ class FftMethod(FlowEngine):
         c = self.config
         curr_f = jnp.asarray(curr_frames, jnp.float32)
         prev_f = jnp.asarray(prev_frames, jnp.float32)
-        if c.use_pallas and c.backend == "dft":
+        if c.use_pallas and c.backend == "dft" and c.sample_point_size % 8 == 0:
             # frame-tiled kernel: patch extraction happens in the BlockSpec
-            # index map — no patchify copies in HBM
+            # index map — no patchify copies in HBM (needs sublane-aligned
+            # bands: patch % 8 == 0; otherwise the patch-batch kernel below)
             from mrs_optic_flow_tpu.ops.pallas_kernels import (
                 phase_correlate_frames_pallas,
             )

@@ -115,3 +115,20 @@ def test_optic_flow_calc_compat(rng):
     s = np.asarray(shifts)
     assert np.all(np.abs(s - np.array([5, 2])) < 0.3)
     assert np.abs(raw - np.array([5, 2])).max() < 0.3  # out-param filled
+
+
+def test_unaligned_patch_size(rng):
+    """Patch sizes that violate the frame-banded kernel's alignment fall
+    back to the patch-batch path and still work (e.g. 60-px patches)."""
+    eng = FftMethod(FftMethodConfig(frame_size=480, sample_point_size=60,
+                                    backend="dft", use_pallas=True))
+    assert eng.sq_num == 8
+    state = eng.init_state()
+    f0 = smooth_random_image(rng, 480, cutoff=0.35)
+    f1 = np.roll(f0, (2, -4), axis=(0, 1))
+    state, _ = eng.step(state, jnp.asarray(f0))
+    state, res = eng.step(state, jnp.asarray(f1))
+    s = np.asarray(res.shifts)
+    assert s.shape == (64, 2)
+    med = np.nanmedian(s, axis=0)
+    assert np.abs(med - np.array([-4, 2])).max() < 0.5, med
