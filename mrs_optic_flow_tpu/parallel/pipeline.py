@@ -43,7 +43,7 @@ class BatchPipeline:
         shifted_pts_thr: int = 8,
         ransac_iterations: int = 256,
         backend: str = "dft",
-        use_pallas: bool = False,
+        use_pallas: bool = True,
         mesh: Optional[Mesh] = None,
         axis_name: str = "data",
     ):

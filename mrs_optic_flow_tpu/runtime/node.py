@@ -35,17 +35,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from mrs_optic_flow_tpu.config import OpticFlowConfig, load_config
-from mrs_optic_flow_tpu.geometry.motion import get_2dt, get_rt
+from mrs_optic_flow_tpu.geometry.motion import get_2dt
 from mrs_optic_flow_tpu.geometry.rotations import (
     matrix_from_quat,
     quat_axis_angle,
     quat_from_axis_angle,
-    quat_from_rpy,
-    quat_inverse,
-    quat_multiply,
     quat_rotate,
     rpy_from_matrix,
-    rpy_from_quat,
 )
 from mrs_optic_flow_tpu.models import FftMethodConfig, FftMethod, make_engine
 from mrs_optic_flow_tpu.models.scale_rotation import (

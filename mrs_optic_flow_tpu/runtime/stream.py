@@ -94,6 +94,7 @@ class SyntheticScene:
         texture_size: int = 4096,
         texture_cutoff: float = 0.25,
         texture_scale: float = 200.0,  # texture pixels per metre
+        dist_coeffs=(0.0, 0.0, 0.0, 0.0, 0.0),  # (k1, k2, p1, p2, k3)
         seed: int = 0,
     ):
         self.width = width
@@ -103,6 +104,7 @@ class SyntheticScene:
         self.cy = cy if cy is not None else height_px / 2.0
         self.uav_height = uav_height
         self.texture_scale = texture_scale
+        self.dist_coeffs = np.asarray(dist_coeffs, np.float64)
 
         rng = np.random.default_rng(seed)
         t = rng.standard_normal((texture_size, texture_size))
@@ -117,16 +119,36 @@ class SyntheticScene:
     def camera_info(self) -> CameraInfo:
         return CameraInfo(
             k=[self.fx, 0, self.cx, 0, self.fy, self.cy, 0, 0, 1],
-            d=[0.0, 0.0, 0.0, 0.0, 0.0],
+            d=list(self.dist_coeffs),
         )
+
+    def _undistort_np(self, xd: np.ndarray, yd: np.ndarray, iterations: int = 20):
+        """Invert the radial-tangential model (the observed pixels are
+        distorted; each pixel's ray comes from the undistorted coords)."""
+        k1, k2, p1, p2, k3 = self.dist_coeffs
+        x, y = xd.copy(), yd.copy()
+        for _ in range(iterations):
+            r2 = x * x + y * y
+            icdist = 1.0 / (1.0 + r2 * (k1 + r2 * (k2 + r2 * k3)))
+            dx = 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+            dy = p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+            x = (xd - dx) * icdist
+            y = (yd - dy) * icdist
+        return x, y
 
     def render(self, cam_xy: Tuple[float, float]) -> np.ndarray:
         """Grayscale frame for a camera at ground position ``cam_xy`` [m]."""
         u = np.arange(self.width)
         v = np.arange(self.height_px)
         uu, vv = np.meshgrid(u, v)
-        gx = cam_xy[0] + self.uav_height * (uu - self.cx) / self.fx
-        gy = cam_xy[1] + self.uav_height * (vv - self.cy) / self.fy
+        xd = (uu - self.cx) / self.fx
+        yd = (vv - self.cy) / self.fy
+        if np.any(self.dist_coeffs != 0.0):
+            xn, yn = self._undistort_np(xd, yd)
+        else:
+            xn, yn = xd, yd
+        gx = cam_xy[0] + self.uav_height * xn
+        gy = cam_xy[1] + self.uav_height * yn
         tx = (gx * self.texture_scale) % self._ts
         ty = (gy * self.texture_scale) % self._ts
         img = ndimage.map_coordinates(self.texture, [ty, tx], order=1, mode="wrap")

@@ -218,3 +218,22 @@ def test_camera_init_timeout():
     scene = SyntheticScene(uav_height=HEIGHT, seed=15)
     node.on_camera_info(scene.camera_info())
     assert node.poll_camera_init(21.0) is None
+
+
+def test_e2e_with_lens_distortion():
+    """Distorted-camera scene: the undistort stage must still recover the
+    true metric velocity (distortion typical of the reference's ~90 deg
+    mvBlueFOX lens)."""
+    published = []
+    node = _make_node(published)
+    scene = SyntheticScene(
+        uav_height=HEIGHT, seed=21, dist_coeffs=(-0.25, 0.06, 1e-4, -2e-4, -0.004)
+    )
+    stream = FrameStream(node)
+    scene.trajectory_events(stream, velocity=V_TRUE, n_frames=6, dt=DT)
+    stream.run()
+    twists = [m for t, m in published if t == "velocity_out"]
+    assert len(twists) >= 3
+    v = np.array([tw.linear[:2] for tw in twists[1:]])
+    err = np.abs(v - np.array(V_TRUE)).max(0)
+    assert np.all(err < 0.15), (v.mean(0), V_TRUE)
