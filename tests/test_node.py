@@ -237,3 +237,64 @@ def test_e2e_with_lens_distortion():
     v = np.array([tw.linear[:2] for tw in twists[1:]])
     err = np.abs(v - np.array(V_TRUE)).max(0)
     assert np.all(err < 0.15), (v.mean(0), V_TRUE)
+
+
+def test_odometry_diff_ang_rate_source():
+    """ang_rate_source=odometry_diff: per-frame orientation delta feeds the
+    solution selection (src/optic_flow.cpp:1453-1464)."""
+    published = []
+    node = _make_node(published, ang_rate_source="odometry_diff")
+    scene = SyntheticScene(uav_height=HEIGHT, seed=22)
+    node.on_camera_info(scene.camera_info())
+    # no IMU required in this mode; odometry carries orientation
+    for i in range(5):
+        t = 100.0 + i * DT
+        node.on_odometry(Odometry(stamp=t, orientation=(0, 0, 0, 1)))
+        node.on_height(Float64Stamped(stamp=t, value=HEIGHT))
+        pos = (0.5 * i * DT, 0.0)
+        node.on_image(ImageMsg(stamp=t, data=scene.render(pos)))
+    twists = [m for t, m in published if t == "velocity_out"]
+    assert len(twists) >= 2
+    v = np.array([tw.linear[0] for tw in twists[1:]])
+    assert np.abs(v - 0.5).max() < 0.15, v
+
+
+def test_scale_rotation_through_node():
+    """scale_rotation: true -> the log-polar estimator publishes
+    scale_rotation_out (wiring the reference left commented out,
+    src/optic_flow.cpp:1629-1650)."""
+    published = []
+    node = _make_node(published, scale_rotation=True)
+    scene = SyntheticScene(uav_height=HEIGHT, seed=23)
+    stream = FrameStream(node)
+    # hovering: the log-polar decode assumes rotation/scale about the image
+    # centre; translation breaks it (true of the reference too)
+    scene.trajectory_events(stream, velocity=(0.0, 0.0), n_frames=4, dt=DT)
+    stream.run()
+    sr = [m for t, m in published if t == "scale_rotation_out"]
+    assert len(sr) >= 2
+    # level flight at constant height: scale ~ 1, yaw rate ~ 0
+    assert abs(sr[-1]["scale"] - 1.0) < 0.1
+    assert abs(sr[-1]["yaw_rate"]) < 0.5
+
+
+def test_stream_event_ordering():
+    """FrameStream dispatches strictly by stamp regardless of add order."""
+    from mrs_optic_flow_tpu.runtime.stream import FrameStream as FS
+
+    seen = []
+
+    class FakeNode:
+        def on_height(self, m):
+            seen.append(("h", m.stamp))
+        def on_image(self, m):
+            seen.append(("i", m.stamp))
+        def on_imu(self, m):
+            seen.append(("u", m.stamp))
+
+    fs = FS(FakeNode())
+    fs.add("image", 3.0, ImageMsg(stamp=3.0, data=np.zeros((2, 2))))
+    fs.add("height", 1.0, Float64Stamped(stamp=1.0, value=2.0))
+    fs.add("imu", 2.0, Imu(stamp=2.0, angular_velocity=(0, 0, 0), orientation=(0, 0, 0, 1)))
+    fs.run()
+    assert [s for s, _ in seen] == ["h", "u", "i"]
