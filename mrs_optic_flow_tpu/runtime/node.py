@@ -43,7 +43,7 @@ from mrs_optic_flow_tpu.geometry.rotations import (
     quat_rotate,
     rpy_from_matrix,
 )
-from mrs_optic_flow_tpu.models import FftMethodConfig, FftMethod, make_engine
+from mrs_optic_flow_tpu.models import FftMethod, make_engine
 from mrs_optic_flow_tpu.models.scale_rotation import (
     ScaleRotationConfig,
     ScaleRotationEstimator,

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import heapq
-from typing import Callable, Dict, Iterable, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 from scipy import ndimage
@@ -91,7 +91,7 @@ class SyntheticScene:
         cx: Optional[float] = None,
         cy: Optional[float] = None,
         uav_height: float = 2.0,
-        texture_size: int = 4096,
+        texture_size: int = 2048,
         texture_cutoff: float = 0.25,
         texture_scale: float = 200.0,  # texture pixels per metre
         dist_coeffs=(0.0, 0.0, 0.0, 0.0, 0.0),  # (k1, k2, p1, p2, k3)
