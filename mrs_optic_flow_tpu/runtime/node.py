@@ -314,6 +314,42 @@ class OpticFlowNode:
 
         return run
 
+    @functools.lru_cache(maxsize=8)
+    def _frame_program_lr(self, h: int, w: int, channels: int, cx_eff: int):
+        """Fused long-range program: preprocess -> 4x-downsampled engine
+        step -> get2DT -> body-frame rotation of both output vectors
+        (``src/optic_flow.cpp:1779-1867``), one dispatch per frame."""
+        c = self.config
+        pre_cropped = channels == 1 and (h, w) == (c.frame_size, c.frame_size)
+        ul_x = jnp.float32(cx_eff - c.frame_size // 2)
+        ratio = (
+            self.engine.config.long_range_ratio
+            if isinstance(self.engine, FftMethod)
+            else 4
+        )
+
+        @jax.jit
+        def run(state, img, height_eff, dt, cam, c2b, roll_rate, pitch_rate, cam_yaw):
+            if pre_cropped:
+                gray = jnp.asarray(img, jnp.float32)
+            else:
+                g = to_grayscale(img) if channels == 3 else jnp.asarray(img, jnp.float32)
+                if abs(c.scale_factor - 1.0) > 0.01:
+                    g = resize_by(g, c.scale_factor)
+                gray = center_crop(g, c.frame_size, cx_eff)
+
+            new_state, flow = self.engine.step_long_range(state, gray)
+            res = get_2dt(
+                flow.shifts, height_eff, dt, ul_x, cam,
+                roll_rate, pitch_rate, cam_yaw,
+                long_range_ratio=ratio,
+            )
+            tran_b = quat_rotate(c2b, res.tran)
+            diff_b = quat_rotate(c2b, res.tran_diff)
+            return new_state, gray, flow, res.ok, tran_b, diff_b
+
+        return run
+
     # ------------------------------------------------------------------ #
     # image path                                                          #
     # ------------------------------------------------------------------ #
@@ -449,15 +485,21 @@ class OpticFlowNode:
             return twist
 
         # ---- long-range branch (src/optic_flow.cpp:1779-1867) ----
-        with self.profiler.routine("preprocess"):
-            if pre_cropped:
-                gray = jnp.asarray(img, jnp.float32)
-            else:
-                gray = self._preprocess_fn(img.shape[0], img.shape[1], channels, cx_eff)(
-                    jnp.asarray(img)
-                )
-        with self._mutex, self.profiler.routine("engine_step"):
-            self.flow_state, flow = self.engine.step_long_range(self.flow_state, gray)
+        prog = self._frame_program_lr(img.shape[0], img.shape[1], channels, cx_eff)
+        with self._mutex, self.profiler.routine("frame_program_lr"):
+            # get2DT receives height corrected by the static tilt
+            # (src/optic_flow.cpp:1781)
+            (self.flow_state, gray, flow, ok, tran_b_dev, diff_b_dev) = prog(
+                self.flow_state,
+                jnp.asarray(img),
+                jnp.float32(height / (np.cos(self.imu_pitch) * np.cos(self.imu_roll))),
+                jnp.float32(self.dt),
+                jnp.asarray(self.camera_matrix, jnp.float32),
+                c2b,
+                jnp.float32(self.imu_roll_rate),
+                jnp.float32(self.imu_pitch_rate),
+                jnp.float32(self.cam_yaw),
+            )
         if self.scale_rotation_estimator is not None:
             with self.profiler.routine("scale_rotation"):
                 self.scale_rot_state, sr = self.scale_rotation_estimator.step(
@@ -469,34 +511,21 @@ class OpticFlowNode:
         if c.store_video:
             self._record_overlay(msg.stamp, gray, flow)
 
-        with self.profiler.routine("get_2dt"):
-            res2 = get_2dt(
-                flow.shifts,
-                jnp.float32(height / (np.cos(self.imu_pitch) * np.cos(self.imu_roll))),
-                jnp.float32(self.dt),
-                jnp.float32(ul_x),
-                jnp.asarray(self.camera_matrix, jnp.float32),
-                jnp.float32(self.imu_roll_rate),
-                jnp.float32(self.imu_pitch_rate),
-                jnp.float32(self.cam_yaw),
-                long_range_ratio=self.engine.config.long_range_ratio
-                if isinstance(self.engine, FftMethod)
-                else 4,
-            )
-        if not bool(res2.ok):
+        if not bool(ok):
+            self._note_result(False)
             return None
-        tran = np.asarray(res2.tran)
-        if not np.all(np.isfinite(tran[:2])):
+        tran_b = np.asarray(tran_b_dev)
+        if not np.all(np.isfinite(tran_b[:2])):
             self.log("[OpticFlow]: NaNs in output, returning.")
+            self._note_result(False)
             return None
 
         fx = float(self.camera_matrix[0, 0])
         twists = []
-        for topic, vec in (
-            ("velocity_out_longrange", tran),
-            ("velocity_out_longrange_diff", np.asarray(res2.tran_diff)),
+        for topic, vec_b in (
+            ("velocity_out_longrange", tran_b),
+            ("velocity_out_longrange_diff", np.asarray(diff_b_dev)),
         ):
-            vec_b = np.asarray(quat_rotate(c2b, jnp.asarray(vec, jnp.float32)))
             twist = TwistWithCovarianceStamped.make(
                 frame_id=self.uav_frame,
                 stamp=msg.stamp,
@@ -508,6 +537,7 @@ class OpticFlowNode:
             )
             self.publish(topic, twist)
             twists.append(twist)
+        self._note_result(True)
         self._frames_processed += 1
         return twists[0]
 
@@ -583,12 +613,22 @@ class OpticFlowNode:
 
             for shape in shapes:
                 self._process_image(ImageMsg(stamp=0.05, data=np.zeros(shape, np.uint8)))
-            # compile the long-range path too
+            # compile the fused long-range program for the same geometries
             if hasattr(self.engine, "step_long_range"):
-                self.engine.step_long_range(
-                    self.engine.init_state(),
-                    jnp.zeros((c.frame_size, c.frame_size), jnp.float32),
-                )
+                for shape in shapes:
+                    ch = shape[2] if len(shape) == 3 else 1
+                    cx_eff = int(self.camera_matrix[0, 2] / c.scale_factor
+                                 if abs(c.scale_factor - 1.0) > 0.01
+                                 else self.camera_matrix[0, 2])
+                    prog = self._frame_program_lr(shape[0], shape[1], ch, cx_eff)
+                    prog(
+                        self.engine.init_state(),
+                        jnp.zeros(shape, jnp.uint8),
+                        jnp.float32(1.0), jnp.float32(0.05),
+                        jnp.asarray(self.camera_matrix, jnp.float32),
+                        jnp.asarray([0, 0, 0, 1], jnp.float32),
+                        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+                    )
         finally:
             self.publish = pub
             (
