@@ -98,5 +98,12 @@ class OpticFlowCalc:
                 pass
         return result.shifts
 
+    def process_image_long_range(self, im_curr, *args, **kwargs):
+        """``FftMethod::processImageLongRange`` (``include/FftMethod.h:441``)
+        through the same stateful interface."""
+        self.state, result = self.engine.step_long_range(self.state, im_curr)
+        self.last_result = result
+        return result.shifts
+
     def set_im_prev(self, frame):
         self.state = self.engine.set_im_prev(self.state, frame)
