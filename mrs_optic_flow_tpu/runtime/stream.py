@@ -154,6 +154,37 @@ class SyntheticScene:
         img = ndimage.map_coordinates(self.texture, [ty, tx], order=1, mode="wrap")
         return img.astype(np.float32)
 
+    def render_pose(self, cam_xy: Tuple[float, float], rpy=(0.0, 0.0, 0.0)) -> np.ndarray:
+        """Frame for a camera at ``cam_xy`` with orientation ``rpy``
+        (fixed-axis roll/pitch/yaw of the body; camera looks along +z down).
+
+        Rays are cast through the (un)distortion model, rotated by the body
+        attitude, and intersected with the ground plane — tilted flight with
+        exact geometry, for end-to-end tests of the detilt / decomposition
+        chain (``src/optic_flow.cpp:1694-1746``).
+        """
+        from scipy.spatial.transform import Rotation
+
+        u = np.arange(self.width)
+        v = np.arange(self.height_px)
+        uu, vv = np.meshgrid(u, v)
+        xd = (uu - self.cx) / self.fx
+        yd = (vv - self.cy) / self.fy
+        if np.any(self.dist_coeffs != 0.0):
+            xn, yn = self._undistort_np(xd, yd)
+        else:
+            xn, yn = xd, yd
+        rays = np.stack([xn, yn, np.ones_like(xn)], axis=-1)  # camera frame
+        r_wc = Rotation.from_euler("xyz", rpy).as_matrix()
+        d = rays @ r_wc.T  # world frame
+        t = self.uav_height / d[..., 2]  # ground plane at +height below
+        gx = cam_xy[0] + t * d[..., 0]
+        gy = cam_xy[1] + t * d[..., 1]
+        tx = (gx * self.texture_scale) % self._ts
+        ty = (gy * self.texture_scale) % self._ts
+        img = ndimage.map_coordinates(self.texture, [ty, tx], order=1, mode="wrap")
+        return img.astype(np.float32)
+
     def trajectory_events(
         self,
         stream: FrameStream,

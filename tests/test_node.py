@@ -298,3 +298,30 @@ def test_stream_event_ordering():
     fs.add("imu", 2.0, Imu(stamp=2.0, angular_velocity=(0, 0, 0), orientation=(0, 0, 0, 1)))
     fs.run()
     assert [s for s, _ in seen] == ["h", "u", "i"]
+
+
+def test_e2e_tilted_flight():
+    """Constant-tilt flight: rays rendered through the true tilted geometry;
+    the detilt chain (src/optic_flow.cpp:1694-1746) must still recover the
+    world-frame velocity in fcu_untilted."""
+    from mrs_optic_flow_tpu.utils.quat_np import np_quat_from_rpy
+
+    roll, pitch = 0.12, -0.08
+    v_true = (0.6, -0.3)
+    published = []
+    node = _make_node(published)
+    scene = SyntheticScene(uav_height=HEIGHT, seed=30)
+    node.on_camera_info(scene.camera_info())
+    tilt_q = tuple(np_quat_from_rpy(roll, pitch, 0.0))
+    for i in range(6):
+        t = 100.0 + i * DT
+        node.on_imu(Imu(stamp=t, angular_velocity=(0, 0, 0), orientation=tilt_q))
+        node.on_odometry(Odometry(stamp=t, orientation=tilt_q))
+        node.on_height(Float64Stamped(stamp=t, value=HEIGHT))
+        pos = (v_true[0] * i * DT, v_true[1] * i * DT)
+        node.on_image(ImageMsg(stamp=t, data=scene.render_pose(pos, (roll, pitch, 0.0))))
+    twists = [m for t, m in published if t == "velocity_out"]
+    assert len(twists) >= 3, node.health
+    v = np.array([tw.linear[:2] for tw in twists[1:]])
+    err = np.abs(v - np.array(v_true)).max(0)
+    assert np.all(err < 0.2), (v.mean(0), v_true)
