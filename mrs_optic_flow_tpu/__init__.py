@@ -37,3 +37,21 @@ from mrs_optic_flow_tpu.ops.phase_correlate import (  # noqa: F401
     correlation_surface,
     peak_refine,
 )
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (keep `import mrs_optic_flow_tpu` light)."""
+    if name in ("FftMethod", "FftMethodConfig", "BlockMethod", "FastSpacedBM",
+                "ScaleRotationEstimator", "OpticFlowCalc", "make_engine"):
+        import mrs_optic_flow_tpu.models as m
+
+        return getattr(m, name)
+    if name in ("OpticFlowNode", "FrameStream", "SyntheticScene"):
+        import mrs_optic_flow_tpu.runtime as r
+
+        return getattr(r, name)
+    if name == "load_config":
+        from mrs_optic_flow_tpu.config import load_config
+
+        return load_config
+    raise AttributeError(name)
