@@ -310,12 +310,20 @@ def _phase_correlate_body(
         shi, slo = shi_ref[...], slo_ref[...]
         acc = functools.partial(jax.lax.dot, preferred_element_type=jnp.float32)
 
-        def dot_c(x):
+        def dot_pair(x):
+            """x @ C and x @ S with one shared hi/lo split of x."""
+            xhi = x.astype(jnp.bfloat16)
+            xlo = (x - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+            xc = acc(xhi, chi) + acc(xhi, clo) + acc(xlo, chi)
+            xs = acc(xhi, shi) + acc(xhi, slo) + acc(xlo, shi)
+            return xc, xs
+
+        def dot_c_only(x):
             xhi = x.astype(jnp.bfloat16)
             xlo = (x - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
             return acc(xhi, chi) + acc(xhi, clo) + acc(xlo, chi)
 
-        def dot_s(x):
+        def dot_s_only(x):
             xhi = x.astype(jnp.bfloat16)
             xlo = (x - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
             return acc(xhi, shi) + acc(xhi, slo) + acc(xlo, shi)
@@ -323,31 +331,48 @@ def _phase_correlate_body(
     else:
         c, s = chi_ref[...], shi_ref[...]
         hdot = functools.partial(jax.lax.dot, precision=jax.lax.Precision.HIGHEST)
-        dot_c = lambda x: hdot(x, c)  # noqa: E731
-        dot_s = lambda x: hdot(x, s)  # noqa: E731
 
-    def left_c(x):  # c @ x via (x^T @ c^T)^T; C and S are symmetric
-        return jnp.swapaxes(dot_c(jnp.swapaxes(x, 0, 1)), 0, 1)
+        def dot_pair(x):
+            return hdot(x, c), hdot(x, s)
 
-    def left_s(x):
-        return jnp.swapaxes(dot_s(jnp.swapaxes(x, 0, 1)), 0, 1)
+        def dot_c_only(x):
+            return hdot(x, c)
 
-    def dft2(x):
-        tr, ti = dot_c(x), dot_s(x)
-        return left_c(tr) - left_s(ti), left_c(ti) + left_s(tr)
+        def dot_s_only(x):
+            return hdot(x, s)
 
-    f1r, f1i = dft2(src1.astype(jnp.float32))
-    f2r, f2i = dft2(src2.astype(jnp.float32))
+    # Everything runs as RIGHT multiplies in alternating orientation (the
+    # left multiply ``W @ X`` is ``(X^T @ W)^T`` and W is symmetric), so a
+    # 2-D DFT needs ONE transpose instead of one per left-product; the
+    # cross-power is elementwise and orientation-agnostic, so the spectra
+    # simply stay transposed until the inverse transform flips them back.
 
+    def dft2_t(x):
+        """Forward 2-D DFT, returning the TRANSPOSED spectrum."""
+        tr, ti = dot_pair(x)
+        rc, rs = dot_pair(jnp.swapaxes(tr, 0, 1))
+        ic, is_ = dot_pair(jnp.swapaxes(ti, 0, 1))
+        return rc - is_, ic + rs
+
+    f1r, f1i = dft2_t(src1.astype(jnp.float32))
+    f2r, f2i = dft2_t(src2.astype(jnp.float32))
+
+    # cmulnormf on the transposed spectra (cl/FftMethod.cl:976-982)
     rr = f1r * f2r + f1i * f2i
     ri = f1i * f2r - f1r * f2i
     denom = jax.lax.rsqrt(rr * rr + ri * ri + FLT_EPSILON)
     rr = rr * denom
     ri = ri * denom
 
-    ur = dot_c(rr) + dot_s(ri)
-    ui = dot_c(ri) - dot_s(rr)
-    v = (left_c(ur) + left_s(ui)) * (1.0 / (n * n))
+    # r = V R V with V = conj(W) = C - iS:  P = R^T V, then v = P^T V —
+    # the middle transpose restores the natural orientation for the peak.
+    rr_c, rr_s = dot_pair(rr)
+    ri_c, ri_s = dot_pair(ri)
+    pr = rr_c + ri_s
+    pi = ri_c - rr_s
+    v = (
+        dot_c_only(jnp.swapaxes(pr, 0, 1)) + dot_s_only(jnp.swapaxes(pi, 0, 1))
+    ) * (1.0 / (n * n))
 
     maxval, cx, cy = _masked_peak_centroid(v, n, search_radius, centroid_radius)
     out_ref[pl.ds(row, 1), :] = _pack_row(maxval, cx, cy)
