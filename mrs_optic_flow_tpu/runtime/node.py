@@ -315,6 +315,39 @@ class OpticFlowNode:
         return run
 
     @functools.lru_cache(maxsize=8)
+    def _frame_program_simple(self, h: int, w: int, channels: int, cx_eff: int):
+        """Fused program for the block-matching engines (methods 3/5):
+        preprocess -> SAD engine step -> simple metric scaling
+        ``v = -shift * height / f / dt`` with rate feed-forward (the
+        get2DT math at ratio 1 — the legacy velocity path the reference's
+        older pipeline used; the reference node refuses methods 3/5 outright,
+        ``src/optic_flow.cpp:953-1011``, so this is an extension)."""
+        c = self.config
+        pre_cropped = channels == 1 and (h, w) == (c.frame_size, c.frame_size)
+        ul_x = jnp.float32(cx_eff - c.frame_size // 2)
+
+        @jax.jit
+        def run(state, img, height, dt, cam, c2b, roll_rate, pitch_rate, cam_yaw):
+            if pre_cropped:
+                gray = jnp.asarray(img, jnp.float32)
+            else:
+                g = to_grayscale(img) if channels == 3 else jnp.asarray(img, jnp.float32)
+                if abs(c.scale_factor - 1.0) > 0.01:
+                    g = resize_by(g, c.scale_factor)
+                gray = center_crop(g, c.frame_size, cx_eff)
+
+            new_state, flow = self.engine.step(state, gray)
+            res = get_2dt(
+                flow.shifts, height, dt, ul_x, cam,
+                roll_rate, pitch_rate, cam_yaw,
+                long_range_ratio=1,
+            )
+            tran_b = quat_rotate(c2b, res.tran)
+            return new_state, gray, flow, res.ok, tran_b
+
+        return run
+
+    @functools.lru_cache(maxsize=8)
     def _frame_program_lr(self, h: int, w: int, channels: int, cx_eff: int):
         """Fused long-range program: preprocess -> 4x-downsampled engine
         step -> get2DT -> body-frame rotation of both output vectors
@@ -429,6 +462,46 @@ class OpticFlowNode:
         self._key, key = jax.random.split(self._key)
         detilt = np_quat_from_rpy(self.imu_roll, self.imu_pitch, 0.0)  # (:1702)
         c2b = jnp.asarray(self.c2b_quat, jnp.float32)
+
+        if not isinstance(self.engine, FftMethod):
+            # block-matching engines (methods 3/5): single aggregated vector
+            # through the simple metric-scaling path
+            prog = self._frame_program_simple(img.shape[0], img.shape[1], channels, cx_eff)
+            with self._mutex, self.profiler.routine("frame_program_simple"):
+                (self.flow_state, gray, flow, ok, tran_b_dev) = prog(
+                    self.flow_state,
+                    jnp.asarray(img),
+                    jnp.float32(height),
+                    jnp.float32(self.dt),
+                    jnp.asarray(self.camera_matrix, jnp.float32),
+                    c2b,
+                    jnp.float32(self.imu_roll_rate),
+                    jnp.float32(self.imu_pitch_rate),
+                    jnp.float32(self.cam_yaw),
+                )
+            if c.raw_output:
+                self.publish("points_raw_out", np.asarray(flow.shifts_raw))
+            if c.store_video:
+                self._record_overlay(msg.stamp, gray, flow)
+            if not bool(ok):
+                self._note_result(False)
+                return None
+            tran_b = np.asarray(tran_b_dev)
+            if not np.all(np.isfinite(tran_b[:2])):
+                self._note_result(False)
+                return None
+            fx = float(self.camera_matrix[0, 0])
+            twist = TwistWithCovarianceStamped.make(
+                frame_id=self.uav_frame,
+                stamp=msg.stamp,
+                linear=(float(tran_b[0]), float(tran_b[1]), float("nan")),
+                angular=(float("nan"),) * 3,
+                cov_xy=(50.0 * height / fx) ** 2,
+            )
+            self.publish("velocity_out", twist)
+            self._note_result(True)
+            self._frames_processed += 1
+            return twist
 
         if not long_range:
             # ---- short-range: the whole per-frame chain in one dispatch ----

@@ -46,8 +46,11 @@ def flow_overlay(
     better in a still image)."""
     img = np.asarray(frame, np.float32).copy()
     img = np.clip(img, 0, 255).astype(np.uint8)
-    q = frame.shape[0] // patch
     shifts = np.asarray(shifts).reshape(-1, 2)
+    # grid side from the shift count (block-matching engines emit a single
+    # aggregated vector; the FFT engine a qxq grid)
+    q = max(int(round(len(shifts) ** 0.5)), 1)
+    patch = frame.shape[0] // q
     for j in range(q):
         for i in range(q):
             s = shifts[i + q * j]

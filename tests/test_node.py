@@ -325,3 +325,38 @@ def test_e2e_tilted_flight():
     v = np.array([tw.linear[:2] for tw in twists[1:]])
     err = np.abs(v - np.array(v_true)).max(0)
     assert np.all(err < 0.2), (v.mean(0), v_true)
+
+
+def test_node_block_matching_method():
+    """Methods 3/5 end-to-end through the node (the reference refuses them,
+    src/optic_flow.cpp:953-1011; here the single aggregated vector goes
+    through the simple metric-scaling path)."""
+    for method in (3, 5):
+        published = []
+        node = _make_node(
+            published,
+            mrs_optic_flow={
+                "method": method, "frame_size": 96, "sample_point_size": 24,
+                "scan_radius": 8, "step_size": 8,
+            },
+        )
+        # texture_scale matched to the pixel footprint (h/f = 2 cm/px)
+        # so the rendered frames are not aliased
+        scene = SyntheticScene(
+            uav_height=HEIGHT, width=128, height_px=128, fx=100.0, fy=100.0,
+            texture_cutoff=0.35, texture_scale=50.0, seed=31,
+        )
+        node.on_camera_info(scene.camera_info())
+        v = (0.4, -0.2)
+        for i in range(4):
+            t = 100.0 + i * DT
+            node.on_imu(Imu(stamp=t, angular_velocity=(0, 0, 0), orientation=(0, 0, 0, 1)))
+            node.on_odometry(Odometry(stamp=t, orientation=(0, 0, 0, 1)))
+            node.on_height(Float64Stamped(stamp=t, value=HEIGHT))
+            pos = (v[0] * i * DT, v[1] * i * DT)
+            node.on_image(ImageMsg(stamp=t, data=scene.render(pos)))
+        twists = [m for t, m in published if t == "velocity_out"]
+        assert len(twists) >= 2, (method, node.health)
+        got = np.array([tw.linear[:2] for tw in twists[1:]]).mean(0)
+        # integer-pixel engines at 100 px focal / 2 m height: ~0.4 m/s per px
+        assert np.abs(got - np.array(v)).max() < 0.45, (method, got)
