@@ -16,11 +16,13 @@ Behavioural parity notes:
   image centre for y (``:1610-1612``).  With ``scale_factor != 1`` the
   reference crops the scaled image around the unscaled cx (``:1604-1610``) —
   an off-centre crop; here cx is scaled consistently.
-- Dead-but-loaded parameters (calibration velocity-correction ratios,
-  abs/rel bounding, speed_noise, filter_method for the main path) are kept
-  in the config for surface parity but — like the reference — do not alter
-  the published velocity (``src/optic_flow.cpp:883-887`` load them; no use
-  site exists in the live pipeline).
+- Dead-but-loaded parameters of the reference (calibration
+  velocity-correction ratios, abs/rel bounding, speed_noise) are kept in
+  the config for surface parity but — like the reference — do not alter the
+  published velocity (``src/optic_flow.cpp:883-887`` load them; no use site
+  exists in the live pipeline).  ``filter_method`` and the ransac params,
+  dead in the reference's live path, ARE live here on the block-matching
+  path (consensus fusion of per-cell velocities).
 """
 
 from __future__ import annotations
@@ -317,17 +319,19 @@ class OpticFlowNode:
     @functools.lru_cache(maxsize=8)
     def _frame_program_simple(self, h: int, w: int, channels: int, cx_eff: int):
         """Fused program for the block-matching engines (methods 3/5):
-        preprocess -> SAD engine step -> simple metric scaling
-        ``v = -shift * height / f / dt`` with rate feed-forward (the
-        get2DT math at ratio 1 — the legacy velocity path the reference's
-        older pipeline used; the reference node refuses methods 3/5 outright,
-        ``src/optic_flow.cpp:953-1011``, so this is an extension)."""
+        preprocess -> SAD engine step -> per-cell velocities -> consensus
+        fusion per ``filter_method`` (allsac / ransac / average, the
+        toolkit of ``src/utilityFunctions.cpp:58-216`` applied in velocity
+        space like the reference's legacy pipeline).  The reference node
+        refuses methods 3/5 outright (``src/optic_flow.cpp:953-1011``), so
+        this path is an extension."""
+        from mrs_optic_flow_tpu.filters import allsac_mean, point_mean, ransac_mean
+
         c = self.config
         pre_cropped = channels == 1 and (h, w) == (c.frame_size, c.frame_size)
-        ul_x = jnp.float32(cx_eff - c.frame_size // 2)
 
         @jax.jit
-        def run(state, img, height, dt, cam, c2b, roll_rate, pitch_rate, cam_yaw):
+        def run(state, img, height, dt, cam, c2b, key):
             if pre_cropped:
                 gray = jnp.asarray(img, jnp.float32)
             else:
@@ -337,13 +341,27 @@ class OpticFlowNode:
                 gray = center_crop(g, c.frame_size, cx_eff)
 
             new_state, flow = self.engine.step(state, gray)
-            res = get_2dt(
-                flow.shifts, height, dt, ul_x, cam,
-                roll_rate, pitch_rate, cam_yaw,
-                long_range_ratio=1,
-            )
-            tran_b = quat_rotate(c2b, res.tran)
-            return new_state, gray, flow, res.ok, tran_b
+            # per-cell metric velocities: v = -d * h / f / dt
+            cells = jnp.atleast_2d(flow.shifts_raw)
+            scale = jnp.stack([height / cam[0, 0], height / cam[1, 1]])
+            vels = -cells * scale / dt
+            valid = jnp.all(jnp.isfinite(vels), axis=-1)
+            vels = jnp.where(valid[:, None], vels, 0.0)
+            thr_sq = jnp.float32(c.ransac_threshold_rad_sq)
+            if c.filter_method == "allsac":
+                vec, _ = allsac_mean(vels, valid, thr_sq)
+            elif c.filter_method == "ransac":
+                vec = ransac_mean(
+                    vels, valid, thr_sq, key,
+                    num_of_chosen=c.ransac.num_of_chosen,
+                    num_of_iterations=c.ransac.num_of_iter,
+                )
+            else:  # "average"
+                vec = point_mean(vels, valid)
+            ok = jnp.any(valid) & jnp.all(jnp.isfinite(vec))
+            tran = jnp.concatenate([vec, jnp.zeros((1,), vec.dtype)])
+            tran_b = quat_rotate(c2b, tran)
+            return new_state, gray, flow, ok, tran_b
 
         return run
 
@@ -475,9 +493,7 @@ class OpticFlowNode:
                     jnp.float32(self.dt),
                     jnp.asarray(self.camera_matrix, jnp.float32),
                     c2b,
-                    jnp.float32(self.imu_roll_rate),
-                    jnp.float32(self.imu_pitch_rate),
-                    jnp.float32(self.cam_yaw),
+                    key,
                 )
             if c.raw_output:
                 self.publish("points_raw_out", np.asarray(flow.shifts_raw))

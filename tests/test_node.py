@@ -360,3 +360,33 @@ def test_node_block_matching_method():
         got = np.array([tw.linear[:2] for tw in twists[1:]]).mean(0)
         # integer-pixel engines at 100 px focal / 2 m height: ~0.4 m/s per px
         assert np.abs(got - np.array(v)).max() < 0.45, (method, got)
+
+
+def test_filter_method_variants():
+    """filter_method (allsac / ransac / average) is live on the
+    block-matching path — per-cell velocities consensus-fused."""
+    for fm in ("allsac", "ransac", "average"):
+        published = []
+        node = _make_node(
+            published,
+            mrs_optic_flow={
+                "method": 3, "frame_size": 96, "sample_point_size": 24,
+                "scan_radius": 8, "step_size": 8, "filter_method": fm,
+            },
+        )
+        scene = SyntheticScene(
+            uav_height=HEIGHT, width=128, height_px=128, fx=100.0, fy=100.0,
+            texture_cutoff=0.35, texture_scale=50.0, seed=32,
+        )
+        node.on_camera_info(scene.camera_info())
+        v = (0.4, 0.0)
+        for i in range(4):
+            t = 100.0 + i * DT
+            node.on_imu(Imu(stamp=t, angular_velocity=(0, 0, 0), orientation=(0, 0, 0, 1)))
+            node.on_odometry(Odometry(stamp=t, orientation=(0, 0, 0, 1)))
+            node.on_height(Float64Stamped(stamp=t, value=HEIGHT))
+            node.on_image(ImageMsg(stamp=t, data=scene.render((v[0] * i * DT, 0.0))))
+        twists = [m for t, m in published if t == "velocity_out"]
+        assert len(twists) >= 2, (fm, node.health)
+        got = np.array([tw.linear[0] for tw in twists[1:]]).mean()
+        assert abs(got - v[0]) < 0.45, (fm, got)
