@@ -238,7 +238,7 @@ def decompose_homography(h: jnp.ndarray) -> HomographyDecomposition:
     hn = hn * sign
 
     s = jnp.matmul(hn.swapaxes(-1, -2), hn, precision=_HI) - jnp.eye(3, dtype=hn.dtype)
-    rotation_only = jnp.max(jnp.abs(s)) < 1e-3
+    rotation_only = jnp.max(jnp.abs(s), axis=(-2, -1)) < 1e-3  # per-batch
 
     m00 = _opposite_of_minor(s, 0, 0)
     m11 = _opposite_of_minor(s, 1, 1)
@@ -295,8 +295,10 @@ def decompose_homography(h: jnp.ndarray) -> HomographyDecomposition:
     norms = jnp.stack([na, -na, nb, -nb], axis=-2)
 
     # pure-rotation fallback in slot 0
-    rots = jnp.where(rotation_only, jnp.broadcast_to(hn, rots.shape), rots)
-    trans = jnp.where(rotation_only, jnp.zeros_like(trans), trans)
-    norms = jnp.where(rotation_only, jnp.zeros_like(norms), norms)
+    ro_m = rotation_only[..., None, None, None]  # broadcast over [sol, 3, 3]
+    ro_v = rotation_only[..., None, None]  # broadcast over [sol, 3]
+    rots = jnp.where(ro_m, jnp.broadcast_to(hn[..., None, :, :], rots.shape), rots)
+    trans = jnp.where(ro_v, jnp.zeros_like(trans), trans)
+    norms = jnp.where(ro_v, jnp.zeros_like(norms), norms)
     n_solutions = jnp.where(rotation_only, 1, 4).astype(jnp.int32)
     return HomographyDecomposition(rots, trans, norms, n_solutions)

@@ -315,3 +315,60 @@ def test_get_2dt_ratio2_inlier_vote():
         jnp.float32(0.0), long_range_ratio=2,
     )
     assert not bool(res2.ok)
+
+
+def test_homography_too_few_valid_points():
+    """< 4 valid points cannot fit a homography -> ok False, identity H."""
+    src = np.zeros((16, 2), np.float32)
+    dst = np.zeros((16, 2), np.float32)
+    valid = np.zeros(16, bool)
+    valid[:3] = True
+    res = find_homography_ransac(
+        jnp.asarray(src), jnp.asarray(dst), jnp.asarray(valid), jax.random.PRNGKey(0)
+    )
+    assert not bool(res.ok)
+    np.testing.assert_array_equal(np.asarray(res.h), np.eye(3, dtype=np.float32))
+
+
+def test_get_rt_all_nan_shifts():
+    shifts = np.full((16, 2), np.nan, np.float32)
+    res = get_rt(
+        jnp.asarray(shifts), jnp.float32(2.0), jnp.float32(0.05), jnp.float32(0.0),
+        jnp.asarray(K, jnp.float32), jnp.asarray(DIST, jnp.float32),
+        quat_from_rpy(0.0, 0.0, 0.0), quat_from_rpy(0.0, 0.0, 0.0),
+        jax.random.PRNGKey(0), frame_size=480, patch=120,
+    )
+    assert not bool(res.ok)
+
+
+def test_get_rt_zero_dt():
+    """dt == 0 -> 1/dt infinite -> rejected (src/optic_flow.cpp:517-520)."""
+    shifts = np.ones((16, 2), np.float32)
+    res = get_rt(
+        jnp.asarray(shifts), jnp.float32(2.0), jnp.float32(0.0), jnp.float32(0.0),
+        jnp.asarray(K, jnp.float32), jnp.asarray(DIST, jnp.float32),
+        quat_from_rpy(0.0, 0.0, 0.0), quat_from_rpy(0.0, 0.0, 0.0),
+        jax.random.PRNGKey(0), frame_size=480, patch=120,
+    )
+    assert not bool(res.ok)
+
+
+def test_decompose_batched():
+    """decompose_homography broadcasts over leading batch dims."""
+    rng_ = np.random.default_rng(3)
+    hs = []
+    for _ in range(3):
+        r = _rot(rng_)
+        n = np.array([0.0, 0.1, -1.0]); n /= np.linalg.norm(n)
+        t = 0.2 * rng_.standard_normal(3)
+        hs.append(r + np.outer(t, n))
+    dec = decompose_homography(jnp.asarray(np.stack(hs), jnp.float32))
+    assert dec.rotations.shape == (3, 4, 3, 3)
+    assert dec.translations.shape == (3, 4, 3)
+    # each solution set is self-consistent: H_n ~ R + t n^T
+    for b in range(3):
+        hn = np.asarray(hs[b]) / np.linalg.svd(hs[b], compute_uv=False)[1]
+        recon = np.asarray(dec.rotations[b, 0]) + np.outer(
+            np.asarray(dec.translations[b, 0]), np.asarray(dec.normals[b, 0])
+        )
+        assert np.abs(recon - hn).max() < 1e-3
