@@ -231,11 +231,10 @@ def decompose_homography(h: jnp.ndarray) -> HomographyDecomposition:
     # points in front of the camera map with positive depth
     sv = jnp.linalg.svd(h, compute_uv=False)
     gamma = sv[..., 1]
-    hn = h / gamma
+    hn = h / gamma[..., None, None]
     # OpenCV flips the sign so that the decomposition exists: require
     # x2^T * Hn * x1 > 0 for visible points; use the (0,0,1) ray.
-    sign = _signd(hn[..., 2, 2])
-    hn = hn * sign
+    hn = hn * _signd(hn[..., 2, 2])[..., None, None]
 
     s = jnp.matmul(hn.swapaxes(-1, -2), hn, precision=_HI) - jnp.eye(3, dtype=hn.dtype)
     rotation_only = jnp.max(jnp.abs(s), axis=(-2, -1)) < 1e-3  # per-batch
@@ -260,8 +259,9 @@ def decompose_homography(h: jnp.ndarray) -> HomographyDecomposition:
     npb1 = jnp.stack([s[..., 0, 1] - rt_m22, s11, s[..., 1, 2] + e02 * rt_m00], -1)
     npa2 = jnp.stack([s[..., 0, 2] + e01 * rt_m11, s[..., 1, 2] + rt_m00, s22], -1)
     npb2 = jnp.stack([s[..., 0, 2] - e01 * rt_m11, s[..., 1, 2] - rt_m00, s22], -1)
-    npa = jnp.select([idx == 0, idx == 1], [npa0, npa1], npa2)
-    npb = jnp.select([idx == 0, idx == 1], [npb0, npb1], npb2)
+    sel = [(idx == 0)[..., None], (idx == 1)[..., None]]
+    npa = jnp.select(sel, [npa0, npa1], npa2)
+    npb = jnp.select(sel, [npb0, npb1], npb2)
 
     trace_s = s00 + s11 + s22
     v = 2.0 * jnp.sqrt(jnp.maximum(1.0 + trace_s - m00 - m11 - m22, 0.0))
@@ -283,7 +283,8 @@ def decompose_homography(h: jnp.ndarray) -> HomographyDecomposition:
     def rmat_from(tstar, nvec):
         # R = Hn (I - (2/v) tstar n^T)
         outer = tstar[..., :, None] * nvec[..., None, :]
-        return jnp.matmul(hn, jnp.eye(3, dtype=hn.dtype) - (2.0 / v) * outer, precision=_HI)
+        inv_v = (2.0 / v)[..., None, None]
+        return jnp.matmul(hn, jnp.eye(3, dtype=hn.dtype) - inv_v * outer, precision=_HI)
 
     ra = rmat_from(ta_star, na)
     rb = rmat_from(tb_star, nb)
