@@ -60,13 +60,16 @@ class ServingLoop:
         pad = b - n
 
         def stack(get, dtype=np.float32):
-            arr = np.stack([np.asarray(get(r), dtype) for r in batch])
+            arr = np.stack([np.asarray(get(r)) if dtype is None else np.asarray(get(r), dtype)
+                            for r in batch])
             if pad:
                 arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
             return jnp.asarray(arr)
 
-        prev = stack(lambda r: r.prev)
-        curr = stack(lambda r: r.curr)
+        # frames keep their own dtype: uint8 capture crosses host->device at
+        # a quarter of the bytes of float32; the pipeline casts on device
+        prev = stack(lambda r: r.prev, dtype=None)
+        curr = stack(lambda r: r.curr, dtype=None)
         heights = stack(lambda r: r.height)
         dts = stack(lambda r: r.dt)
         rates = stack(lambda r: r.rate_quat)

@@ -37,6 +37,34 @@ def test_serving_loop_batches(rng):
     assert sum(r.ok for r in results) >= 5
 
 
+def test_serving_uint8_matches_float32(rng):
+    """uint8 frames cross host->device as-is (4x fewer bytes) and must give
+    bit-identical results to pre-converted float32 frames (the pipeline casts
+    on device, mirroring the reference's host convertTo ``src/FftMethod.cpp:1805``)."""
+    pipe = BatchPipeline(
+        frame_size=48, sample_point_size=12, camera_matrix=K,
+        dist_coeffs=np.zeros(5, np.float32), ransac_iterations=32,
+    )
+
+    def run(dtype):
+        loop = ServingLoop(pipe, batch_size=4)
+        reqs = []
+        for i in range(6):
+            img = smooth_random_image(np.random.default_rng(i), 64)
+            prev = (img * 255).astype(np.uint8)  # quantize once, shared by both paths
+            curr = np.roll(prev, (i % 3) - 1, axis=1)
+            reqs.append(ServingRequest(
+                prev=prev.astype(dtype), curr=curr.astype(dtype),
+                height=2.0, dt=0.05))
+        return list(loop.run(reqs))
+
+    r8, r32 = run(np.uint8), run(np.float32)
+    for a, b in zip(r8, r32):
+        np.testing.assert_array_equal(a.shifts, b.shifts)
+        np.testing.assert_array_equal(a.tran, b.tran)
+        assert a.ok == b.ok
+
+
 def test_serving_partial_batch(rng):
     pipe = BatchPipeline(
         frame_size=48, sample_point_size=12, camera_matrix=K,
