@@ -44,18 +44,26 @@ def _auto_interpret(interpret):
     return interpret
 
 
-def _masked_peak_centroid(v, n: int, search_radius: int, centroid_radius: int):
+def _masked_peak_centroid(
+    v, n: int, search_radius: int, centroid_radius: int, transposed: bool = False
+):
     """Shared kernel body: v is the raw (unshifted) [N, N] surface.
 
     Works entirely in index space: pre-shift index ``i`` corresponds to the
     fftshifted coordinate ``(i + N//2) % N``, so instead of rolling the data
     we roll the coordinates (free on the VPU).
+
+    ``transposed=True`` treats ``v`` as the transposed surface (rows = x,
+    cols = y) and returns the same ``(maxval, cx, cy)`` — including the
+    reference's row-major tie order, reconstructed in index space.
     """
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     # fftshifted coordinates of every element
     srow = (rows + n // 2) % n
     scol = (cols + n // 2) % n
+    if transposed:
+        srow, scol = scol, srow
 
     # SEARCH_RADIUS mask (cl/FftMethod.cl:737, :826): keep |s - N//2| <= R
     keep = (jnp.abs(srow - n // 2) <= search_radius) & (
@@ -162,8 +170,8 @@ def peak_refine_pallas(
 
 
 def _fullfused_frames_kernel(
-    src1_ref, src2_ref, chi_ref, clo_ref, shi_ref, slo_ref, out_ref,
-    *, n, q, search_radius, centroid_radius, bf16x3,
+    src1_ref, src2_ref, *refs,
+    n, q, search_radius, centroid_radius, bf16x3, half_spectrum,
 ):
     """Frame-banded variant: the grid is (batch, qy) and each step's
     BlockSpec carves a full row band ``[S, W]`` straight out of the frame —
@@ -172,24 +180,62 @@ def _fullfused_frames_kernel(
     disappears.  (Mosaic requires lane-dim blocks of 128 or full width, so
     the tiling is per-band, not per-patch.)  Field order stays
     ``index = i + q*j`` (``src/FftMethod.cpp:417``)."""
+    weight_refs, out_ref = refs[:-1], refs[-1]
     b = pl.program_id(0)
-    j = pl.program_id(1)
-    band1 = src1_ref[0]  # [S, W]
-    band2 = src2_ref[0]
-    for i in range(q):
-        row = (b * q + j) * q + i
-        _phase_correlate_body(
-            jax.lax.slice(band1, (0, i * n), (n, (i + 1) * n)),
-            jax.lax.slice(band2, (0, i * n), (n, (i + 1) * n)),
-            chi_ref, clo_ref, shi_ref, slo_ref,
-            out_ref, row, n=n, search_radius=search_radius,
-            centroid_radius=centroid_radius, bf16x3=bf16x3,
-        )
+    jg = pl.program_id(1)
+    g = src1_ref.shape[1] // n  # bands per grid step
+    for jj in range(g):
+        j = jg * g + jj
+        band1 = src1_ref[0, jj * n : (jj + 1) * n]  # [S, W]
+        band2 = src2_ref[0, jj * n : (jj + 1) * n]
+        if half_spectrum:
+            _pc_band_body_half(
+                band1, band2, *weight_refs,
+                out_ref=out_ref, row0=(b * q + j) * q, n=n, q=q,
+                search_radius=search_radius,
+                centroid_radius=centroid_radius, bf16x3=bf16x3,
+            )
+            continue
+        for i in range(q):
+            row = (b * q + j) * q + i
+            _phase_correlate_body(
+                jax.lax.slice(band1, (0, i * n), (n, (i + 1) * n)),
+                jax.lax.slice(band2, (0, i * n), (n, (i + 1) * n)),
+                *weight_refs,
+                out_ref=out_ref, row=row, n=n, search_radius=search_radius,
+                centroid_radius=centroid_radius, bf16x3=bf16x3,
+            )
+
+
+def _weight_operands(n: int, bf16x3: bool, half_spectrum: bool):
+    """DFT weight operands + their BlockSpecs (constant index maps).
+
+    Always passes (hi, lo) per matrix so kernel signatures are static; in
+    full-precision mode ``hi`` is the f32 matrix and ``lo`` goes unused.
+    """
+    if half_spectrum:
+        mats = list(_dft_packed_half(n))
+    else:
+        mats = list(_dft_matrices(n))
+    ops, specs = [], []
+    for m in mats:
+        hi, lo = _split_bf16(m)
+        if not bf16x3:
+            hi = m
+        nd = len(m.shape)
+        specs += [
+            pl.BlockSpec(m.shape, (lambda *_: (0,) * nd), memory_space=pltpu.VMEM)
+        ] * 2
+        ops += [jnp.asarray(hi), jnp.asarray(lo)]
+    return ops, specs
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("patch", "search_radius", "centroid_radius", "interpret", "bf16x3"),
+    static_argnames=(
+        "patch", "search_radius", "centroid_radius", "interpret", "bf16x3",
+        "half_spectrum", "bands_per_step",
+    ),
 )
 def phase_correlate_frames_pallas(
     curr_frames: jnp.ndarray,
@@ -200,9 +246,17 @@ def phase_correlate_frames_pallas(
     centroid_radius: int = 3,
     interpret: bool | None = None,
     bf16x3: bool = True,
+    half_spectrum: bool = True,
+    bands_per_step: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Whole-frame batched phase correlation without patch extraction:
-    ``[B, H, W]`` frame pairs -> ``(shift [B, q*q, 2], maxval [B, q*q])``."""
+    ``[B, H, W]`` frame pairs -> ``(shift [B, q*q, 2], maxval [B, q*q])``.
+
+    ``bands_per_step``: row bands processed per grid step.  More bands per
+    step amortize per-step DMA/loop overhead (measured +10% at 4 vs 1 on
+    480x480/120 v5e); default picks the largest divisor of the grid height
+    whose two input blocks stay under a VMEM budget.
+    """
     interpret = _auto_interpret(interpret)
     if interpret:
         bf16x3 = False
@@ -212,31 +266,37 @@ def phase_correlate_frames_pallas(
         raise ValueError(f"expected a square patch grid, got {qy}x{qx}")
     q = qx
     n = patch
-    c, s = _dft_matrices(n)
-    chi, clo = _split_bf16(c)
-    shi, slo = _split_bf16(s)
-    if not bf16x3:
-        chi, shi = jnp.asarray(c), jnp.asarray(s)
-    fspec = pl.BlockSpec((1, n, w), lambda bb, j: (bb, j, 0), memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((n, n), lambda bb, j: (0, 0), memory_space=pltpu.VMEM)
+    g = bands_per_step
+    if g is None:
+        g = q
+        while g > 1 and (q % g or 2 * g * n * w * 4 > 4 << 20):
+            g -= 1
+    if q % g:
+        raise ValueError(f"bands_per_step {g} must divide the grid rows {q}")
+    wops, wspecs = _weight_operands(n, bf16x3, half_spectrum)
+    fspec = pl.BlockSpec(
+        (1, g * n, w), lambda bb, j: (bb, j, 0), memory_space=pltpu.VMEM
+    )
     rows = b * q * q
+    logical_dots = 16 if half_spectrum else 18  # per patch (10.5 M-weighted)
     out = pl.pallas_call(
         functools.partial(
             _fullfused_frames_kernel, n=n, q=q, search_radius=search_radius,
             centroid_radius=centroid_radius, bf16x3=bf16x3,
+            half_spectrum=half_spectrum,
         ),
-        grid=(b, q),
-        in_specs=[fspec, fspec, wspec, wspec, wspec, wspec],
+        grid=(b, q // g),
+        in_specs=[fspec, fspec] + wspecs,
         out_specs=pl.BlockSpec((rows, 4), lambda bb, j: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, 4), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=18 * 2 * n * n * n * rows, bytes_accessed=2 * 4 * n * n * rows,
+            flops=logical_dots * 2 * n * n * n * rows,
+            bytes_accessed=2 * 4 * n * n * rows,
             transcendentals=0,
         ),
         interpret=interpret,
     )(
-        curr_frames.astype(jnp.float32), prev_frames.astype(jnp.float32),
-        jnp.asarray(chi), jnp.asarray(clo), jnp.asarray(shi), jnp.asarray(slo),
+        curr_frames.astype(jnp.float32), prev_frames.astype(jnp.float32), *wops,
     )
     return out[:, 1:3].reshape(b, q * q, 2), out[:, 0].reshape(b, q * q)
 
@@ -288,9 +348,255 @@ def _split_bf16(m: np.ndarray):
     return hi, lo
 
 
+def _pad8(k: int) -> int:
+    """Round up to the TPU sublane granularity."""
+    return (k + 7) // 8 * 8
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_packed_half(n: int):
+    """Packed half-spectrum DFT operands, laid out for tile-aligned slicing.
+
+    All packing boundaries are MXU-friendly: stacked frequency blocks sit at
+    ``p = pad8(n//2 + 1)`` sublane offsets, lane segments at 128 multiples —
+    so every in-kernel slice has an aligned start and every matmul runs at a
+    full (or near-full) M.
+
+    - ``wh [2p, n]``: rows ``[C_half; S_half]`` — one left-multiply computes
+      both forward row-stage products of a real patch.
+    - ``cs [n, 2*seg]``: lanes ``[C | S]`` (segment stride ``seg``, a 128
+      multiple) — one right-multiply computes ``x@C`` and ``x@S`` for a
+      sublane-stacked complex pair.
+    - ``w2 [n, 2p]``: lanes ``[C_half | -S_half]`` — the inverse fold
+      ``v = C2@yr - S2@yi`` as ONE matmul with an exactly-128 contraction.
+    """
+    import numpy as _np
+
+    from mrs_optic_flow_tpu.ops.phase_correlate import _dft_matrices as _dm
+
+    c, s = _dm(n)
+    nh = n // 2 + 1
+    p = _pad8(nh)
+    seg = (n + 127) // 128 * 128
+    wh = _np.zeros((2 * p, n), _np.float32)
+    wh[:nh] = c[:nh]
+    wh[p : p + nh] = s[:nh]
+    cs = _np.zeros((n, 2 * seg), _np.float32)
+    cs[:, :n] = c
+    cs[:, seg : seg + n] = s
+    w2 = _np.zeros((n, 2 * p), _np.float32)
+    w2[:, :nh] = c[:, :nh]
+    w2[:, p : p + nh] = -s[:, :nh]
+    w2t = _np.ascontiguousarray(w2.T)  # [2p, n] = [C_half; -S_half]
+    return wh, cs, w2, w2t
+
+
+def _mm_fns(bf16x3: bool):
+    """(weight @ x, x @ weight) matmul helpers: three bf16 MXU passes with
+    f32 accumulation when ``bf16x3``, else one Precision.HIGHEST dot."""
+    if bf16x3:
+        acc = functools.partial(jax.lax.dot, preferred_element_type=jnp.float32)
+
+        def _split(x):
+            xhi = x.astype(jnp.bfloat16)
+            xlo = (x - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return xhi, xlo
+
+        def mm_wl(whi, wlo, x):
+            xhi, xlo = _split(x)
+            return acc(whi, xhi) + acc(wlo, xhi) + acc(whi, xlo)
+
+        def mm_wr(x, whi, wlo):
+            xhi, xlo = _split(x)
+            return acc(xhi, whi) + acc(xhi, wlo) + acc(xlo, whi)
+
+    else:
+        hdot = functools.partial(jax.lax.dot, precision=jax.lax.Precision.HIGHEST)
+
+        def mm_wl(whi, wlo, x):
+            return hdot(whi, x)
+
+        def mm_wr(x, whi, wlo):
+            return hdot(x, whi)
+
+    return mm_wl, mm_wr
+
+
+def _conj_fold_weights(n: int, p: int):
+    """[p, n] row weights for folding the conjugate spectrum half back in:
+    1 on the self-conjugate rows (0 and n/2), 2 on rows 1..n/2-1, 0 on the
+    sublane padding."""
+    nh = n // 2 + 1
+    rows = jax.lax.broadcasted_iota(jnp.int32, (p, n), 0)
+    return jnp.where(
+        (rows == 0) | (rows == n // 2),
+        1.0,
+        jnp.where(rows < nh, 2.0, 0.0),
+    ).astype(jnp.float32)
+
+
+def _pc_band_body_half(
+    band1, band2, whh_ref, whl_ref, csh_ref, csl_ref, w2h_ref, w2l_ref,
+    w2th_ref, w2tl_ref, *, out_ref, row0, n, q, search_radius,
+    centroid_radius, bf16x3,
+):
+    """Band-batched half-spectrum body: all ``q`` patches of a row band go
+    through each DFT stage as ONE matmul, stacked on the M (sublane) axis.
+
+    Same math and numerics as :func:`_phase_correlate_body_half` (stacking
+    rows does not change any dot product), but the whole band runs in 5
+    matmul instructions instead of ``6q`` — at these small shapes the MXU
+    is issue-bound, not MAC-bound, so fewer/longer streams win.  The
+    inverse fold runs transposed (``v^T = yq^T @ w2^T``) so its per-patch
+    results can also stack on M; the peak stage swaps coordinates back in
+    index space (``transposed=True``).
+    """
+    nh = n // 2 + 1
+    p = _pad8(nh)
+    seg = (n + 127) // 128 * 128
+    mm_wl, mm_wr = _mm_fns(bf16x3)
+    whh, whl = whh_ref[...], whl_ref[...]
+    csh, csl = csh_ref[...], csl_ref[...]
+    w2th, w2tl = w2th_ref[...], w2tl_ref[...]
+
+    # forward y-DFT of every patch at once: the band's lane axis already
+    # concatenates the patches
+    u1 = mm_wl(whh, whl, band1.astype(jnp.float32))  # [2p, q*n] = [C@x; S@x]
+    u2 = mm_wl(whh, whl, band2.astype(jnp.float32))
+
+    d = _conj_fold_weights(n, p)
+    xq_parts = []
+    for i in range(q):
+        # both frames' x-DFT for this patch in one matmul (M = 4p).  All
+        # four pieces share lane offset 120*i, so Mosaic can concatenate
+        # without relayout; patches can't join this stack (offsets differ).
+        def uc_us(u):
+            uc = jax.lax.slice(u, (0, i * n), (p, (i + 1) * n))
+            us = jax.lax.slice(u, (p, i * n), (2 * p, (i + 1) * n))
+            return uc, -us  # [ur; ui] with ui = -S@x
+
+        u1c, u1s = uc_us(u1)
+        u2c, u2s = uc_us(u2)
+        t = jax.lax.concatenate([u1c, u1s, u2c, u2s], 0)  # [4p, n]
+        g = mm_wr(t, csh, csl)  # [4p, 2seg]: both frames' {u@C, u@S}
+
+        def g_at(base):
+            gr = jax.lax.slice(g, (base, 0), (base + p, n)) + jax.lax.slice(
+                g, (base + p, seg), (base + 2 * p, seg + n)
+            )
+            gi = jax.lax.slice(g, (base + p, 0), (base + 2 * p, n)) - jax.lax.slice(
+                g, (base, seg), (base + p, seg + n)
+            )
+            return gr, gi
+
+        f1r, f1i = g_at(0)
+        f2r, f2i = g_at(2 * p)
+        rr = f1r * f2r + f1i * f2i
+        ri = f1i * f2r - f1r * f2i
+        denom = jax.lax.rsqrt(rr * rr + ri * ri + FLT_EPSILON)
+        xq_parts += [d * rr * denom, d * ri * denom]
+    xq = jax.lax.concatenate(xq_parts, 0)  # [q*2p, n], all offset-0 pieces
+
+    y = mm_wr(xq, csh, csl)  # [q*2p, 2seg]
+    yt_parts = []
+    for i in range(q):
+        base = i * 2 * p
+        yr = jax.lax.slice(y, (base, 0), (base + p, n)) - jax.lax.slice(
+            y, (base + p, seg), (base + 2 * p, seg + n)
+        )
+        yi = jax.lax.slice(y, (base, seg), (base + p, seg + n)) + jax.lax.slice(
+            y, (base + p, 0), (base + 2 * p, n)
+        )
+        yt_parts.append(jnp.transpose(jax.lax.concatenate([yr, yi], 0)))
+    yt = jax.lax.concatenate(yt_parts, 0)  # [q*n, 2p]
+    vt = mm_wr(yt, w2th, w2tl)  # [q*n, n]: per-patch v^T, M-stacked
+
+    inv = 1.0 / (n * n)
+    for i in range(q):
+        v_t = jax.lax.slice(vt, (i * n, 0), ((i + 1) * n, n)) * inv
+        maxval, cx, cy = _masked_peak_centroid(
+            v_t, n, search_radius, centroid_radius, transposed=True
+        )
+        out_ref[pl.ds(row0 + i, 1), :] = _pack_row(maxval, cx, cy)
+
+
+def _phase_correlate_body_half(
+    src1, src2, whh_ref, whl_ref, csh_ref, csl_ref, w2h_ref, w2l_ref,
+    w2th_ref, w2tl_ref, *, out_ref, row, n, search_radius, centroid_radius, bf16x3,
+):
+    """Half-spectrum variant of :func:`_phase_correlate_body`: real-input
+    DFTs are Hermitian (``F[-k,-l] = conj(F[k,l])``), so only ``n//2 + 1``
+    frequency rows are ever computed, carried through the cross-power, and
+    folded back in the inverse with per-row weights ``{1, 2, ..., 2, 1}``
+    (the conjugate half contributes the complex conjugate of each term, and
+    the final surface is real).
+
+    Execution shape: the halved frequency dim rides the matmul *M* axis
+    (sublanes, granularity 8) — the only MXU axis where 61-of-120 buys
+    cycles; lanes and contractions pad to 128 regardless.  Real/imag (and
+    C/S) pairs are packed into single tile-aligned operands
+    (:func:`_dft_packed_half`), so the whole chain is 5 logical matmuls with
+    M in {120, 128}: ~27 tile-passes vs 54 for the full-spectrum body, zero
+    in-kernel transposes, and half the hi/lo split traffic.  Math identical
+    to the full path (validated to 1e-15 in float64).
+    """
+    nh = n // 2 + 1
+    p = _pad8(nh)
+    seg = (n + 127) // 128 * 128
+    mm_wl, mm_wr = _mm_fns(bf16x3)
+    whh, whl = whh_ref[...], whl_ref[...]
+    csh, csl = csh_ref[...], csl_ref[...]
+    w2h, w2l = w2h_ref[...], w2l_ref[...]
+
+    def fwd_half(x):
+        """Half spectrum of a real patch: [p, n] (rows = y-freq 0..n/2,
+        cols = x-freq, full).  Two matmuls: ``[C;S] @ x`` then the
+        sublane-stacked complex pair times ``[C | S]``."""
+        u = mm_wl(whh, whl, x.astype(jnp.float32))  # [2p, n] = [C@x; S@x]
+        ur = jax.lax.slice(u, (0, 0), (p, n))
+        ui = -jax.lax.slice(u, (p, 0), (2 * p, n))
+        t = jax.lax.concatenate([ur, ui], 0)  # [2p, n]
+        vv = mm_wr(t, csh, csl)  # [2p, 2seg] = [ur@C, ur@S; ui@C, ui@S]
+        gr = jax.lax.slice(vv, (0, 0), (p, n)) + jax.lax.slice(
+            vv, (p, seg), (2 * p, seg + n)
+        )
+        gi = jax.lax.slice(vv, (p, 0), (2 * p, n)) - jax.lax.slice(
+            vv, (0, seg), (p, seg + n)
+        )
+        return gr, gi
+
+    f1r, f1i = fwd_half(src1)
+    f2r, f2i = fwd_half(src2)
+
+    # cmulnormf on the half spectra (cl/FftMethod.cl:976-982) + the
+    # conjugate-fold row weights: 1 for the self-conjugate rows (0 and n/2),
+    # 2 for rows 1..n/2-1, 0 for the sublane padding
+    rr = f1r * f2r + f1i * f2i
+    ri = f1i * f2r - f1r * f2i
+    denom = jax.lax.rsqrt(rr * rr + ri * ri + FLT_EPSILON)
+    d = _conj_fold_weights(n, p)
+    xr = d * rr * denom
+    xi = d * ri * denom
+
+    # inverse: v = Re[V_half^T (D R) V] / n^2 with V = conj(W) = C + iS
+    xq = jax.lax.concatenate([xr, xi], 0)  # [2p, n]
+    y = mm_wr(xq, csh, csl)  # [2p, 2seg] = [xr@C, xr@S; xi@C, xi@S]
+    yr = jax.lax.slice(y, (0, 0), (p, n)) - jax.lax.slice(
+        y, (p, seg), (2 * p, seg + n)
+    )
+    yi = jax.lax.slice(y, (0, seg), (p, seg + n)) + jax.lax.slice(
+        y, (p, 0), (2 * p, n)
+    )
+    yq = jax.lax.concatenate([yr, yi], 0)  # [2p, n]
+    v = mm_wl(w2h, w2l, yq) * (1.0 / (n * n))  # [n, n], K = 2p exactly
+
+    maxval, cx, cy = _masked_peak_centroid(v, n, search_radius, centroid_radius)
+    out_ref[pl.ds(row, 1), :] = _pack_row(maxval, cx, cy)
+
+
 def _phase_correlate_body(
-    src1, src2, chi_ref, clo_ref, shi_ref, slo_ref, out_ref, row,
-    *, n, search_radius, centroid_radius, bf16x3,
+    src1, src2, chi_ref, clo_ref, shi_ref, slo_ref,
+    *, out_ref, row, n, search_radius, centroid_radius, bf16x3,
 ):
     """Shared per-patch computation: forward DFTs (12 MXU dots), cmulnormf,
     inverse DFT (6 dots), masked peak + centroid; result into row ``row``.
@@ -379,20 +685,24 @@ def _phase_correlate_body(
 
 
 def _fullfused_kernel(
-    src1_ref, src2_ref, chi_ref, clo_ref, shi_ref, slo_ref, out_ref,
-    *, n, search_radius, centroid_radius, bf16x3,
+    src1_ref, src2_ref, *refs,
+    n, search_radius, centroid_radius, bf16x3, half_spectrum,
 ):
     """Patch-batch variant: grid (P,), one patch per step."""
-    _phase_correlate_body(
-        src1_ref[0], src2_ref[0], chi_ref, clo_ref, shi_ref, slo_ref,
-        out_ref, pl.program_id(0), n=n, search_radius=search_radius,
+    weight_refs, out_ref = refs[:-1], refs[-1]
+    body = _phase_correlate_body_half if half_spectrum else _phase_correlate_body
+    body(
+        src1_ref[0], src2_ref[0], *weight_refs,
+        out_ref=out_ref, row=pl.program_id(0), n=n, search_radius=search_radius,
         centroid_radius=centroid_radius, bf16x3=bf16x3,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("search_radius", "centroid_radius", "interpret", "bf16x3"),
+    static_argnames=(
+        "search_radius", "centroid_radius", "interpret", "bf16x3", "half_spectrum"
+    ),
 )
 def phase_correlate_fullfused_pallas(
     curr: jnp.ndarray,
@@ -402,6 +712,7 @@ def phase_correlate_fullfused_pallas(
     centroid_radius: int = 3,
     interpret: bool | None = None,
     bf16x3: bool = True,
+    half_spectrum: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-launch phase correlation: raw ``[P, N, N]`` patches ->
     ``(shift [P, 2], maxval [P])``, no HBM intermediates at all."""
@@ -410,30 +721,26 @@ def phase_correlate_fullfused_pallas(
         # the interpreter has no MXU; bf16 splitting just adds noise there
         bf16x3 = False
     p, n, _ = curr.shape
-    c, s = _dft_matrices(n)
-    chi, clo = _split_bf16(c)
-    shi, slo = _split_bf16(s)
-    if not bf16x3:
-        chi, shi = jnp.asarray(c), jnp.asarray(s)  # full-precision weights
+    wops, wspecs = _weight_operands(n, bf16x3, half_spectrum)
     spec = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    logical_dots = 16 if half_spectrum else 18
     out = pl.pallas_call(
         functools.partial(
             _fullfused_kernel, n=n, search_radius=search_radius,
             centroid_radius=centroid_radius, bf16x3=bf16x3,
+            half_spectrum=half_spectrum,
         ),
         grid=(p,),
-        in_specs=[spec, spec, wspec, wspec, wspec, wspec],
+        in_specs=[spec, spec] + wspecs,
         out_specs=pl.BlockSpec((p, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, 4), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=18 * 2 * n * n * n * p, bytes_accessed=2 * 4 * n * n * p,
+            flops=logical_dots * 2 * n * n * n * p, bytes_accessed=2 * 4 * n * n * p,
             transcendentals=0,
         ),
         interpret=interpret,
     )(
-        curr.astype(jnp.float32), prev.astype(jnp.float32),
-        jnp.asarray(chi), jnp.asarray(clo), jnp.asarray(shi), jnp.asarray(slo),
+        curr.astype(jnp.float32), prev.astype(jnp.float32), *wops,
     )
     return out[:, 1:3], out[:, 0]
 

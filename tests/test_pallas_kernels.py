@@ -129,6 +129,8 @@ def test_frames_pallas_matches_patchified(rng):
         patchify(jnp.asarray(prev), n).reshape(-1, n, n),
         interpret=INTERPRET,
     )
-    np.testing.assert_allclose(np.asarray(s_f).reshape(-1, 2), np.asarray(s_p), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(m_f).reshape(-1), np.asarray(m_p), rtol=1e-5)
+    # the frames kernel runs the band-batched body (transposed inverse fold),
+    # so association order differs slightly from the per-patch body
+    np.testing.assert_allclose(np.asarray(s_f).reshape(-1, 2), np.asarray(s_p), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m_f).reshape(-1), np.asarray(m_p), rtol=1e-4)
     assert np.all(np.abs(np.asarray(s_f) - d) < 0.3)
