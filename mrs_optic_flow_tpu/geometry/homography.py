@@ -113,9 +113,79 @@ def _solve_h_null(a: jnp.ndarray) -> jnp.ndarray:
 
 def _solve_h_svd(a: jnp.ndarray) -> jnp.ndarray:
     """Null vector via SVD of A itself — ~3e-7 accurate in float32 (the
-    normal equations square the conditioning; the final fit uses this)."""
+    normal equations square the conditioning).  Reference solver for tests;
+    the production refit is :func:`_solve_h_qr_null` (vmapped QR-iteration
+    SVD on small matrices is pathologically slow on TPU)."""
     _, _, vt = jnp.linalg.svd(a, full_matrices=True)
     return _norm_h(vt[..., -1, :].reshape(a.shape[:-2] + (3, 3)))
+
+
+def _solve_h_qr_null(a: jnp.ndarray, h0: jnp.ndarray) -> jnp.ndarray:
+    """Smallest right-singular vector of ``A`` [..., M, 9] via Householder
+    QR + inverse iteration on ``R`` — the TPU-native replacement for the
+    refit SVD.
+
+    QR keeps the conditioning of ``A`` itself (unlike the normal equations,
+    which square it), and both stages are fixed-shape batched vector ops:
+    9 unrolled Householder reflections, then 3 rounds of inverse iteration
+    ``x <- R^{-1} R^{-T} x`` with unrolled triangular solves.  Seeded with
+    ``h0`` (the best RANSAC hypothesis, already ~the null vector), it
+    converges past float32 eigengap resolution in one round; extra rounds
+    cover poor seeds.  Matches :func:`_solve_h_svd` to ~1e-6 on
+    well-conditioned consensus sets; rank-deficient sets produce junk that
+    the caller's ``ok`` gate discards (same contract as the SVD path).
+    """
+    k = a.shape[-1]
+    r = a
+    # Householder triangularization: after step j, column j of r is zeroed
+    # below the diagonal.  Only R is needed, so reflectors are not stored.
+    for j in range(k):
+        col = r[..., :, j]
+        below = jnp.arange(r.shape[-2]) >= j
+        x = jnp.where(below, col, 0.0)
+        normx = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        rjj = col[..., j : j + 1]
+        sign = jnp.where(rjj >= 0.0, 1.0, -1.0)
+        u1 = rjj + sign * normx
+        # guard the zero column: v = e_j gives an identity reflection
+        safe = normx > 1e-30
+        v = jnp.where(safe, x / jnp.where(jnp.abs(u1) > 1e-30, u1, 1.0), 0.0)
+        v = v.at[..., j].set(jnp.where(safe[..., 0], 1.0, 0.0))
+        tau = jnp.where(
+            safe, sign * u1 / jnp.where(normx > 1e-30, normx, 1.0), 0.0
+        )
+        w = jnp.einsum("...m,...mk->...k", v, r, precision=_HI)
+        r = r - tau[..., :, None] * v[..., :, None] * w[..., None, :]
+    r = r[..., :k, :]  # [..., 9, 9] upper triangular
+
+    # inverse iteration: x <- R^{-1} R^{-T} x, renormalized each round
+    diag = jnp.diagonal(r, axis1=-2, axis2=-1)
+    dsafe = jnp.where(jnp.abs(diag) > 1e-12, diag, 1e-12)
+
+    def fwd_solve(b):  # R^T z = b (R^T lower triangular)
+        zs = []
+        for i in range(k):
+            acc = b[..., i]
+            for m in range(i):
+                acc = acc - r[..., m, i] * zs[m]
+            zs.append(acc / dsafe[..., i])
+        return jnp.stack(zs, axis=-1)
+
+    def back_solve(b):  # R y = b
+        ys = [None] * k
+        for i in reversed(range(k)):
+            acc = b[..., i]
+            for m in range(i + 1, k):
+                acc = acc - r[..., i, m] * ys[m]
+            ys[i] = acc / dsafe[..., i]
+        return jnp.stack(ys, axis=-1)
+
+    x = h0.reshape(h0.shape[:-2] + (k,))
+    x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-30)
+    for _ in range(3):
+        x = back_solve(fwd_solve(x))
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-30)
+    return _norm_h(x.reshape(a.shape[:-2] + (3, 3)))
 
 
 def _project(h: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
@@ -179,9 +249,12 @@ def find_homography_ransac(
     n_inl = counts[best]
 
     # least-squares refit on the consensus set (stable even if degenerate —
-    # eigh of the weighted normal matrix always returns something; `ok`
-    # gates downstream use)
-    h = _solve_h_svd(_dlt_rows(src, dst, inliers.astype(src.dtype)))
+    # the triangular solves always return something; `ok` gates downstream
+    # use).  Seeded with the winning hypothesis, which is already near the
+    # null direction.
+    h = _solve_h_qr_null(
+        _dlt_rows(src, dst, inliers.astype(src.dtype)), hs[best]
+    )
     ok = n_inl >= 4
     h = jnp.where(ok, h, jnp.eye(3, dtype=src.dtype))
     return HomographyResult(h=h, inliers=inliers, n_inliers=n_inl, ok=ok)
@@ -212,6 +285,35 @@ def _signd(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x >= 0.0, 1.0, -1.0)
 
 
+def _sv_middle_3x3(h: jnp.ndarray) -> jnp.ndarray:
+    """Middle singular value of a 3x3 via the closed-form (trigonometric)
+    eigenvalues of the symmetric ``H^T H`` — replaces ``jnp.linalg.svd``
+    whose vmapped QR iteration is pathologically slow on TPU.
+
+    For symmetric A with eigenvalues e1 >= e2 >= e3:
+    ``e_k = q + 2 p cos(phi + 2 pi k / 3)`` (Cardano / Smith's method).
+    """
+    a = jnp.matmul(jnp.swapaxes(h, -1, -2), h, precision=_HI)
+    q = jnp.trace(a, axis1=-2, axis2=-1) / 3.0
+    b = a - q[..., None, None] * jnp.eye(3, dtype=a.dtype)
+    p2 = jnp.sum(b * b, axis=(-2, -1)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 0.0))
+    psafe = jnp.where(p > 1e-30, p, 1.0)
+    c = b / psafe[..., None, None]
+    det_c = (
+        c[..., 0, 0] * (c[..., 1, 1] * c[..., 2, 2] - c[..., 1, 2] * c[..., 2, 1])
+        - c[..., 0, 1] * (c[..., 1, 0] * c[..., 2, 2] - c[..., 1, 2] * c[..., 2, 0])
+        + c[..., 0, 2] * (c[..., 1, 0] * c[..., 2, 1] - c[..., 1, 1] * c[..., 2, 0])
+    )
+    rr = jnp.clip(det_c / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(rr) / 3.0
+    e1 = q + 2.0 * p * jnp.cos(phi)
+    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e2 = 3.0 * q - e1 - e3  # middle eigenvalue of H^T H
+    e2 = jnp.where(p > 1e-30, e2, q)  # isotropic case: all eigenvalues = q
+    return jnp.sqrt(jnp.maximum(e2, 0.0))
+
+
 def decompose_homography(h: jnp.ndarray) -> HomographyDecomposition:
     """Analytical Malis-Vargas decomposition of a calibrated homography.
 
@@ -229,8 +331,7 @@ def decompose_homography(h: jnp.ndarray) -> HomographyDecomposition:
 
     # normalize by the middle singular value (gamma), sign-correct so that
     # points in front of the camera map with positive depth
-    sv = jnp.linalg.svd(h, compute_uv=False)
-    gamma = sv[..., 1]
+    gamma = _sv_middle_3x3(h)
     hn = h / gamma[..., None, None]
     # OpenCV flips the sign so that the decomposition exists: require
     # x2^T * Hn * x1 > 0 for visible points; use the (0,0,1) ray.
