@@ -372,3 +372,42 @@ def test_decompose_batched():
             np.asarray(dec.translations[b, 0]), np.asarray(dec.normals[b, 0])
         )
         assert np.abs(recon - hn).max() < 5e-3  # f32 decomposition precision
+
+
+def test_qr_null_matches_svd(rng):
+    """The production refit (Householder QR + seeded inverse iteration)
+    matches the SVD null vector on noisy DLT systems."""
+    from mrs_optic_flow_tpu.geometry import homography as hg
+
+    for trial in range(10):
+        h_true = np.eye(3) + 0.3 * rng.standard_normal((3, 3))
+        h_true /= h_true[2, 2]
+        src = rng.standard_normal((16, 2)) * 0.5
+        ph = np.concatenate([src, np.ones((16, 1))], 1) @ h_true.T
+        dst = ph[:, :2] / ph[:, 2:3] + 1e-4 * rng.standard_normal((16, 2))
+        a = hg._dlt_rows(
+            jnp.asarray(src, jnp.float32), jnp.asarray(dst, jnp.float32),
+            jnp.ones((16,), jnp.float32),
+        )
+        h_svd = np.asarray(hg._solve_h_svd(a))
+        seed = jnp.asarray(
+            h_true + 0.05 * rng.standard_normal((3, 3)), jnp.float32
+        )
+        h_qr = np.asarray(hg._solve_h_qr_null(a, seed))
+        np.testing.assert_allclose(h_qr, h_svd, atol=2e-4)
+        # batched shape contract
+        hb = hg._solve_h_qr_null(jnp.stack([a] * 3), jnp.stack([seed] * 3))
+        assert hb.shape == (3, 3, 3)
+
+
+def test_middle_singular_value_closed_form(rng):
+    """Trigonometric 3x3 middle singular value vs numpy SVD, including the
+    isotropic (pure scaled rotation) edge case."""
+    from mrs_optic_flow_tpu.geometry.homography import _sv_middle_3x3
+
+    hs = [np.eye(3) + 0.5 * rng.standard_normal((3, 3)) for _ in range(20)]
+    hs.append(2.5 * np.eye(3))  # isotropic: p == 0 branch
+    for h in hs:
+        ref = np.linalg.svd(h.astype(np.float32), compute_uv=False)[1]
+        got = float(_sv_middle_3x3(jnp.asarray(h, jnp.float32)))
+        np.testing.assert_allclose(got, ref, rtol=1e-5)

@@ -134,3 +134,44 @@ def test_frames_pallas_matches_patchified(rng):
     np.testing.assert_allclose(np.asarray(s_f).reshape(-1, 2), np.asarray(s_p), atol=1e-4)
     np.testing.assert_allclose(np.asarray(m_f).reshape(-1), np.asarray(m_p), rtol=1e-4)
     assert np.all(np.abs(np.asarray(s_f) - d) < 0.3)
+
+
+def test_half_spectrum_matches_full(rng):
+    """The Hermitian half-spectrum bodies are algebraically identical to the
+    full-spectrum ones (conjugate-fold row weights {1,2,...,2,1})."""
+    curr, prev, _ = _random_pair_batch(rng, p=4)
+    s_h, m_h = pk.phase_correlate_fullfused_pallas(
+        curr, prev, interpret=INTERPRET, half_spectrum=True
+    )
+    s_f, m_f = pk.phase_correlate_fullfused_pallas(
+        curr, prev, interpret=INTERPRET, half_spectrum=False
+    )
+    np.testing.assert_allclose(np.asarray(s_h), np.asarray(s_f), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m_h), np.asarray(m_f), rtol=1e-4)
+
+    frames_c = jnp.asarray(np.concatenate([np.asarray(curr)] * 1).reshape(1, 2 * 120, 2 * 120))
+    frames_p = jnp.asarray(np.asarray(prev).reshape(1, 2 * 120, 2 * 120))
+    s_bh, _ = pk.phase_correlate_frames_pallas(
+        frames_c, frames_p, patch=120, interpret=INTERPRET, half_spectrum=True
+    )
+    s_bf, _ = pk.phase_correlate_frames_pallas(
+        frames_c, frames_p, patch=120, interpret=INTERPRET, half_spectrum=False
+    )
+    np.testing.assert_allclose(np.asarray(s_bh), np.asarray(s_bf), atol=1e-4)
+
+
+def test_frames_bands_per_step_agree(rng):
+    """Grouping multiple row bands into one grid step is layout-only."""
+    b, n, q = 2, 24, 4
+    prev = np.stack([smooth_random_image(rng, n * q) for _ in range(b)])
+    curr = np.stack([np.roll(p, (3, -2), (0, 1)) for p in prev])
+    outs = []
+    for g in (1, 2, 4):
+        s, m = pk.phase_correlate_frames_pallas(
+            jnp.asarray(curr), jnp.asarray(prev), patch=n,
+            interpret=INTERPRET, bands_per_step=g,
+        )
+        outs.append((np.asarray(s), np.asarray(m)))
+    for s, m in outs[1:]:
+        np.testing.assert_array_equal(s, outs[0][0])
+        np.testing.assert_array_equal(m, outs[0][1])
