@@ -34,7 +34,7 @@ def distort_points(xy: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
 def undistort_points(
     pts: jnp.ndarray,
     camera_matrix: jnp.ndarray,
-    dist: jnp.ndarray,
+    dist: jnp.ndarray | None,
     *,
     iterations: int = 5,
 ) -> jnp.ndarray:
@@ -43,6 +43,12 @@ def undistort_points(
     Matches ``cv::undistortPoints(pts, out, K, dist)`` with no rectification
     / new camera matrix, exactly the call in getRT
     (``src/optic_flow.cpp:549``).
+
+    ``dist=None`` statically skips the fixed-point inversion (a distortion-
+    free camera): just the ``K^-1`` normalization.  The iteration is unrolled
+    (``iterations`` is static) so XLA fuses the whole polynomial chain — a
+    ``fori_loop`` over a ~15-op body is pure scheduling overhead at this
+    size.
     """
     fx = camera_matrix[..., 0, 0]
     fy = camera_matrix[..., 1, 1]
@@ -50,17 +56,16 @@ def undistort_points(
     cy = camera_matrix[..., 1, 2]
     xd = (pts[..., 0] - cx) / fx
     yd = (pts[..., 1] - cy) / fy
-    d = jnp.stack([xd, yd], axis=-1)
+    if dist is None:
+        return jnp.stack([xd, yd], axis=-1)
 
-    def body(_, xy):
-        k1, k2, p1, p2, k3 = (dist[..., i] for i in range(5))
-        x, y = xy[..., 0], xy[..., 1]
+    k1, k2, p1, p2, k3 = (dist[..., i] for i in range(5))
+    x, y = xd, yd
+    for _ in range(iterations):
         r2 = x * x + y * y
         icdist = 1.0 / (1.0 + r2 * (k1 + r2 * (k2 + r2 * k3)))
         dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
         dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
-        x = (d[..., 0] - dx) * icdist
-        y = (d[..., 1] - dy) * icdist
-        return jnp.stack([x, y], axis=-1)
-
-    return jax.lax.fori_loop(0, iterations, body, d)
+        x = (xd - dx) * icdist
+        y = (yd - dy) * icdist
+    return jnp.stack([x, y], axis=-1)

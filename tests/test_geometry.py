@@ -411,3 +411,61 @@ def test_middle_singular_value_closed_form(rng):
         ref = np.linalg.svd(h.astype(np.float32), compute_uv=False)[1]
         got = float(_sv_middle_3x3(jnp.asarray(h, jnp.float32)))
         np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_get_rt_batch_matches_per_sample(rng):
+    """The batch-last serving geometry (geometry/batched.py) agrees with the
+    reference per-sample chain on consensus-stable data — RANSAC draws
+    differ (module docstring), so equality is statistical, not bitwise."""
+    import functools
+    from mrs_optic_flow_tpu.geometry.batched import get_rt_batch
+
+    b = 5
+    cam = jnp.asarray([[300.0, 0, 240.0], [0, 300.0, 240.0], [0, 0, 1]], jnp.float32)
+    shifts = np.tile(rng.normal(6.0, 0.5, size=(b, 1, 2)), (1, 16, 1))
+    shifts = shifts + 0.02 * rng.standard_normal((b, 16, 2))
+    shifts = jnp.asarray(shifts, jnp.float32)
+    heights = jnp.asarray(rng.uniform(2, 8, b), jnp.float32)
+    dts = jnp.full((b,), 0.02, jnp.float32)
+    c2b = jnp.asarray([0, 0, 0, 1], jnp.float32)
+    rates = jnp.tile(jnp.asarray([0, 0, 0, 1], jnp.float32), (b, 1))
+    keys = jax.random.split(jax.random.PRNGKey(0), b)
+
+    for dist in (None, jnp.asarray([0.1, -0.05, 0.001, -0.002, 0.01], jnp.float32)):
+        ref = jax.vmap(
+            functools.partial(get_rt, frame_size=480, patch=120, ransac_iterations=128),
+            in_axes=(0, 0, 0, None, None, None, None, 0, 0),
+        )(shifts, heights, dts, jnp.float32(20.0), cam, dist, c2b, rates, keys)
+        got = get_rt_batch(
+            shifts, heights, dts, jnp.float32(20.0), cam, dist, c2b, rates, keys,
+            frame_size=480, patch=120, ransac_iterations=128,
+        )
+        np.testing.assert_array_equal(np.asarray(ref.ok), np.asarray(got.ok))
+        np.testing.assert_allclose(
+            np.asarray(ref.tran), np.asarray(got.tran), atol=5e-3
+        )
+        np.testing.assert_allclose(
+            np.abs(np.asarray(ref.rot)), np.abs(np.asarray(got.rot)), atol=1e-3
+        )
+
+
+def test_get_rt_batch_nan_gating(rng):
+    """Batched geometry reproduces the NaN/threshold gating: a sample with
+    too few valid windows comes back not-ok and NaN."""
+    from mrs_optic_flow_tpu.geometry.batched import get_rt_batch
+
+    b = 3
+    cam = jnp.asarray([[300.0, 0, 240.0], [0, 300.0, 240.0], [0, 0, 1]], jnp.float32)
+    shifts = np.tile(np.array([5.0, -3.0], np.float32), (b, 16, 1))
+    shifts[1, 4:] = np.nan  # 4 valid < shifted_pts_thr=8
+    out = get_rt_batch(
+        jnp.asarray(shifts), jnp.full((b,), 4.0), jnp.full((b,), 0.05),
+        jnp.float32(20.0), cam, None, jnp.asarray([0, 0, 0, 1], jnp.float32),
+        jnp.tile(jnp.asarray([0, 0, 0, 1], jnp.float32), (b, 1)),
+        jax.random.split(jax.random.PRNGKey(1), b),
+        frame_size=480, patch=120, ransac_iterations=64,
+    )
+    ok = np.asarray(out.ok)
+    assert ok[0] and ok[2] and not ok[1]
+    assert np.all(np.isnan(np.asarray(out.tran)[1]))
+    assert np.all(np.isfinite(np.asarray(out.tran)[0]))
