@@ -34,7 +34,6 @@ import numpy as np
 from mrs_optic_flow_tpu.geometry.motion import GetRTResult, grid_centers
 from mrs_optic_flow_tpu.geometry.rotations import matrix_from_quat
 
-_HI = jax.lax.Precision.HIGHEST
 
 
 # ---------------------------------------------------------------------------

@@ -10,7 +10,6 @@ axis (throughput serving mode).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax
