@@ -16,7 +16,6 @@ accuracy matters more than byte-parity with the reference.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

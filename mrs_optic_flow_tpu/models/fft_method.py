@@ -52,6 +52,11 @@ class FftMethodConfig:
     long_range_ratio: int = 4  # LONG_RANGE_RATIO, src/FftMethod.cpp:3
     backend: str = "dft"  # 'dft' (MXU matmul) or 'fft' (XLA FFT)
     use_pallas: bool = True  # useOCL analogue (src/optic_flow.cpp:853)
+    #: Hermitian half-spectrum kernel bodies (docs/PERFORMANCE.md); False
+    #: restores the full-spectrum path for parity/debugging
+    half_spectrum: bool = True
+    #: row bands per Pallas grid step for the frames kernel; None auto-picks
+    bands_per_step: int | None = None
 
     def normalized(self) -> "FftMethodConfig":
         """Derived-size normalization from the reference ctor:
@@ -107,6 +112,7 @@ class FftMethod(FlowEngine):
                 flat_p,
                 search_radius=c.search_radius,
                 centroid_radius=c.centroid_radius,
+                half_spectrum=c.half_spectrum,
             )
             return s.reshape(lead + curr_p.shape[-3:-2] + (2,)), m.reshape(
                 lead + curr_p.shape[-3:-2]
@@ -155,6 +161,8 @@ class FftMethod(FlowEngine):
                 patch=c.sample_point_size,
                 search_radius=c.search_radius,
                 centroid_radius=c.centroid_radius,
+                half_spectrum=c.half_spectrum,
+                bands_per_step=c.bands_per_step,
             )
             raw, resp = raw[0], resp[0]
         else:
@@ -214,6 +222,8 @@ class FftMethod(FlowEngine):
                 patch=c.sample_point_size,
                 search_radius=c.search_radius,
                 centroid_radius=c.centroid_radius,
+                half_spectrum=c.half_spectrum,
+                bands_per_step=c.bands_per_step,
             )
         else:
             curr_p = patchify(curr_f, c.sample_point_size)

@@ -424,12 +424,16 @@ def _mm_fns(bf16x3: bool):
 
 def _conj_fold_weights(n: int, p: int):
     """[p, n] row weights for folding the conjugate spectrum half back in:
-    1 on the self-conjugate rows (0 and n/2), 2 on rows 1..n/2-1, 0 on the
-    sublane padding."""
+    1 on the self-conjugate rows (0, and n/2 only when n is even — for odd
+    n row n//2 pairs with row n//2+1 and needs weight 2), 2 on the other
+    retained rows, 0 on the sublane padding."""
     nh = n // 2 + 1
     rows = jax.lax.broadcasted_iota(jnp.int32, (p, n), 0)
+    self_conj = rows == 0
+    if n % 2 == 0:
+        self_conj |= rows == n // 2
     return jnp.where(
-        (rows == 0) | (rows == n // 2),
+        self_conj,
         1.0,
         jnp.where(rows < nh, 2.0, 0.0),
     ).astype(jnp.float32)

@@ -43,6 +43,8 @@ class BatchPipeline:
         ransac_iterations: int = 256,
         backend: str = "dft",
         use_pallas: bool = True,
+        half_spectrum: bool = True,
+        bands_per_step: Optional[int] = None,
         mesh: Optional[Mesh] = None,
         axis_name: str = "data",
     ):
@@ -52,6 +54,8 @@ class BatchPipeline:
                 sample_point_size=sample_point_size,
                 backend=backend,
                 use_pallas=use_pallas,
+                half_spectrum=half_spectrum,
+                bands_per_step=bands_per_step,
             )
         )
         self.frame_size = frame_size

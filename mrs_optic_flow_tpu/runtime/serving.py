@@ -66,10 +66,15 @@ class ServingLoop:
                 arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
             return jnp.asarray(arr)
 
-        # frames keep their own dtype: uint8 capture crosses host->device at
-        # a quarter of the bytes of float32; the pipeline casts on device
-        prev = stack(lambda r: r.prev, dtype=None)
-        curr = stack(lambda r: r.curr, dtype=None)
+        def frame_dtype(r):
+            # uint8 capture crosses host->device at a quarter of the bytes
+            # of float32 (the pipeline casts on device); anything else is
+            # normalized to float32 on the host — a float64 frame would
+            # otherwise double the transfer AND add a per-dtype recompile
+            return None if r.prev.dtype == np.uint8 else np.float32
+
+        prev = stack(lambda r: r.prev, dtype=frame_dtype(batch[0]))
+        curr = stack(lambda r: r.curr, dtype=frame_dtype(batch[0]))
         heights = stack(lambda r: r.height)
         dts = stack(lambda r: r.dt)
         rates = stack(lambda r: r.rate_quat)

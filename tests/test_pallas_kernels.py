@@ -175,3 +175,39 @@ def test_frames_bands_per_step_agree(rng):
     for s, m in outs[1:]:
         np.testing.assert_array_equal(s, outs[0][0])
         np.testing.assert_array_equal(m, outs[0][1])
+
+
+def test_half_spectrum_odd_patch(rng):
+    """Odd patch sizes: row n//2 of the half spectrum is NOT self-conjugate
+    and must fold with weight 2 (regression: even-n weights silently broke
+    odd-n surfaces)."""
+    for n in (15, 45):
+        prev = np.stack([smooth_random_image(rng, n) for _ in range(2)])
+        curr = np.roll(prev, (1, 2), axis=(1, 2))
+        s_h, _ = pk.phase_correlate_fullfused_pallas(
+            jnp.asarray(curr), jnp.asarray(prev), search_radius=n // 2 - 4,
+            interpret=INTERPRET, half_spectrum=True,
+        )
+        s_f, _ = pk.phase_correlate_fullfused_pallas(
+            jnp.asarray(curr), jnp.asarray(prev), search_radius=n // 2 - 4,
+            interpret=INTERPRET, half_spectrum=False,
+        )
+        np.testing.assert_allclose(np.asarray(s_h), np.asarray(s_f), atol=1e-3)
+
+
+def test_engine_config_kernel_knobs(rng):
+    """half_spectrum / bands_per_step are reachable from the engine config
+    and produce equivalent flow."""
+    from mrs_optic_flow_tpu.models import FftMethod, FftMethodConfig
+
+    prev = smooth_random_image(rng, 48)
+    curr = np.roll(prev, 3, axis=1)
+    outs = []
+    for half in (True, False):
+        eng = FftMethod(FftMethodConfig(
+            frame_size=48, sample_point_size=12,
+            half_spectrum=half, bands_per_step=2,
+        ))
+        res = eng.step_batch(jnp.asarray(prev)[None], jnp.asarray(curr)[None])
+        outs.append(np.asarray(res.shifts))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-4)

@@ -63,6 +63,11 @@ def test_serving_uint8_matches_float32(rng):
         np.testing.assert_array_equal(a.shifts, b.shifts)
         np.testing.assert_array_equal(a.tran, b.tran)
         assert a.ok == b.ok
+    # float64 client frames are normalized to float32 on the host (not
+    # shipped at 8 bytes/px, no per-dtype recompile)
+    r64 = run(np.float64)
+    for a, b in zip(r64, r32):
+        np.testing.assert_array_equal(a.shifts, b.shifts)
 
 
 def test_serving_partial_batch(rng):
