@@ -71,6 +71,13 @@ class FftMethodConfig:
         return dataclasses.replace(self, frame_size=frame, sample_point_size=patch)
 
 
+def _exact_in_bf16(frames: jnp.ndarray) -> bool:
+    """True when the raw frame dtype is exactly representable in bfloat16
+    (uint8/int8 camera pixels: 8-bit ints fit bf16's mantissa) — lets the
+    kernels drop the low-order input split pass."""
+    return frames.dtype in (jnp.uint8, jnp.int8)
+
+
 class FftMethod(FlowEngine):
     """Multi-patch FFT phase-correlation engine."""
 
@@ -146,6 +153,9 @@ class FftMethod(FlowEngine):
         float32 happens on device (``convertTo(CV_32FC1)``, ``:1805``).
         """
         c = self.config
+        # NOTE: no exact_inputs here — state.prev is float32 and may hold
+        # non-integer values if the stream mixes frame dtypes; only the
+        # stateless step_batch (both operands user-provided) auto-enables it
         curr = jnp.asarray(frame, jnp.float32)
         prev = jnp.where(state.first, curr, state.prev)  # first-frame copy (:1788)
 
@@ -207,6 +217,9 @@ class FftMethod(FlowEngine):
         parallelism item 1).
         """
         c = self.config
+        exact = _exact_in_bf16(jnp.asarray(curr_frames)) and _exact_in_bf16(
+            jnp.asarray(prev_frames)
+        )
         curr_f = jnp.asarray(curr_frames, jnp.float32)
         prev_f = jnp.asarray(prev_frames, jnp.float32)
         if c.use_pallas and c.backend == "dft" and c.sample_point_size % 8 == 0:
@@ -224,6 +237,7 @@ class FftMethod(FlowEngine):
                 centroid_radius=c.centroid_radius,
                 half_spectrum=c.half_spectrum,
                 bands_per_step=c.bands_per_step,
+                exact_inputs=exact,
             )
         else:
             curr_p = patchify(curr_f, c.sample_point_size)

@@ -172,6 +172,7 @@ def peak_refine_pallas(
 def _fullfused_frames_kernel(
     src1_ref, src2_ref, *refs,
     n, q, search_radius, centroid_radius, bf16x3, half_spectrum,
+    exact_inputs=False,
 ):
     """Frame-banded variant: the grid is (batch, qy) and each step's
     BlockSpec carves a full row band ``[S, W]`` straight out of the frame —
@@ -194,6 +195,7 @@ def _fullfused_frames_kernel(
                 out_ref=out_ref, row0=(b * q + j) * q, n=n, q=q,
                 search_radius=search_radius,
                 centroid_radius=centroid_radius, bf16x3=bf16x3,
+                exact_inputs=exact_inputs,
             )
             continue
         for i in range(q):
@@ -234,7 +236,7 @@ def _weight_operands(n: int, bf16x3: bool, half_spectrum: bool):
     jax.jit,
     static_argnames=(
         "patch", "search_radius", "centroid_radius", "interpret", "bf16x3",
-        "half_spectrum", "bands_per_step",
+        "half_spectrum", "bands_per_step", "exact_inputs",
     ),
 )
 def phase_correlate_frames_pallas(
@@ -248,6 +250,7 @@ def phase_correlate_frames_pallas(
     bf16x3: bool = True,
     half_spectrum: bool = True,
     bands_per_step: int | None = None,
+    exact_inputs: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Whole-frame batched phase correlation without patch extraction:
     ``[B, H, W]`` frame pairs -> ``(shift [B, q*q, 2], maxval [B, q*q])``.
@@ -283,7 +286,7 @@ def phase_correlate_frames_pallas(
         functools.partial(
             _fullfused_frames_kernel, n=n, q=q, search_radius=search_radius,
             centroid_radius=centroid_radius, bf16x3=bf16x3,
-            half_spectrum=half_spectrum,
+            half_spectrum=half_spectrum, exact_inputs=exact_inputs,
         ),
         grid=(b, q // g),
         in_specs=[fspec, fspec] + wspecs,
@@ -392,8 +395,11 @@ def _dft_packed_half(n: int):
 
 
 def _mm_fns(bf16x3: bool):
-    """(weight @ x, x @ weight) matmul helpers: three bf16 MXU passes with
-    f32 accumulation when ``bf16x3``, else one Precision.HIGHEST dot."""
+    """(weight @ x, x @ weight, weight @ exact_x) matmul helpers: three bf16
+    MXU passes with f32 accumulation when ``bf16x3``, else one
+    Precision.HIGHEST dot.  ``mm_wl_exact`` is for operands already exact in
+    bfloat16 (uint8/int8 pixel data: 8-bit integers fit bf16's mantissa) —
+    the low-order split vanishes, so two passes instead of three."""
     if bf16x3:
         acc = functools.partial(jax.lax.dot, preferred_element_type=jnp.float32)
 
@@ -410,6 +416,10 @@ def _mm_fns(bf16x3: bool):
             xhi, xlo = _split(x)
             return acc(xhi, whi) + acc(xhi, wlo) + acc(xlo, whi)
 
+        def mm_wl_exact(whi, wlo, x):
+            xhi = x.astype(jnp.bfloat16)
+            return acc(whi, xhi) + acc(wlo, xhi)
+
     else:
         hdot = functools.partial(jax.lax.dot, precision=jax.lax.Precision.HIGHEST)
 
@@ -419,7 +429,9 @@ def _mm_fns(bf16x3: bool):
         def mm_wr(x, whi, wlo):
             return hdot(x, whi)
 
-    return mm_wl, mm_wr
+        mm_wl_exact = mm_wl
+
+    return mm_wl, mm_wr, mm_wl_exact
 
 
 def _conj_fold_weights(n: int, p: int):
@@ -442,7 +454,7 @@ def _conj_fold_weights(n: int, p: int):
 def _pc_band_body_half(
     band1, band2, whh_ref, whl_ref, csh_ref, csl_ref, w2h_ref, w2l_ref,
     w2th_ref, w2tl_ref, *, out_ref, row0, n, q, search_radius,
-    centroid_radius, bf16x3,
+    centroid_radius, bf16x3, exact_inputs=False,
 ):
     """Band-batched half-spectrum body: all ``q`` patches of a row band go
     through each DFT stage as ONE matmul, stacked on the M (sublane) axis.
@@ -458,15 +470,16 @@ def _pc_band_body_half(
     nh = n // 2 + 1
     p = _pad8(nh)
     seg = (n + 127) // 128 * 128
-    mm_wl, mm_wr = _mm_fns(bf16x3)
+    mm_wl, mm_wr, mm_wl_exact = _mm_fns(bf16x3)
+    mm_in = mm_wl_exact if exact_inputs else mm_wl
     whh, whl = whh_ref[...], whl_ref[...]
     csh, csl = csh_ref[...], csl_ref[...]
     w2th, w2tl = w2th_ref[...], w2tl_ref[...]
 
     # forward y-DFT of every patch at once: the band's lane axis already
     # concatenates the patches
-    u1 = mm_wl(whh, whl, band1.astype(jnp.float32))  # [2p, q*n] = [C@x; S@x]
-    u2 = mm_wl(whh, whl, band2.astype(jnp.float32))
+    u1 = mm_in(whh, whl, band1.astype(jnp.float32))  # [2p, q*n] = [C@x; S@x]
+    u2 = mm_in(whh, whl, band2.astype(jnp.float32))
 
     d = _conj_fold_weights(n, p)
     xq_parts = []
@@ -526,7 +539,8 @@ def _pc_band_body_half(
 
 def _phase_correlate_body_half(
     src1, src2, whh_ref, whl_ref, csh_ref, csl_ref, w2h_ref, w2l_ref,
-    w2th_ref, w2tl_ref, *, out_ref, row, n, search_radius, centroid_radius, bf16x3,
+    w2th_ref, w2tl_ref, *, out_ref, row, n, search_radius, centroid_radius,
+    bf16x3, exact_inputs=False,
 ):
     """Half-spectrum variant of :func:`_phase_correlate_body`: real-input
     DFTs are Hermitian (``F[-k,-l] = conj(F[k,l])``), so only ``n//2 + 1``
@@ -547,7 +561,8 @@ def _phase_correlate_body_half(
     nh = n // 2 + 1
     p = _pad8(nh)
     seg = (n + 127) // 128 * 128
-    mm_wl, mm_wr = _mm_fns(bf16x3)
+    mm_wl, mm_wr, mm_wl_exact = _mm_fns(bf16x3)
+    mm_in = mm_wl_exact if exact_inputs else mm_wl
     whh, whl = whh_ref[...], whl_ref[...]
     csh, csl = csh_ref[...], csl_ref[...]
     w2h, w2l = w2h_ref[...], w2l_ref[...]
@@ -556,7 +571,7 @@ def _phase_correlate_body_half(
         """Half spectrum of a real patch: [p, n] (rows = y-freq 0..n/2,
         cols = x-freq, full).  Two matmuls: ``[C;S] @ x`` then the
         sublane-stacked complex pair times ``[C | S]``."""
-        u = mm_wl(whh, whl, x.astype(jnp.float32))  # [2p, n] = [C@x; S@x]
+        u = mm_in(whh, whl, x.astype(jnp.float32))  # [2p, n] = [C@x; S@x]
         ur = jax.lax.slice(u, (0, 0), (p, n))
         ui = -jax.lax.slice(u, (p, 0), (2 * p, n))
         t = jax.lax.concatenate([ur, ui], 0)  # [2p, n]
@@ -691,11 +706,20 @@ def _phase_correlate_body(
 def _fullfused_kernel(
     src1_ref, src2_ref, *refs,
     n, search_radius, centroid_radius, bf16x3, half_spectrum,
+    exact_inputs=False,
 ):
     """Patch-batch variant: grid (P,), one patch per step."""
     weight_refs, out_ref = refs[:-1], refs[-1]
-    body = _phase_correlate_body_half if half_spectrum else _phase_correlate_body
-    body(
+    if half_spectrum:
+        _phase_correlate_body_half(
+            src1_ref[0], src2_ref[0], *weight_refs,
+            out_ref=out_ref, row=pl.program_id(0), n=n,
+            search_radius=search_radius,
+            centroid_radius=centroid_radius, bf16x3=bf16x3,
+            exact_inputs=exact_inputs,
+        )
+        return
+    _phase_correlate_body(
         src1_ref[0], src2_ref[0], *weight_refs,
         out_ref=out_ref, row=pl.program_id(0), n=n, search_radius=search_radius,
         centroid_radius=centroid_radius, bf16x3=bf16x3,
@@ -705,7 +729,8 @@ def _fullfused_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "search_radius", "centroid_radius", "interpret", "bf16x3", "half_spectrum"
+        "search_radius", "centroid_radius", "interpret", "bf16x3",
+        "half_spectrum", "exact_inputs",
     ),
 )
 def phase_correlate_fullfused_pallas(
@@ -717,6 +742,7 @@ def phase_correlate_fullfused_pallas(
     interpret: bool | None = None,
     bf16x3: bool = True,
     half_spectrum: bool = True,
+    exact_inputs: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-launch phase correlation: raw ``[P, N, N]`` patches ->
     ``(shift [P, 2], maxval [P])``, no HBM intermediates at all."""
@@ -732,7 +758,7 @@ def phase_correlate_fullfused_pallas(
         functools.partial(
             _fullfused_kernel, n=n, search_radius=search_radius,
             centroid_radius=centroid_radius, bf16x3=bf16x3,
-            half_spectrum=half_spectrum,
+            half_spectrum=half_spectrum, exact_inputs=exact_inputs,
         ),
         grid=(p,),
         in_specs=[spec, spec] + wspecs,

@@ -132,3 +132,21 @@ def test_unaligned_patch_size(rng):
     assert s.shape == (64, 2)
     med = np.nanmedian(s, axis=0)
     assert np.abs(med - np.array([-4, 2])).max() < 0.5, med
+
+
+def test_step_batch_uint8_exact_inputs_bit_identical(rng):
+    """uint8 frames auto-enable the exact-input kernel path (8-bit ints are
+    exact in bf16, so the dropped low-order split pass is exactly zero) —
+    results must be bit-identical to pre-converted float32 frames."""
+    import jax.numpy as jnp
+    from mrs_optic_flow_tpu.models import FftMethod, FftMethodConfig
+    from oracle import smooth_random_image
+
+    eng = FftMethod(FftMethodConfig(frame_size=48, sample_point_size=12))
+    prev8 = (np.stack([smooth_random_image(rng, 48) for _ in range(3)]) * 255
+             ).astype(np.uint8)
+    curr8 = np.roll(prev8, 2, axis=2)
+    r8 = eng.step_batch(jnp.asarray(prev8), jnp.asarray(curr8))
+    rf = eng.step_batch(jnp.asarray(prev8, jnp.float32), jnp.asarray(curr8, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(r8.shifts), np.asarray(rf.shifts))
+    np.testing.assert_array_equal(np.asarray(r8.response), np.asarray(rf.response))
