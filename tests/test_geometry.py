@@ -469,3 +469,24 @@ def test_get_rt_batch_nan_gating(rng):
     assert ok[0] and ok[2] and not ok[1]
     assert np.all(np.isnan(np.asarray(out.tran)[1]))
     assert np.all(np.isfinite(np.asarray(out.tran)[0]))
+
+
+def test_get_rt_batch_bad_dt(rng):
+    """dt <= 0 poisons only the affected sample (reference rejects
+    negative/zero dt, src/optic_flow.cpp:1425-1433)."""
+    from mrs_optic_flow_tpu.geometry.batched import get_rt_batch
+
+    b = 3
+    cam = jnp.asarray([[300.0, 0, 240.0], [0, 300.0, 240.0], [0, 0, 1]], jnp.float32)
+    shifts = jnp.asarray(np.tile(np.array([5.0, -3.0], np.float32), (b, 16, 1)))
+    dts = jnp.asarray([0.05, 0.0, 0.05], jnp.float32)
+    out = get_rt_batch(
+        shifts, jnp.full((b,), 4.0), dts, jnp.float32(20.0), cam, None,
+        jnp.asarray([0, 0, 0, 1], jnp.float32),
+        jnp.tile(jnp.asarray([0, 0, 0, 1], jnp.float32), (b, 1)),
+        jax.random.split(jax.random.PRNGKey(1), b),
+        frame_size=480, patch=120, ransac_iterations=64,
+    )
+    ok = np.asarray(out.ok)
+    assert ok[0] and ok[2] and not ok[1]
+    assert np.all(np.isnan(np.asarray(out.tran)[1]))

@@ -211,3 +211,15 @@ def test_engine_config_kernel_knobs(rng):
         res = eng.step_batch(jnp.asarray(prev)[None], jnp.asarray(curr)[None])
         outs.append(np.asarray(res.shifts))
     np.testing.assert_allclose(outs[0], outs[1], atol=1e-4)
+
+
+def test_frames_pallas_masked_large_shift(rng):
+    """SEARCH_RADIUS masking holds on the frame-banded (production) kernel,
+    not just the patch-batch one."""
+    n = 120
+    prev = np.stack([smooth_random_image(rng, n)])
+    curr = np.roll(prev, 58, axis=2)  # beyond the 55 px mask
+    s, m = pk.phase_correlate_frames_pallas(
+        jnp.asarray(curr), jnp.asarray(prev), patch=n, interpret=INTERPRET
+    )
+    assert float(m[0, 0]) < 0.5  # true peak masked away
