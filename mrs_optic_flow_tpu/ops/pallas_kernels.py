@@ -172,7 +172,7 @@ def peak_refine_pallas(
 def _fullfused_frames_kernel(
     src1_ref, src2_ref, *refs,
     n, q, search_radius, centroid_radius, bf16x3, half_spectrum,
-    exact_inputs=False,
+    exact_inputs=False, band_stack=1,
 ):
     """Frame-banded variant: the grid is (batch, qy) and each step's
     BlockSpec carves a full row band ``[S, W]`` straight out of the frame —
@@ -184,29 +184,42 @@ def _fullfused_frames_kernel(
     weight_refs, out_ref = refs[:-1], refs[-1]
     b = pl.program_id(0)
     jg = pl.program_id(1)
-    g = src1_ref.shape[1] // n  # bands per grid step
-    for jj in range(g):
-        j = jg * g + jj
-        band1 = src1_ref[0, jj * n : (jj + 1) * n]  # [S, W]
-        band2 = src2_ref[0, jj * n : (jj + 1) * n]
-        if half_spectrum:
-            _pc_band_body_half(
-                band1, band2, *weight_refs,
-                out_ref=out_ref, row0=(b * q + j) * q, n=n, q=q,
+    m = src1_ref.shape[0]  # frame pairs per grid step
+    g = src1_ref.shape[1] // n  # bands per pair per grid step
+    if half_spectrum:
+        bands1, bands2, row0s = [], [], []
+        for mi in range(m):
+            for jj in range(g):
+                bands1.append(src1_ref[mi, jj * n : (jj + 1) * n])
+                bands2.append(src2_ref[mi, jj * n : (jj + 1) * n])
+                row0s.append(((b * m + mi) * q + jg * g + jj) * q)
+        # band_stack bands share each matmul stream; smaller stacks leave
+        # each group's VPU peak stage free to overlap the next group's MXU
+        # work (measured: full-step stacking is ~10% slower than per-band)
+        for k0 in range(0, len(bands1), band_stack):
+            k1 = k0 + band_stack
+            _pc_bands_body_half(
+                bands1[k0:k1], bands2[k0:k1], *weight_refs,
+                out_ref=out_ref, row0s=row0s[k0:k1], n=n, q=q,
                 search_radius=search_radius,
                 centroid_radius=centroid_radius, bf16x3=bf16x3,
                 exact_inputs=exact_inputs,
             )
-            continue
-        for i in range(q):
-            row = (b * q + j) * q + i
-            _phase_correlate_body(
-                jax.lax.slice(band1, (0, i * n), (n, (i + 1) * n)),
-                jax.lax.slice(band2, (0, i * n), (n, (i + 1) * n)),
-                *weight_refs,
-                out_ref=out_ref, row=row, n=n, search_radius=search_radius,
-                centroid_radius=centroid_radius, bf16x3=bf16x3,
-            )
+        return
+    for mi in range(m):
+        for jj in range(g):
+            j = jg * g + jj
+            band1 = src1_ref[mi, jj * n : (jj + 1) * n]  # [S, W]
+            band2 = src2_ref[mi, jj * n : (jj + 1) * n]
+            for i in range(q):
+                row = ((b * m + mi) * q + j) * q + i
+                _phase_correlate_body(
+                    jax.lax.slice(band1, (0, i * n), (n, (i + 1) * n)),
+                    jax.lax.slice(band2, (0, i * n), (n, (i + 1) * n)),
+                    *weight_refs,
+                    out_ref=out_ref, row=row, n=n, search_radius=search_radius,
+                    centroid_radius=centroid_radius, bf16x3=bf16x3,
+                )
 
 
 def _weight_operands(n: int, bf16x3: bool, half_spectrum: bool):
@@ -236,7 +249,8 @@ def _weight_operands(n: int, bf16x3: bool, half_spectrum: bool):
     jax.jit,
     static_argnames=(
         "patch", "search_radius", "centroid_radius", "interpret", "bf16x3",
-        "half_spectrum", "bands_per_step", "exact_inputs",
+        "half_spectrum", "bands_per_step", "pairs_per_step", "band_stack",
+        "exact_inputs",
     ),
 )
 def phase_correlate_frames_pallas(
@@ -250,15 +264,22 @@ def phase_correlate_frames_pallas(
     bf16x3: bool = True,
     half_spectrum: bool = True,
     bands_per_step: int | None = None,
+    pairs_per_step: int = 1,
+    band_stack: int = 1,
     exact_inputs: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Whole-frame batched phase correlation without patch extraction:
     ``[B, H, W]`` frame pairs -> ``(shift [B, q*q, 2], maxval [B, q*q])``.
 
     ``bands_per_step``: row bands processed per grid step.  More bands per
-    step amortize per-step DMA/loop overhead (measured +10% at 4 vs 1 on
-    480x480/120 v5e); default picks the largest divisor of the grid height
-    whose two input blocks stay under a VMEM budget.
+    step batch more work into each matmul stream (the half-spectrum body
+    M-stacks every band of the step; measured +10% at 4 vs 1 on 480x480/120
+    v5e before the stacking, more after); default picks the largest divisor
+    of the grid height whose two input blocks stay under a VMEM budget.
+    ``pairs_per_step``: frame pairs per grid step — more per-step work,
+    bounded by VMEM.  ``band_stack``: how many of the step's bands share
+    each matmul stream (M-stacked); 1 keeps per-band streams whose VPU peak
+    stages overlap the next band's MXU work — measured fastest on v5e.
     """
     interpret = _auto_interpret(interpret)
     if interpret:
@@ -269,16 +290,19 @@ def phase_correlate_frames_pallas(
         raise ValueError(f"expected a square patch grid, got {qy}x{qx}")
     q = qx
     n = patch
+    m = pairs_per_step
+    if b % m:
+        raise ValueError(f"pairs_per_step {m} must divide the batch {b}")
     g = bands_per_step
     if g is None:
         g = q
-        while g > 1 and (q % g or 2 * g * n * w * 4 > 4 << 20):
+        while g > 1 and (q % g or 2 * m * g * n * w * 4 > 4 << 20):
             g -= 1
     if q % g:
         raise ValueError(f"bands_per_step {g} must divide the grid rows {q}")
     wops, wspecs = _weight_operands(n, bf16x3, half_spectrum)
     fspec = pl.BlockSpec(
-        (1, g * n, w), lambda bb, j: (bb, j, 0), memory_space=pltpu.VMEM
+        (m, g * n, w), lambda bb, j: (bb, j, 0), memory_space=pltpu.VMEM
     )
     rows = b * q * q
     logical_dots = 16 if half_spectrum else 18  # per patch (10.5 M-weighted)
@@ -287,8 +311,9 @@ def phase_correlate_frames_pallas(
             _fullfused_frames_kernel, n=n, q=q, search_radius=search_radius,
             centroid_radius=centroid_radius, bf16x3=bf16x3,
             half_spectrum=half_spectrum, exact_inputs=exact_inputs,
+            band_stack=band_stack,
         ),
-        grid=(b, q // g),
+        grid=(b // m, q // g),
         in_specs=[fspec, fspec] + wspecs,
         out_specs=pl.BlockSpec((rows, 4), lambda bb, j: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, 4), jnp.float32),
@@ -451,73 +476,94 @@ def _conj_fold_weights(n: int, p: int):
     ).astype(jnp.float32)
 
 
-def _pc_band_body_half(
-    band1, band2, whh_ref, whl_ref, csh_ref, csl_ref, w2h_ref, w2l_ref,
-    w2th_ref, w2tl_ref, *, out_ref, row0, n, q, search_radius,
+def _pc_bands_body_half(
+    bands1, bands2, whh_ref, whl_ref, csh_ref, csl_ref, w2h_ref, w2l_ref,
+    w2th_ref, w2tl_ref, *, out_ref, row0s, n, q, search_radius,
     centroid_radius, bf16x3, exact_inputs=False,
 ):
-    """Band-batched half-spectrum body: all ``q`` patches of a row band go
-    through each DFT stage as ONE matmul, stacked on the M (sublane) axis.
+    """Band-batched half-spectrum body over ALL ``B = len(bands1)`` row bands
+    of a grid step: every DFT stage runs as one matmul with the work stacked
+    on the M (sublane) axis — across the ``q`` patches of each band AND
+    across the bands.
 
     Same math and numerics as :func:`_phase_correlate_body_half` (stacking
-    rows does not change any dot product), but the whole band runs in 5
-    matmul instructions instead of ``6q`` — at these small shapes the MXU
-    is issue-bound, not MAC-bound, so fewer/longer streams win.  The
-    inverse fold runs transposed (``v^T = yq^T @ w2^T``) so its per-patch
-    results can also stack on M; the peak stage swaps coordinates back in
-    index space (``transposed=True``).
+    rows does not change any dot product).  At these small shapes the MXU is
+    issue-bound, not MAC-bound, so fewer/longer streams win: per grid step
+    the chain is ``2B`` forward matmuls + ``q`` x-DFT matmuls (patch column
+    ``i``'s pieces share lane offset ``n*i`` across bands, so they stack;
+    pieces of different columns can't — Mosaic concatenation needs matching
+    lane offsets) + 1 cross-power matmul + 1 inverse fold — 16 instructions
+    for a 4-band step vs 32 when each band ran alone.  The inverse fold runs
+    transposed (``v^T = yq^T @ w2^T``) so its per-patch results also stack on
+    M; the peak stage swaps coordinates back in index space
+    (``transposed=True``).
     """
     nh = n // 2 + 1
     p = _pad8(nh)
     seg = (n + 127) // 128 * 128
+    nb = len(bands1)
     mm_wl, mm_wr, mm_wl_exact = _mm_fns(bf16x3)
     mm_in = mm_wl_exact if exact_inputs else mm_wl
     whh, whl = whh_ref[...], whl_ref[...]
     csh, csl = csh_ref[...], csl_ref[...]
     w2th, w2tl = w2th_ref[...], w2tl_ref[...]
 
-    # forward y-DFT of every patch at once: the band's lane axis already
-    # concatenates the patches
-    u1 = mm_in(whh, whl, band1.astype(jnp.float32))  # [2p, q*n] = [C@x; S@x]
-    u2 = mm_in(whh, whl, band2.astype(jnp.float32))
+    # forward y-DFT of every patch of every band at once: each band's lane
+    # axis already concatenates its patches
+    us = [
+        (
+            mm_in(whh, whl, b1.astype(jnp.float32)),  # [2p, q*n] = [C@x; S@x]
+            mm_in(whh, whl, b2.astype(jnp.float32)),
+        )
+        for b1, b2 in zip(bands1, bands2)
+    ]
 
     d = _conj_fold_weights(n, p)
-    xq_parts = []
+    gs = []
     for i in range(q):
-        # both frames' x-DFT for this patch in one matmul (M = 4p).  All
-        # four pieces share lane offset 120*i, so Mosaic can concatenate
-        # without relayout; patches can't join this stack (offsets differ).
+        # every band's x-DFT for patch column i in one matmul (M = B*4p):
+        # all pieces share lane offset n*i, so they concatenate on sublanes
+        # without relayout
         def uc_us(u):
             uc = jax.lax.slice(u, (0, i * n), (p, (i + 1) * n))
-            us = jax.lax.slice(u, (p, i * n), (2 * p, (i + 1) * n))
-            return uc, -us  # [ur; ui] with ui = -S@x
+            usl = jax.lax.slice(u, (p, i * n), (2 * p, (i + 1) * n))
+            return uc, -usl  # [ur; ui] with ui = -S@x
 
-        u1c, u1s = uc_us(u1)
-        u2c, u2s = uc_us(u2)
-        t = jax.lax.concatenate([u1c, u1s, u2c, u2s], 0)  # [4p, n]
-        g = mm_wr(t, csh, csl)  # [4p, 2seg]: both frames' {u@C, u@S}
+        pieces = []
+        for u1, u2 in us:
+            u1c, u1s = uc_us(u1)
+            u2c, u2s = uc_us(u2)
+            pieces += [u1c, u1s, u2c, u2s]
+        t = jax.lax.concatenate(pieces, 0)  # [B*4p, n]
+        gs.append(mm_wr(t, csh, csl))  # [B*4p, 2seg]: all bands' {u@C, u@S}
 
-        def g_at(base):
-            gr = jax.lax.slice(g, (base, 0), (base + p, n)) + jax.lax.slice(
-                g, (base + p, seg), (base + 2 * p, seg + n)
-            )
-            gi = jax.lax.slice(g, (base + p, 0), (base + 2 * p, n)) - jax.lax.slice(
-                g, (base, seg), (base + p, seg + n)
-            )
-            return gr, gi
+    xq_parts = []
+    for bi in range(nb):
+        for i in range(q):
+            g = gs[i]
 
-        f1r, f1i = g_at(0)
-        f2r, f2i = g_at(2 * p)
-        rr = f1r * f2r + f1i * f2i
-        ri = f1i * f2r - f1r * f2i
-        denom = jax.lax.rsqrt(rr * rr + ri * ri + FLT_EPSILON)
-        xq_parts += [d * rr * denom, d * ri * denom]
-    xq = jax.lax.concatenate(xq_parts, 0)  # [q*2p, n], all offset-0 pieces
+            def g_at(base):
+                gr = jax.lax.slice(g, (base, 0), (base + p, n)) + jax.lax.slice(
+                    g, (base + p, seg), (base + 2 * p, seg + n)
+                )
+                gi = jax.lax.slice(g, (base + p, 0), (base + 2 * p, n)) - jax.lax.slice(
+                    g, (base, seg), (base + p, seg + n)
+                )
+                return gr, gi
 
-    y = mm_wr(xq, csh, csl)  # [q*2p, 2seg]
+            f1r, f1i = g_at(bi * 4 * p)
+            f2r, f2i = g_at(bi * 4 * p + 2 * p)
+            rr = f1r * f2r + f1i * f2i
+            ri = f1i * f2r - f1r * f2i
+            denom = jax.lax.rsqrt(rr * rr + ri * ri + FLT_EPSILON)
+            xq_parts += [d * rr * denom, d * ri * denom]
+    # [B*q*2p, n], all offset-0 pieces, ordered (band, patch)
+    xq = jax.lax.concatenate(xq_parts, 0)
+
+    y = mm_wr(xq, csh, csl)  # [B*q*2p, 2seg]
     yt_parts = []
-    for i in range(q):
-        base = i * 2 * p
+    for k in range(nb * q):
+        base = k * 2 * p
         yr = jax.lax.slice(y, (base, 0), (base + p, n)) - jax.lax.slice(
             y, (base + p, seg), (base + 2 * p, seg + n)
         )
@@ -525,16 +571,18 @@ def _pc_band_body_half(
             y, (base + p, 0), (base + 2 * p, n)
         )
         yt_parts.append(jnp.transpose(jax.lax.concatenate([yr, yi], 0)))
-    yt = jax.lax.concatenate(yt_parts, 0)  # [q*n, 2p]
-    vt = mm_wr(yt, w2th, w2tl)  # [q*n, n]: per-patch v^T, M-stacked
+    yt = jax.lax.concatenate(yt_parts, 0)  # [B*q*n, 2p]
+    vt = mm_wr(yt, w2th, w2tl)  # [B*q*n, n]: per-patch v^T, M-stacked
 
     inv = 1.0 / (n * n)
-    for i in range(q):
-        v_t = jax.lax.slice(vt, (i * n, 0), ((i + 1) * n, n)) * inv
-        maxval, cx, cy = _masked_peak_centroid(
-            v_t, n, search_radius, centroid_radius, transposed=True
-        )
-        out_ref[pl.ds(row0 + i, 1), :] = _pack_row(maxval, cx, cy)
+    for bi in range(nb):
+        for i in range(q):
+            k = bi * q + i
+            v_t = jax.lax.slice(vt, (k * n, 0), ((k + 1) * n, n)) * inv
+            maxval, cx, cy = _masked_peak_centroid(
+                v_t, n, search_radius, centroid_radius, transposed=True
+            )
+            out_ref[pl.ds(row0s[bi] + i, 1), :] = _pack_row(maxval, cx, cy)
 
 
 def _phase_correlate_body_half(
