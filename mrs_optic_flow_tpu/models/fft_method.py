@@ -217,21 +217,21 @@ class FftMethod(FlowEngine):
         parallelism item 1).
         """
         c = self.config
-        exact = _exact_in_bf16(jnp.asarray(curr_frames)) and _exact_in_bf16(
-            jnp.asarray(prev_frames)
-        )
-        curr_f = jnp.asarray(curr_frames, jnp.float32)
-        prev_f = jnp.asarray(prev_frames, jnp.float32)
+        curr_frames = jnp.asarray(curr_frames)
+        prev_frames = jnp.asarray(prev_frames)
+        exact = _exact_in_bf16(curr_frames) and _exact_in_bf16(prev_frames)
         if c.use_pallas and c.backend == "dft" and c.sample_point_size % 8 == 0:
             # frame-tiled kernel: patch extraction happens in the BlockSpec
             # index map — no patchify copies in HBM (needs sublane-aligned
-            # bands: patch % 8 == 0; otherwise the patch-batch kernel below)
+            # bands: patch % 8 == 0; otherwise the patch-batch kernel below).
+            # 8-bit frames pass straight through (the kernel streams uint8
+            # into VMEM and casts there — no f32 copy of the batch in HBM)
             from mrs_optic_flow_tpu.ops.pallas_kernels import (
                 phase_correlate_frames_pallas,
             )
 
             raw, resp = phase_correlate_frames_pallas(
-                curr_f, prev_f,
+                curr_frames, prev_frames,
                 patch=c.sample_point_size,
                 search_radius=c.search_radius,
                 centroid_radius=c.centroid_radius,
@@ -240,8 +240,8 @@ class FftMethod(FlowEngine):
                 exact_inputs=exact,
             )
         else:
-            curr_p = patchify(curr_f, c.sample_point_size)
-            prev_p = patchify(prev_f, c.sample_point_size)
+            curr_p = patchify(jnp.asarray(curr_frames, jnp.float32), c.sample_point_size)
+            prev_p = patchify(jnp.asarray(prev_frames, jnp.float32), c.sample_point_size)
             raw, resp = self._correlate(curr_p, prev_p)
         shifts = self._gate(raw, c.sample_point_size, c.max_pixel_speed)
         return FlowResult(shifts=shifts, shifts_raw=raw, response=resp)

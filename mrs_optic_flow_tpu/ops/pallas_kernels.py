@@ -95,6 +95,14 @@ def _masked_peak_centroid(
     return maxval, jnp.where(bad, nanv, cx), jnp.where(bad, nanv, cy)
 
 
+def _kcast_f32(x):
+    """In-kernel cast to float32.  Mosaic has no direct uint8->f32 lowering;
+    8-bit data routes through int32 (exact)."""
+    if x.dtype in (jnp.uint8, jnp.int8):
+        x = x.astype(jnp.int32)
+    return x.astype(jnp.float32)
+
+
 def _pack_row(maxval, cx, cy):
     """Pack three scalars into a (1, 4) float32 vector for a VMEM row store."""
     cidx = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
@@ -324,7 +332,14 @@ def phase_correlate_frames_pallas(
         ),
         interpret=interpret,
     )(
-        curr_frames.astype(jnp.float32), prev_frames.astype(jnp.float32), *wops,
+        # 8-bit frames stream into VMEM as-is (4x less DMA and no f32
+        # materialization pass in HBM); the cast to f32 happens on the VPU
+        # inside the kernel body and is exact for 8-bit data
+        curr_frames if curr_frames.dtype in (jnp.uint8, jnp.int8)
+        else curr_frames.astype(jnp.float32),
+        prev_frames if prev_frames.dtype in (jnp.uint8, jnp.int8)
+        else prev_frames.astype(jnp.float32),
+        *wops,
     )
     return out[:, 1:3].reshape(b, q * q, 2), out[:, 0].reshape(b, q * q)
 
@@ -512,8 +527,8 @@ def _pc_bands_body_half(
     # axis already concatenates its patches
     us = [
         (
-            mm_in(whh, whl, b1.astype(jnp.float32)),  # [2p, q*n] = [C@x; S@x]
-            mm_in(whh, whl, b2.astype(jnp.float32)),
+            mm_in(whh, whl, _kcast_f32(b1)),  # [2p, q*n] = [C@x; S@x]
+            mm_in(whh, whl, _kcast_f32(b2)),
         )
         for b1, b2 in zip(bands1, bands2)
     ]
@@ -619,7 +634,7 @@ def _phase_correlate_body_half(
         """Half spectrum of a real patch: [p, n] (rows = y-freq 0..n/2,
         cols = x-freq, full).  Two matmuls: ``[C;S] @ x`` then the
         sublane-stacked complex pair times ``[C | S]``."""
-        u = mm_in(whh, whl, x.astype(jnp.float32))  # [2p, n] = [C@x; S@x]
+        u = mm_in(whh, whl, _kcast_f32(x))  # [2p, n] = [C@x; S@x]
         ur = jax.lax.slice(u, (0, 0), (p, n))
         ui = -jax.lax.slice(u, (p, 0), (2 * p, n))
         t = jax.lax.concatenate([ur, ui], 0)  # [2p, n]
@@ -727,8 +742,8 @@ def _phase_correlate_body(
         ic, is_ = dot_pair(jnp.swapaxes(ti, 0, 1))
         return rc - is_, ic + rs
 
-    f1r, f1i = dft2_t(src1.astype(jnp.float32))
-    f2r, f2i = dft2_t(src2.astype(jnp.float32))
+    f1r, f1i = dft2_t(_kcast_f32(src1))
+    f2r, f2i = dft2_t(_kcast_f32(src2))
 
     # cmulnormf on the transposed spectra (cl/FftMethod.cl:976-982)
     rr = f1r * f2r + f1i * f2i

@@ -82,7 +82,9 @@ class BatchPipeline:
             self.step = jax.jit(step)
 
     def _preprocess(self, raw: jnp.ndarray) -> jnp.ndarray:
-        g = to_grayscale(raw) if raw.ndim == 4 else jnp.asarray(raw, jnp.float32)
+        # grayscale inputs keep their dtype: the flow kernel streams uint8
+        # into VMEM directly (4x less DMA than a float32 copy of the batch)
+        g = to_grayscale(raw) if raw.ndim == 4 else jnp.asarray(raw)
         return center_crop(g, self.frame_size, int(self.crop_cx))
 
     def _build_step(self):
