@@ -223,3 +223,36 @@ def test_frames_pallas_masked_large_shift(rng):
         jnp.asarray(curr), jnp.asarray(prev), patch=n, interpret=INTERPRET
     )
     assert float(m[0, 0]) < 0.5  # true peak masked away
+
+
+def test_frames_pallas_uint8_direct_bit_identical(rng):
+    """8-bit frames stream into the kernel without a float32 HBM copy; the
+    in-kernel VPU cast must be bit-identical to pre-converted float32."""
+    prev = (smooth_random_image(rng, 48) * 127 + 128).astype(np.uint8)[None]
+    curr = np.roll(prev, (3, -2), axis=(1, 2))
+    s8, m8 = pk.phase_correlate_frames_pallas(
+        jnp.asarray(curr), jnp.asarray(prev), patch=12,
+        interpret=INTERPRET, exact_inputs=True,
+    )
+    sf, mf = pk.phase_correlate_frames_pallas(
+        jnp.asarray(curr, jnp.float32), jnp.asarray(prev, jnp.float32),
+        patch=12, interpret=INTERPRET, exact_inputs=True,
+    )
+    np.testing.assert_array_equal(np.asarray(s8), np.asarray(sf))
+    np.testing.assert_array_equal(np.asarray(m8), np.asarray(mf))
+
+
+def test_frames_pallas_stacking_knobs_agree(rng):
+    """band_stack / pairs_per_step regroup the matmul streams without
+    changing any dot product — outputs must match the default exactly."""
+    prev = np.stack([smooth_random_image(rng, 48) for _ in range(4)])
+    curr = np.roll(prev, (0, 2, -3), axis=(0, 1, 2))
+    ref, _ = pk.phase_correlate_frames_pallas(
+        jnp.asarray(curr), jnp.asarray(prev), patch=12, interpret=INTERPRET
+    )
+    for m, stack in ((2, 1), (4, 2), (2, 3), (1, 4)):
+        s, _ = pk.phase_correlate_frames_pallas(
+            jnp.asarray(curr), jnp.asarray(prev), patch=12,
+            interpret=INTERPRET, pairs_per_step=m, band_stack=stack,
+        )
+        np.testing.assert_allclose(np.asarray(s), np.asarray(ref), atol=1e-5)
