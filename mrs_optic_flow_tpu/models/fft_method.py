@@ -57,6 +57,10 @@ class FftMethodConfig:
     half_spectrum: bool = True
     #: row bands per Pallas grid step for the frames kernel; None auto-picks
     bands_per_step: int | None = None
+    #: MXU passes per f32 matmul in the Pallas kernels: True/3 = bf16x3
+    #: (0.0005 px error), 2 or 1 trade ~0.02 px for +11%/+16% throughput,
+    #: False = Precision.HIGHEST (docs/PERFORMANCE.md)
+    mxu_passes: bool | int = True
 
     def normalized(self) -> "FftMethodConfig":
         """Derived-size normalization from the reference ctor:
@@ -120,6 +124,7 @@ class FftMethod(FlowEngine):
                 search_radius=c.search_radius,
                 centroid_radius=c.centroid_radius,
                 half_spectrum=c.half_spectrum,
+                bf16x3=c.mxu_passes,
             )
             return s.reshape(lead + curr_p.shape[-3:-2] + (2,)), m.reshape(
                 lead + curr_p.shape[-3:-2]
@@ -173,6 +178,7 @@ class FftMethod(FlowEngine):
                 centroid_radius=c.centroid_radius,
                 half_spectrum=c.half_spectrum,
                 bands_per_step=c.bands_per_step,
+                bf16x3=c.mxu_passes,
             )
             raw, resp = raw[0], resp[0]
         else:
@@ -237,6 +243,7 @@ class FftMethod(FlowEngine):
                 centroid_radius=c.centroid_radius,
                 half_spectrum=c.half_spectrum,
                 bands_per_step=c.bands_per_step,
+                bf16x3=c.mxu_passes,
                 exact_inputs=exact,
             )
         else:

@@ -269,7 +269,7 @@ def phase_correlate_frames_pallas(
     search_radius: int = 55,
     centroid_radius: int = 3,
     interpret: bool | None = None,
-    bf16x3: bool = True,
+    bf16x3: bool | int = True,
     half_spectrum: bool = True,
     bands_per_step: int | None = None,
     pairs_per_step: int = 1,
@@ -434,13 +434,19 @@ def _dft_packed_half(n: int):
     return wh, cs, w2, w2t
 
 
-def _mm_fns(bf16x3: bool):
-    """(weight @ x, x @ weight, weight @ exact_x) matmul helpers: three bf16
-    MXU passes with f32 accumulation when ``bf16x3``, else one
-    Precision.HIGHEST dot.  ``mm_wl_exact`` is for operands already exact in
-    bfloat16 (uint8/int8 pixel data: 8-bit integers fit bf16's mantissa) —
-    the low-order split vanishes, so two passes instead of three."""
-    if bf16x3:
+def _mm_fns(bf16x3):
+    """(weight @ x, x @ weight, weight @ exact_x) matmul helpers.
+
+    ``bf16x3`` is the MXU pass count per f32 matmul (``True`` = 3):
+    3 = hi@hi + lo@hi + hi@lo with f32 accumulation (~16-bit mantissa,
+    0.0005 px flow error); 2 drops the data's low split (weights stay
+    split); 1 is plain bf16 (~8-bit mantissa); ``False``/0 = one
+    Precision.HIGHEST dot (six passes, full f32).  ``mm_wl_exact`` is for
+    operands already exact in bfloat16 (uint8/int8 pixel data: 8-bit
+    integers fit bf16's mantissa) — the data's low-order split vanishes, so
+    it runs min(passes, 2)."""
+    passes = 3 if bf16x3 is True else int(bf16x3)
+    if passes:
         acc = functools.partial(jax.lax.dot, preferred_element_type=jnp.float32)
 
         def _split(x):
@@ -449,16 +455,23 @@ def _mm_fns(bf16x3: bool):
             return xhi, xlo
 
         def mm_wl(whi, wlo, x):
+            if passes == 1:
+                return acc(whi, x.astype(jnp.bfloat16))
             xhi, xlo = _split(x)
-            return acc(whi, xhi) + acc(wlo, xhi) + acc(whi, xlo)
+            r = acc(whi, xhi) + acc(wlo, xhi)
+            return r if passes == 2 else r + acc(whi, xlo)
 
         def mm_wr(x, whi, wlo):
+            if passes == 1:
+                return acc(x.astype(jnp.bfloat16), whi)
             xhi, xlo = _split(x)
-            return acc(xhi, whi) + acc(xhi, wlo) + acc(xlo, whi)
+            r = acc(xhi, whi) + acc(xhi, wlo)
+            return r if passes == 2 else r + acc(xlo, whi)
 
         def mm_wl_exact(whi, wlo, x):
             xhi = x.astype(jnp.bfloat16)
-            return acc(whi, xhi) + acc(wlo, xhi)
+            r = acc(whi, xhi)
+            return r if passes == 1 else r + acc(wlo, xhi)
 
     else:
         hdot = functools.partial(jax.lax.dot, precision=jax.lax.Precision.HIGHEST)

@@ -256,3 +256,24 @@ def test_frames_pallas_stacking_knobs_agree(rng):
             interpret=INTERPRET, pairs_per_step=m, band_stack=stack,
         )
         np.testing.assert_allclose(np.asarray(s), np.asarray(ref), atol=1e-5)
+
+
+def test_mxu_passes_knob(rng):
+    """Reduced-precision pass counts stay within the sub-pixel budget and
+    are reachable from the engine config."""
+    from mrs_optic_flow_tpu.models import FftMethod, FftMethodConfig
+
+    prev = smooth_random_image(rng, 48)
+    curr = np.roll(prev, (2, -1), axis=(0, 1))
+    ref = None
+    for passes in (False, True, 2, 1):
+        eng = FftMethod(FftMethodConfig(
+            frame_size=48, sample_point_size=12, mxu_passes=passes,
+        ))
+        res = eng.step_batch(jnp.asarray(prev)[None], jnp.asarray(curr)[None])
+        s = np.asarray(res.shifts)
+        if ref is None:
+            ref = s
+        # interpret mode runs full f32 regardless; on TPU the reduced modes
+        # must stay well under the 0.1 px budget
+        np.testing.assert_allclose(s, ref, atol=0.05)
