@@ -3,7 +3,8 @@
 Measures the reference's hot path end-to-end on device — grayscale-equivalent
 480x480 crop, 4x4 grid of 120 px patches, phase correlation + peak + centroid
 + validity gating — in steady-state batched mode using the fully-fused Pallas
-kernel (bf16x3 MXU passes, <0.02 px flow error).  Honesty measures:
+kernel (bf16x3 MXU passes, <0.02 px flow error).  Honesty measures live in
+``mrs_optic_flow_tpu.utils.benchlib`` (shared with the tuning scripts):
 
 - a data-dependent chain links every iteration (dispatch pipelining / RPC
   dedupe cannot elide work; see .claude/skills/verify/SKILL.md);
@@ -21,7 +22,6 @@ import json
 import os
 import signal
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -39,11 +39,11 @@ from mrs_optic_flow_tpu.utils.cache import enable_persistent_cache
 enable_persistent_cache()
 
 from mrs_optic_flow_tpu.models import FftMethod, FftMethodConfig
+from mrs_optic_flow_tpu.utils.benchlib import make_chained, measure_chained
 
 BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
 ITERS = int(os.environ.get("BENCH_ITERS", "16"))
 PIPELINE = int(os.environ.get("BENCH_PIPELINE", "4"))
-WARMUP = 3
 BASELINE_FPS = 2000.0
 
 
@@ -56,42 +56,20 @@ def main():
     # input contract is the cropped frame (the crop is a view; the transfer
     # below is the full cropped frame per pair member).  Frames are uint8 —
     # the camera contract (CV_8U capture, src/optic_flow.cpp:1465): 4x fewer
-    # transfer bytes, and 8-bit-exact inputs let the kernel drop the
-    # low-order bf16 split pass (bit-identical results; docs/PERFORMANCE.md)
+    # transfer bytes, streamed into the kernel uncast (no f32 HBM copy), and
+    # 8-bit-exact inputs drop the low-order bf16 split pass (bit-identical
+    # results; docs/PERFORMANCE.md)
     prev = jnp.asarray(rng.integers(0, 255, size=(BATCH, 480, 480)), jnp.uint8)
     curr = jnp.asarray(rng.integers(0, 255, size=(BATCH, 480, 480)), jnp.uint8)
 
-    @jax.jit
-    def chained(prev, curr):
+    def step(prev, curr):
         res = engine.step_batch(prev, curr)
-        # feed a reduction of the output back into the next input so each
-        # iteration depends on the previous one (stays uint8: wrap-add a
-        # small output-derived value)
-        bump = (jnp.nan_to_num(jnp.sum(res.response)) % 3.0 + 1.0).astype(prev.dtype)
-        return prev + bump, res.shifts
+        return res.shifts, jnp.sum(res.response)
 
-    p, s = chained(prev, curr)
-    _ = np.asarray(s)
-    for _ in range(WARMUP):
-        p, s = chained(p, curr)
-        _ = np.asarray(s)
-
-    # steady state: PIPELINE batches in flight, every batch's shifts
-    # materialized on the host; p50 of per-window times is robust to jitter
-    times = []
-    for _ in range(ITERS // PIPELINE):
-        pending = []
-        t0 = time.perf_counter()
-        for _ in range(PIPELINE):
-            p, s = chained(p, curr)
-            pending.append(s)
-        for s in pending:
-            _ = np.asarray(s)
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    dt = times[len(times) // 2]
-
-    fps = BATCH * PIPELINE / dt
+    chained = make_chained(step)
+    fps = measure_chained(
+        chained, prev, curr, items_per_call=BATCH, iters=ITERS, pipeline=PIPELINE
+    )
     print(
         json.dumps(
             {

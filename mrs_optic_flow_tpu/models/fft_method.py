@@ -65,21 +65,35 @@ class FftMethodConfig:
     def normalized(self) -> "FftMethodConfig":
         """Derived-size normalization from the reference ctor:
         even frame size (``src/FftMethod.cpp:1707-1709``), frame forced to a
-        multiple of the patch else one window (``:1710-1716``)."""
+        multiple of the patch else one window (``:1710-1716``).  Also
+        canonicalizes ``mxu_passes`` to an int: ``True == 1`` in Python, so
+        a bool would collide with the 1-pass mode in every equality-keyed
+        cache (frozen-dataclass ==, jit static args)."""
         frame = self.frame_size - (self.frame_size % 2)
         patch = self.sample_point_size
         if frame % patch != 0:
             patch = frame
-        if frame == self.frame_size and patch == self.sample_point_size:
+        passes = 3 if self.mxu_passes is True else int(self.mxu_passes)
+        if (
+            frame == self.frame_size
+            and patch == self.sample_point_size
+            and type(self.mxu_passes) is int
+            and self.mxu_passes == passes
+        ):
             return self
-        return dataclasses.replace(self, frame_size=frame, sample_point_size=patch)
+        return dataclasses.replace(
+            self, frame_size=frame, sample_point_size=patch, mxu_passes=passes
+        )
 
 
 def _exact_in_bf16(frames: jnp.ndarray) -> bool:
     """True when the raw frame dtype is exactly representable in bfloat16
     (uint8/int8 camera pixels: 8-bit ints fit bf16's mantissa) — lets the
-    kernels drop the low-order input split pass."""
-    return frames.dtype in (jnp.uint8, jnp.int8)
+    kernels drop the low-order input split pass.  Shares the predicate with
+    the kernels' streaming/cast paths so they can't desynchronize."""
+    from mrs_optic_flow_tpu.ops.pallas_kernels import is_8bit
+
+    return is_8bit(frames.dtype)
 
 
 class FftMethod(FlowEngine):

@@ -95,12 +95,26 @@ def _masked_peak_centroid(
     return maxval, jnp.where(bad, nanv, cx), jnp.where(bad, nanv, cy)
 
 
+def is_8bit(dtype) -> bool:
+    """The one predicate behind all 8-bit fast paths: streaming frames into
+    VMEM uncast, the in-kernel int32-routed cast, and the exact-in-bf16
+    input split drop.  Extend here, nowhere else."""
+    return jnp.dtype(dtype) in (jnp.uint8, jnp.int8)
+
+
 def _kcast_f32(x):
     """In-kernel cast to float32.  Mosaic has no direct uint8->f32 lowering;
     8-bit data routes through int32 (exact)."""
-    if x.dtype in (jnp.uint8, jnp.int8):
+    if is_8bit(x.dtype):
         x = x.astype(jnp.int32)
     return x.astype(jnp.float32)
+
+
+def _canon_passes(bf16x3) -> int:
+    """Canonicalize the MXU pass count BEFORE any jit boundary: ``True == 1``
+    in Python (same hash), so a bool True leaking into a static jit arg
+    would silently reuse the 1-pass compilation (and vice versa)."""
+    return 3 if bf16x3 is True else int(bf16x3)
 
 
 def _pack_row(maxval, cx, cy):
@@ -253,6 +267,27 @@ def _weight_operands(n: int, bf16x3: bool, half_spectrum: bool):
     return ops, specs
 
 
+def phase_correlate_frames_pallas(
+    curr_frames: jnp.ndarray,
+    prev_frames: jnp.ndarray,
+    **kwargs,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whole-frame batched phase correlation without patch extraction:
+    ``[B, H, W]`` frame pairs -> ``(shift [B, q*q, 2], maxval [B, q*q])``.
+
+    Keyword arguments (all static): ``patch`` (required), ``search_radius``,
+    ``centroid_radius``, ``interpret``, ``bf16x3``, ``half_spectrum``,
+    ``bands_per_step``, ``pairs_per_step``, ``band_stack``,
+    ``exact_inputs`` — see :func:`_phase_correlate_frames_impl`.
+
+    This thin wrapper canonicalizes ``bf16x3`` (``True``/``1`` collide in
+    the jit static-arg cache: ``True == 1``) before the jit boundary.
+    """
+    if "bf16x3" in kwargs:
+        kwargs["bf16x3"] = _canon_passes(kwargs["bf16x3"])
+    return _phase_correlate_frames_impl(curr_frames, prev_frames, **kwargs)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -261,7 +296,7 @@ def _weight_operands(n: int, bf16x3: bool, half_spectrum: bool):
         "exact_inputs",
     ),
 )
-def phase_correlate_frames_pallas(
+def _phase_correlate_frames_impl(
     curr_frames: jnp.ndarray,
     prev_frames: jnp.ndarray,
     *,
@@ -269,17 +304,14 @@ def phase_correlate_frames_pallas(
     search_radius: int = 55,
     centroid_radius: int = 3,
     interpret: bool | None = None,
-    bf16x3: bool | int = True,
+    bf16x3: int = 3,
     half_spectrum: bool = True,
     bands_per_step: int | None = None,
     pairs_per_step: int = 1,
     band_stack: int = 1,
     exact_inputs: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Whole-frame batched phase correlation without patch extraction:
-    ``[B, H, W]`` frame pairs -> ``(shift [B, q*q, 2], maxval [B, q*q])``.
-
-    ``bands_per_step``: row bands processed per grid step.  More bands per
+    """``bands_per_step``: row bands processed per grid step.  More bands per
     step batch more work into each matmul stream (the half-spectrum body
     M-stacks every band of the step; measured +10% at 4 vs 1 on 480x480/120
     v5e before the stacking, more after); default picks the largest divisor
@@ -288,10 +320,11 @@ def phase_correlate_frames_pallas(
     bounded by VMEM.  ``band_stack``: how many of the step's bands share
     each matmul stream (M-stacked); 1 keeps per-band streams whose VPU peak
     stages overlap the next band's MXU work — measured fastest on v5e.
+    ``bf16x3``: MXU passes per f32 matmul (0 = Precision.HIGHEST).
     """
     interpret = _auto_interpret(interpret)
     if interpret:
-        bf16x3 = False
+        bf16x3 = 0
     b, h, w = curr_frames.shape
     qy, qx = h // patch, w // patch
     if qy != qx:
@@ -303,8 +336,11 @@ def phase_correlate_frames_pallas(
         raise ValueError(f"pairs_per_step {m} must divide the batch {b}")
     g = bands_per_step
     if g is None:
+        # the input blocks ride the DMA in their own dtype (1 byte for the
+        # 8-bit streaming path, 4 for float32)
+        itemsize = 1 if is_8bit(curr_frames.dtype) else 4
         g = q
-        while g > 1 and (q % g or 2 * m * g * n * w * 4 > 4 << 20):
+        while g > 1 and (q % g or 2 * m * g * n * w * itemsize > 4 << 20):
             g -= 1
     if q % g:
         raise ValueError(f"bands_per_step {g} must divide the grid rows {q}")
@@ -335,10 +371,8 @@ def phase_correlate_frames_pallas(
         # 8-bit frames stream into VMEM as-is (4x less DMA and no f32
         # materialization pass in HBM); the cast to f32 happens on the VPU
         # inside the kernel body and is exact for 8-bit data
-        curr_frames if curr_frames.dtype in (jnp.uint8, jnp.int8)
-        else curr_frames.astype(jnp.float32),
-        prev_frames if prev_frames.dtype in (jnp.uint8, jnp.int8)
-        else prev_frames.astype(jnp.float32),
+        curr_frames if is_8bit(curr_frames.dtype) else curr_frames.astype(jnp.float32),
+        prev_frames if is_8bit(prev_frames.dtype) else prev_frames.astype(jnp.float32),
         *wops,
     )
     return out[:, 1:3].reshape(b, q * q, 2), out[:, 0].reshape(b, q * q)
@@ -802,6 +836,23 @@ def _fullfused_kernel(
     )
 
 
+def phase_correlate_fullfused_pallas(
+    curr: jnp.ndarray,
+    prev: jnp.ndarray,
+    **kwargs,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-launch phase correlation: raw ``[P, N, N]`` patches ->
+    ``(shift [P, 2], maxval [P])``, no HBM intermediates at all.
+
+    Thin wrapper canonicalizing ``bf16x3`` before the jit boundary
+    (``True == 1`` collides in the static-arg cache); see
+    :func:`_phase_correlate_fullfused_impl` for the keyword arguments.
+    """
+    if "bf16x3" in kwargs:
+        kwargs["bf16x3"] = _canon_passes(kwargs["bf16x3"])
+    return _phase_correlate_fullfused_impl(curr, prev, **kwargs)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -809,23 +860,21 @@ def _fullfused_kernel(
         "half_spectrum", "exact_inputs",
     ),
 )
-def phase_correlate_fullfused_pallas(
+def _phase_correlate_fullfused_impl(
     curr: jnp.ndarray,
     prev: jnp.ndarray,
     *,
     search_radius: int = 55,
     centroid_radius: int = 3,
     interpret: bool | None = None,
-    bf16x3: bool = True,
+    bf16x3: int = 3,
     half_spectrum: bool = True,
     exact_inputs: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Single-launch phase correlation: raw ``[P, N, N]`` patches ->
-    ``(shift [P, 2], maxval [P])``, no HBM intermediates at all."""
     interpret = _auto_interpret(interpret)
     if interpret:
         # the interpreter has no MXU; bf16 splitting just adds noise there
-        bf16x3 = False
+        bf16x3 = 0
     p, n, _ = curr.shape
     wops, wspecs = _weight_operands(n, bf16x3, half_spectrum)
     spec = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)

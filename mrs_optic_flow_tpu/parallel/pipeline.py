@@ -45,6 +45,7 @@ class BatchPipeline:
         use_pallas: bool = True,
         half_spectrum: bool = True,
         bands_per_step: Optional[int] = None,
+        mxu_passes: bool | int = True,
         mesh: Optional[Mesh] = None,
         axis_name: str = "data",
     ):
@@ -56,6 +57,7 @@ class BatchPipeline:
                 use_pallas=use_pallas,
                 half_spectrum=half_spectrum,
                 bands_per_step=bands_per_step,
+                mxu_passes=mxu_passes,
             )
         )
         self.frame_size = frame_size

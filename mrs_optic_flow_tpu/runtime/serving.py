@@ -66,15 +66,28 @@ class ServingLoop:
                 arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
             return jnp.asarray(arr)
 
-        def frame_dtype(r):
+        def norm_frame(a):
             # uint8 capture crosses host->device at a quarter of the bytes
-            # of float32 (the pipeline casts on device); anything else is
+            # of float32 (the kernel casts in VMEM); anything else is
             # normalized to float32 on the host — a float64 frame would
-            # otherwise double the transfer AND add a per-dtype recompile
-            return None if r.prev.dtype == np.uint8 else np.float32
+            # otherwise double the transfer AND add a per-dtype recompile.
+            # Decided per array: a single wide frame in a batch must not
+            # promote (or skip normalizing) the rest.
+            a = np.asarray(a)
+            return a if a.dtype == np.uint8 else np.asarray(a, np.float32)
 
-        prev = stack(lambda r: r.prev, dtype=frame_dtype(batch[0]))
-        curr = stack(lambda r: r.curr, dtype=frame_dtype(batch[0]))
+        def stack_frames(get):
+            arrs = [norm_frame(get(r)) for r in batch]
+            # a mixed uint8/float batch still needs one dtype: promote to f32
+            if any(a.dtype != arrs[0].dtype for a in arrs):
+                arrs = [np.asarray(a, np.float32) for a in arrs]
+            arr = np.stack(arrs)
+            if pad:
+                arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+            return jnp.asarray(arr)
+
+        prev = stack_frames(lambda r: r.prev)
+        curr = stack_frames(lambda r: r.curr)
         heights = stack(lambda r: r.height)
         dts = stack(lambda r: r.dt)
         rates = stack(lambda r: r.rate_quat)

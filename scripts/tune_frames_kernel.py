@@ -2,8 +2,9 @@
 
 Measures steady-state throughput of ``phase_correlate_frames_pallas`` for
 combinations of ``band_stack`` (bands sharing one matmul stream) and
-``pairs_per_step`` (frame pairs per grid step), with a data-dependent chain
-so dispatch pipelining cannot elide work (see .claude/skills/verify/SKILL.md).
+``pairs_per_step`` (frame pairs per grid step), through the shared
+honest-measurement harness (``mrs_optic_flow_tpu.utils.benchlib``: data-
+dependent chain + host materialization, same as ``bench.py``).
 
 Usage: python scripts/tune_frames_kernel.py [BATCH] [ITERS]
 """
@@ -11,7 +12,6 @@ Usage: python scripts/tune_frames_kernel.py [BATCH] [ITERS]
 import os
 import signal
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mrs_optic_flow_tpu.ops.pallas_kernels import phase_correlate_frames_pallas
+from mrs_optic_flow_tpu.utils.benchlib import make_chained, measure_chained
 from mrs_optic_flow_tpu.utils.cache import enable_persistent_cache
 
 enable_persistent_cache()
@@ -35,28 +36,16 @@ def measure(band_stack: int, pairs_per_step: int) -> float:
     prev = jnp.asarray(rng.integers(0, 255, size=(BATCH, 480, 480)), jnp.uint8)
     curr = jnp.asarray(rng.integers(0, 255, size=(BATCH, 480, 480)), jnp.uint8)
 
-    @jax.jit
-    def chained(prev, curr):
+    def step(prev, curr):
         sh, mv = phase_correlate_frames_pallas(
             curr, prev, patch=120, exact_inputs=True,
             band_stack=band_stack, pairs_per_step=pairs_per_step,
         )
-        bump = (jnp.nan_to_num(jnp.sum(mv)) % 3.0 + 1.0).astype(prev.dtype)
-        return prev + bump, sh
+        return sh, jnp.sum(mv)
 
-    p, s = chained(prev, curr)
-    np.asarray(s)
-    for _ in range(2):
-        p, s = chained(p, curr)
-        np.asarray(s)
-    times = []
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
-        p, s = chained(p, curr)
-        np.asarray(s)
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return BATCH / times[len(times) // 2]
+    return measure_chained(
+        make_chained(step), prev, curr, items_per_call=BATCH, iters=ITERS, warmup=2
+    )
 
 
 def main():

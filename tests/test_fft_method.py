@@ -142,8 +142,11 @@ def test_step_batch_uint8_exact_inputs_bit_identical(rng):
     from mrs_optic_flow_tpu.models import FftMethod, FftMethodConfig
     from oracle import smooth_random_image
 
-    eng = FftMethod(FftMethodConfig(frame_size=48, sample_point_size=12))
-    prev8 = (np.stack([smooth_random_image(rng, 48) for _ in range(3)]) * 255
+    # patch must satisfy the frames-kernel gate (patch % 8 == 0) or
+    # step_batch falls back to the patchify path and never exercises the
+    # exact-input / uint8-streaming code this test guards
+    eng = FftMethod(FftMethodConfig(frame_size=64, sample_point_size=16))
+    prev8 = (np.stack([smooth_random_image(rng, 64) for _ in range(3)]) * 255
              ).astype(np.uint8)
     curr8 = np.roll(prev8, 2, axis=2)
     r8 = eng.step_batch(jnp.asarray(prev8), jnp.asarray(curr8))

@@ -197,15 +197,16 @@ def test_half_spectrum_odd_patch(rng):
 
 def test_engine_config_kernel_knobs(rng):
     """half_spectrum / bands_per_step are reachable from the engine config
-    and produce equivalent flow."""
+    and produce equivalent flow.  patch % 8 == 0 so step_batch takes the
+    frames kernel — the only consumer of bands_per_step."""
     from mrs_optic_flow_tpu.models import FftMethod, FftMethodConfig
 
-    prev = smooth_random_image(rng, 48)
+    prev = smooth_random_image(rng, 64)
     curr = np.roll(prev, 3, axis=1)
     outs = []
     for half in (True, False):
         eng = FftMethod(FftMethodConfig(
-            frame_size=48, sample_point_size=12,
+            frame_size=64, sample_point_size=16,
             half_spectrum=half, bands_per_step=2,
         ))
         res = eng.step_batch(jnp.asarray(prev)[None], jnp.asarray(curr)[None])
@@ -260,15 +261,15 @@ def test_frames_pallas_stacking_knobs_agree(rng):
 
 def test_mxu_passes_knob(rng):
     """Reduced-precision pass counts stay within the sub-pixel budget and
-    are reachable from the engine config."""
+    are reachable from the engine config (frames-kernel path: patch % 8)."""
     from mrs_optic_flow_tpu.models import FftMethod, FftMethodConfig
 
-    prev = smooth_random_image(rng, 48)
+    prev = smooth_random_image(rng, 64)
     curr = np.roll(prev, (2, -1), axis=(0, 1))
     ref = None
     for passes in (False, True, 2, 1):
         eng = FftMethod(FftMethodConfig(
-            frame_size=48, sample_point_size=12, mxu_passes=passes,
+            frame_size=64, sample_point_size=16, mxu_passes=passes,
         ))
         res = eng.step_batch(jnp.asarray(prev)[None], jnp.asarray(curr)[None])
         s = np.asarray(res.shifts)
@@ -277,3 +278,21 @@ def test_mxu_passes_knob(rng):
         # interpret mode runs full f32 regardless; on TPU the reduced modes
         # must stay well under the 0.1 px budget
         np.testing.assert_allclose(s, ref, atol=0.05)
+
+
+def test_mxu_passes_true_one_no_cache_collision():
+    """True == 1 in Python (same hash): a bool leaking into an
+    equality-keyed cache (frozen-dataclass ==, jit static args) would make
+    mxu_passes=True and =1 reuse each other's compilations.  Canonicalization
+    must separate them everywhere before a jit boundary."""
+    from mrs_optic_flow_tpu.models import FftMethod, FftMethodConfig
+
+    c_true = FftMethodConfig(mxu_passes=True).normalized()
+    c_one = FftMethodConfig(mxu_passes=1).normalized()
+    assert c_true.mxu_passes == 3 and type(c_true.mxu_passes) is int
+    assert c_one.mxu_passes == 1
+    assert c_true != c_one
+    assert hash(FftMethod(c_true)) != hash(FftMethod(c_one))
+    assert pk._canon_passes(True) == 3
+    assert pk._canon_passes(False) == 0
+    assert pk._canon_passes(2) == 2
