@@ -79,3 +79,36 @@ def test_batch_pipeline_sharded_matches_unsharded(rng):
     np.testing.assert_allclose(
         np.asarray(out_a.tran), np.asarray(out_b.tran), atol=1e-3, equal_nan=True
     )
+
+
+def test_batch_pipeline_uint8_sharded(rng):
+    """uint8 frames ride the sharded serving path (the 8-bit streaming fast
+    path must not break under a mesh) and match the float32 results."""
+    b = 8
+    prev8 = (np.stack([smooth_random_image(rng, 64) for _ in range(b)]) * 127
+             + 128).astype(np.uint8)
+    curr8 = np.stack([np.roll(prev8[i], (0, 2), axis=(0, 1)) for i in range(b)])
+    heights = jnp.full((b,), 2.0, jnp.float32)
+    dts = jnp.full((b,), 0.05, jnp.float32)
+    rates = jnp.tile(jnp.asarray([0, 0, 0, 1], jnp.float32), (b, 1))
+    c2b = jnp.asarray([0, 0, 0, 1], jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), b)
+
+    mesh = make_mesh(8)
+    # patch % 8 == 0 so the frames kernel (the 8-bit consumer) runs
+    pipe = BatchPipeline(frame_size=64, sample_point_size=16, camera_matrix=K,
+                         dist_coeffs=np.zeros(5, np.float32),
+                         ransac_iterations=32, mesh=mesh)
+    out8 = pipe.step(
+        shard_batch(jnp.asarray(prev8), mesh), shard_batch(jnp.asarray(curr8), mesh),
+        heights, dts, rates, c2b, keys,
+    )
+    outf = pipe.step(
+        shard_batch(jnp.asarray(prev8, jnp.float32), mesh),
+        shard_batch(jnp.asarray(curr8, jnp.float32), mesh),
+        heights, dts, rates, c2b, keys,
+    )
+    np.testing.assert_array_equal(np.asarray(out8.shifts), np.asarray(outf.shifts))
+    np.testing.assert_allclose(
+        np.asarray(out8.tran), np.asarray(outf.tran), atol=1e-6, equal_nan=True
+    )
