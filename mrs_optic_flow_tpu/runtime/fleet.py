@@ -1,0 +1,154 @@
+"""FleetServer — many camera streams, one batched device dispatch per tick.
+
+The production-serving shape for fleet workloads: ``N`` UAV camera streams
+each carry their own previous-frame state (the reference's ``imPrev`` swap,
+``src/FftMethod.cpp:1872``, per stream) and every tick runs the ENTIRE
+fleet's flow + geometry as one ``BatchPipeline`` program.  The previous
+frames live on device and are reused from the last tick's inputs, so each
+tick transfers only the new frames — the host->HBM traffic of a single
+camera, times the fleet, with zero re-uploads.
+
+The reference is structurally single-stream (one nodelet per camera, one
+blocking OpenCL enqueue per frame); this layer is the TPU-native scaling
+story on top of the same math (SURVEY.md section 2, parallelism item 1:
+batch frame pairs per step).  Under a mesh the fleet batch shards over ICI
+like any other batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrs_optic_flow_tpu.parallel.pipeline import BatchPipeline
+
+
+@dataclasses.dataclass
+class FleetTick:
+    """One tick's results, still on device — materialize lazily so a caller
+    can keep a tick in flight while feeding the next (the ServingLoop
+    double-buffer pattern)."""
+
+    ok: jnp.ndarray  # [N] valid motion estimate this tick
+    tran: jnp.ndarray  # [N, 3] camera-frame velocity
+    rot: jnp.ndarray  # [N, 4] rate quaternion
+    shifts: jnp.ndarray  # [N, P, 2]
+    dts: np.ndarray  # [N] per-stream frame spacing used
+
+    def materialize(self) -> "FleetTick":
+        return FleetTick(
+            ok=np.asarray(self.ok),
+            tran=np.asarray(self.tran),
+            rot=np.asarray(self.rot),
+            shifts=np.asarray(self.shifts),
+            dts=self.dts,
+        )
+
+
+class FleetServer:
+    """Batched per-tick serving over ``n_streams`` stateful camera streams.
+
+    ``tick(frames, stamps, heights, ...)`` consumes one frame per stream
+    (``mask`` marks streams that produced no frame this tick — their state
+    is carried, their output gated off) and returns a :class:`FleetTick`.
+
+    All streams share one camera->body rotation (a homogeneous fleet); use
+    one server per camera mounting otherwise.
+    """
+
+    def __init__(
+        self,
+        pipeline: BatchPipeline,
+        n_streams: int,
+        *,
+        c2b_quat=(0.0, 0.0, 0.0, 1.0),
+        seed: int = 0,
+    ):
+        self.pipeline = pipeline
+        self.n = n_streams
+        self.c2b = jnp.asarray(c2b_quat, jnp.float32)
+        self._key = jax.random.PRNGKey(seed)
+        self._prev: Optional[jnp.ndarray] = None  # [N, H, W] on device
+        self._prev_stamps = np.zeros(n_streams)
+        self._seen = np.zeros(n_streams, bool)
+
+    def reset(self, stream_id: Optional[int] = None):
+        """Drop carried state (all streams, or one) — e.g. after a camera
+        reconnect, so the next frame becomes a fresh first frame."""
+        if stream_id is None:
+            self._seen[:] = False
+        else:
+            self._seen[stream_id] = False
+
+    def tick(
+        self,
+        frames: np.ndarray,
+        stamps: np.ndarray,
+        heights: np.ndarray,
+        rate_quats: Optional[np.ndarray] = None,
+        mask: Optional[np.ndarray] = None,
+    ) -> FleetTick:
+        """``frames``: ``[N, H, W]`` (uint8 preferred — streams into the
+        kernel uncast) or ``[N, H, W, 3]`` BGR.  ``stamps``/``heights``:
+        ``[N]``.  ``mask``: ``[N]`` bool, False = stream produced no frame
+        this tick."""
+        n = self.n
+        frames = jnp.asarray(frames)
+        if frames.shape[0] != n:
+            raise ValueError(f"expected {n} streams, got {frames.shape[0]}")
+        stamps = np.asarray(stamps, float)
+        mask = np.ones(n, bool) if mask is None else np.asarray(mask, bool)
+        if rate_quats is None:
+            rate_quats = np.tile(np.array([0, 0, 0, 1], np.float32), (n, 1))
+
+        if self._prev is None:
+            # first tick: everything is a first frame (the reference skips
+            # it, src/optic_flow.cpp:1544-1547)
+            self._prev = frames
+            self._prev_stamps = stamps.copy()
+            self._seen = mask.copy()
+            zeros = jnp.zeros
+            p = self.pipeline.engine.num_windows
+            return FleetTick(
+                ok=zeros((n,), bool), tran=jnp.full((n, 3), jnp.nan),
+                rot=jnp.tile(jnp.asarray([0, 0, 0, 1], jnp.float32), (n, 1)),
+                shifts=jnp.full((n, p, 2), jnp.nan), dts=np.zeros(n),
+            )
+
+        dts = stamps - self._prev_stamps
+        # negative/zero dt rejection (src/optic_flow.cpp:1425-1433), plus
+        # first-frame and no-frame gating, all as data
+        valid = mask & self._seen & (dts > 1e-3)
+        safe_dts = np.where(dts > 1e-3, dts, 1.0)
+
+        self._key, sub = jax.random.split(self._key)
+        keys = jax.random.split(sub, n)
+        out = self.pipeline.step(
+            self._prev,
+            frames,
+            jnp.asarray(heights, jnp.float32),
+            jnp.asarray(safe_dts, jnp.float32),
+            jnp.asarray(rate_quats, jnp.float32),
+            self.c2b,
+            keys,
+        )
+
+        # carry state: streams with a new frame swap prev; others keep it
+        # (on device — no host round-trip)
+        mask_dev = jnp.asarray(mask)
+        self._prev = jnp.where(mask_dev[:, None, None], frames, self._prev)
+        self._prev_stamps = np.where(mask, stamps, self._prev_stamps)
+        self._seen = self._seen | mask
+
+        valid_dev = jnp.asarray(valid)
+        return FleetTick(
+            ok=out.ok & valid_dev,
+            tran=jnp.where(valid_dev[:, None], out.tran, jnp.nan),
+            rot=out.rot,
+            shifts=out.shifts,
+            dts=dts,
+        )

@@ -1,0 +1,90 @@
+"""FleetServer: per-stream state + batched dispatch semantics."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from mrs_optic_flow_tpu.parallel import BatchPipeline
+from mrs_optic_flow_tpu.runtime import FleetServer
+
+from oracle import smooth_random_image
+
+K = np.array([[40.0, 0, 32.0], [0, 40.0, 24.0], [0, 0, 1.0]], np.float32)
+
+
+def _pipeline():
+    return BatchPipeline(
+        frame_size=64, sample_point_size=16, camera_matrix=K,
+        dist_coeffs=np.zeros(5, np.float32), ransac_iterations=32,
+    )
+
+
+def _fleet_frames(rng, n, t, base):
+    """Stream i's frame at tick t: the shared texture rolled by i px/tick in
+    x and (i % 2) px/tick in y — per-stream constant pixel velocity."""
+    return np.stack(
+        [np.roll(base, (t * (i % 2), t * (1 + i % 3)), (0, 1)) for i in range(n)]
+    )
+
+
+def test_fleet_recovers_per_stream_velocity(rng):
+    n = 4
+    base = (smooth_random_image(rng, 64) * 127 + 128).astype(np.uint8)
+    fleet = FleetServer(_pipeline(), n)
+    heights = np.full(n, 2.0)
+
+    t0 = fleet.tick(_fleet_frames(rng, n, 0, base), np.zeros(n), heights)
+    assert not np.any(np.asarray(t0.ok))  # first frames: everything gated
+
+    tick = fleet.tick(
+        _fleet_frames(rng, n, 1, base), np.full(n, 0.1), heights
+    ).materialize()
+    assert tick.ok.shape == (n,)
+    # per-stream median flow must match each stream's own roll, not a fleet
+    # average: content moved (dx, dy) = (1 + i % 3, i % 2); shifts report
+    # content motion (positive = content moved +x)
+    for i in range(n):
+        med = np.nanmedian(tick.shifts[i], axis=0)
+        expect = np.array([1 + i % 3, i % 2], float)
+        assert np.abs(med - expect).max() < 0.3, (i, med, expect)
+
+
+def test_fleet_mask_and_state_carry(rng):
+    n = 3
+    base = (smooth_random_image(rng, 64) * 127 + 128).astype(np.uint8)
+    fleet = FleetServer(_pipeline(), n)
+    heights = np.full(n, 2.0)
+
+    fleet.tick(_fleet_frames(rng, n, 0, base), np.zeros(n), heights)
+    # stream 1 drops a frame on tick 1
+    mask = np.array([True, False, True])
+    t1 = fleet.tick(
+        _fleet_frames(rng, n, 1, base), np.full(n, 0.1), heights, mask=mask
+    ).materialize()
+    assert not t1.ok[1]  # no frame, no estimate
+    # on tick 2 stream 1 returns: its prev is still the tick-0 frame, so the
+    # measured shift spans TWO ticks of motion
+    t2 = fleet.tick(
+        _fleet_frames(rng, n, 2, base), np.full(n, 0.2), heights
+    ).materialize()
+    med = np.nanmedian(t2.shifts[1], axis=0)
+    np.testing.assert_allclose(med, [2 * 2, 2 * 1], atol=0.3)
+    assert abs(t2.dts[1] - 0.2) < 1e-9  # dt spans the dropped tick
+    assert abs(t2.dts[0] - 0.1) < 1e-9
+
+
+def test_fleet_reset_regates_first_frame(rng):
+    n = 2
+    base = (smooth_random_image(rng, 64) * 127 + 128).astype(np.uint8)
+    fleet = FleetServer(_pipeline(), n)
+    heights = np.full(n, 2.0)
+    fleet.tick(_fleet_frames(rng, n, 0, base), np.zeros(n), heights)
+    fleet.reset(0)  # camera 0 reconnects
+    t1 = fleet.tick(
+        _fleet_frames(rng, n, 1, base), np.full(n, 0.1), heights
+    ).materialize()
+    assert not t1.ok[0]  # fresh first frame for stream 0
+    t2 = fleet.tick(
+        _fleet_frames(rng, n, 2, base), np.full(n, 0.2), heights
+    ).materialize()
+    assert t2.ok[0]
