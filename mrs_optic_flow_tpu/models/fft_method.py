@@ -267,6 +267,45 @@ class FftMethod(FlowEngine):
         shifts = self._gate(raw, c.sample_point_size, c.max_pixel_speed)
         return FlowResult(shifts=shifts, shifts_raw=raw, response=resp)
 
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def step_batch_long_range(
+        self, prev_frames: jnp.ndarray, curr_frames: jnp.ndarray
+    ) -> FlowResult:
+        """Batched long-range mode: ``[B, H, W]`` frame pairs, both 4x
+        downsampled (``src/FftMethod.cpp:1931-1932``), coarser grid — the
+        throughput analogue of :meth:`step_long_range` for fleet serving at
+        takeoff / low altitude.  Returns ``[B, P_lr, 2]`` shifts."""
+        c = self.config
+        # bilinear resize interpolates, so the downsampled frames are no
+        # longer 8-bit-exact: go through float32 (no exact-input path here)
+        curr_d = resize_by(jnp.asarray(curr_frames, jnp.float32), c.long_range_ratio)
+        prev_d = resize_by(jnp.asarray(prev_frames, jnp.float32), c.long_range_ratio)
+        if (
+            c.use_pallas
+            and c.backend == "dft"
+            and c.sample_point_size % 8 == 0
+            and curr_d.shape[-1] % c.sample_point_size == 0
+        ):
+            from mrs_optic_flow_tpu.ops.pallas_kernels import (
+                phase_correlate_frames_pallas,
+            )
+
+            raw, resp = phase_correlate_frames_pallas(
+                curr_d, prev_d,
+                patch=c.sample_point_size,
+                search_radius=c.search_radius,
+                centroid_radius=c.centroid_radius,
+                half_spectrum=c.half_spectrum,
+                bf16x3=c.mxu_passes,
+            )
+        else:
+            raw, resp = self._correlate(
+                patchify(curr_d, c.sample_point_size),
+                patchify(prev_d, c.sample_point_size),
+            )
+        shifts = self._gate(raw, c.sample_point_size, c.max_pixel_speed)
+        return FlowResult(shifts=shifts, shifts_raw=raw, response=resp)
+
     # hashable/static for jax.jit static_argnames=("self",)
     def __hash__(self):
         return hash(self.config)

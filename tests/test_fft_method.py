@@ -153,3 +153,27 @@ def test_step_batch_uint8_exact_inputs_bit_identical(rng):
     rf = eng.step_batch(jnp.asarray(prev8, jnp.float32), jnp.asarray(curr8, jnp.float32))
     np.testing.assert_array_equal(np.asarray(r8.shifts), np.asarray(rf.shifts))
     np.testing.assert_array_equal(np.asarray(r8.response), np.asarray(rf.response))
+
+
+def test_step_batch_long_range_matches_single(rng):
+    """Batched long-range mode must agree with the per-frame step_long_range
+    path (same resize, grid, and gating)."""
+    import jax.numpy as jnp
+    from mrs_optic_flow_tpu.models import FftMethod, FftMethodConfig
+    from oracle import smooth_random_image
+
+    eng = FftMethod(FftMethodConfig(frame_size=96, sample_point_size=24,
+                                    long_range_ratio=4))
+    b = 3
+    prev = np.stack([smooth_random_image(rng, 96, cutoff=0.4) for _ in range(b)])
+    curr = np.stack([np.roll(prev[i], (4 * (i + 1), -4), axis=(0, 1)) for i in range(b)])
+
+    batched = eng.step_batch_long_range(jnp.asarray(prev), jnp.asarray(curr))
+    assert batched.shifts.shape == (b, eng.num_windows_lr, 2)
+    for i in range(b):
+        state = eng.init_state()
+        state, _ = eng.step_long_range(state, jnp.asarray(prev[i]))
+        _, single = eng.step_long_range(state, jnp.asarray(curr[i]))
+        np.testing.assert_allclose(
+            np.asarray(batched.shifts[i]), np.asarray(single.shifts), atol=1e-4
+        )
