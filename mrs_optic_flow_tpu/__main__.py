@@ -45,6 +45,9 @@ def main(argv=None):
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--replay", metavar="FILE.ofrec", help="replay a recorded stream")
     src.add_argument("--synthetic", action="store_true", help="synthetic scene run")
+    src.add_argument("--fleet", type=int, metavar="N",
+                     help="synthetic fleet-serving demo: N camera streams, "
+                          "one batched device dispatch per tick")
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--fps", type=float, default=20.0)
     ap.add_argument("--velocity", default="1.0,-0.3", help="synthetic vx,vy [m/s]")
@@ -62,12 +65,47 @@ def main(argv=None):
     from mrs_optic_flow_tpu.runtime.msgs import Float64Stamped, ImageMsg, Imu, Odometry
 
     cfg = load_config(args.config, overrides=_parse_overrides(args.overrides))
+    dt = 1.0 / args.fps
+
+    if args.fleet:
+        from mrs_optic_flow_tpu.parallel import BatchPipeline
+        from mrs_optic_flow_tpu.runtime import FleetServer
+
+        n = args.fleet
+        v = tuple(float(x) for x in args.velocity.split(","))
+        scene = SyntheticScene(uav_height=args.height)
+        ci = scene.camera_info()
+        pipe = BatchPipeline(
+            frame_size=cfg.frame_size, sample_point_size=cfg.sample_point_size,
+            camera_matrix=ci.matrix(), dist_coeffs=ci.dist(),
+        )
+        fleet = FleetServer(pipe, n)
+        # each stream flies at its own velocity (scaled off the base)
+        scales = [0.5 + i / max(n - 1, 1) for i in range(n)]
+        heights = np.full(n, args.height)
+        prev_tick = None
+        for t in range(args.frames):
+            frames = np.stack([
+                scene.render((v[0] * scales[i] * t * dt, v[1] * scales[i] * t * dt))
+                for i in range(n)
+            ]).astype(np.uint8)
+            tick = fleet.tick(frames, np.full(n, 100.0 + t * dt), heights)
+            if prev_tick is not None:  # read back k-1 while k computes
+                done = prev_tick.materialize()
+                ok = int(done.ok.sum())
+                mean_v = np.nanmean(done.tran[done.ok, :2], axis=0) if ok else (np.nan,) * 2
+                print(f"[tick {t - 1:3d}] {ok}/{n} streams ok, "
+                      f"fleet mean v = {mean_v[0]:+.3f} {mean_v[1]:+.3f} m/s "
+                      f"(true mean {v[0] * np.mean(scales):+.3f} {v[1] * np.mean(scales):+.3f})")
+            prev_tick = tick
+        done = prev_tick.materialize()
+        print(f"[tick {args.frames - 1:3d}] {int(done.ok.sum())}/{n} streams ok")
+        return 0
+
     published = []
     log = (lambda s: None) if args.quiet else print
     node = OpticFlowNode(cfg, publish=lambda t, m: published.append((t, m)), log=log)
     node.set_transforms((0.0, 0.0, 0.0, 1.0))
-
-    dt = 1.0 / args.fps
     if args.synthetic:
         v = tuple(float(x) for x in args.velocity.split(","))
         scene = SyntheticScene(uav_height=args.height)

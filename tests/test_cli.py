@@ -33,3 +33,18 @@ def test_cli_record_and_replay(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "twists from replay" in out
+
+
+def test_cli_fleet(capsys):
+    # default 480/120 geometry: a 96-px crop gives the homography
+    # decomposition a ~13-degree FOV and the velocity estimate falls apart
+    rc = main(["--fleet", "2", "--frames", "4", "--velocity", "0.5,-0.2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "2/2 streams ok" in out
+    # fleet mean velocity within 10% of truth on the last full tick
+    import re
+
+    m = re.findall(r"fleet mean v = ([+-]\d+\.\d+) ([+-]\d+\.\d+)", out)
+    vx, vy = float(m[-1][0]), float(m[-1][1])
+    assert abs(vx - 0.5 * 1.0) < 0.1 and abs(vy + 0.2) < 0.1, (vx, vy)
