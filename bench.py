@@ -41,9 +41,9 @@ enable_persistent_cache()
 from mrs_optic_flow_tpu.models import FftMethod, FftMethodConfig
 from mrs_optic_flow_tpu.utils.benchlib import make_chained, measure_chained
 
-BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
+BATCH = int(os.environ.get("BENCH_BATCH", "4096"))
 ITERS = int(os.environ.get("BENCH_ITERS", "16"))
-PIPELINE = int(os.environ.get("BENCH_PIPELINE", "4"))
+PIPELINE = int(os.environ.get("BENCH_PIPELINE", "8"))
 BASELINE_FPS = 2000.0
 
 
