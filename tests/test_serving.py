@@ -107,3 +107,22 @@ def test_node_contains_bad_frames():
     out = node.on_image(ImageMsg(stamp=t + 0.10, data=good))
     assert out is not None
     assert node.health["consecutive_failures"] == 0
+
+
+
+
+@pytest.mark.parametrize("depth", [1, 4])
+def test_serving_depth_pipelining(rng, depth):
+    """Any pipeline depth returns every result, in request order."""
+    pipe = BatchPipeline(
+        frame_size=48, sample_point_size=12, camera_matrix=K,
+        dist_coeffs=np.zeros(5, np.float32), ransac_iterations=32,
+    )
+    loop = ServingLoop(pipe, batch_size=2, depth=depth)
+    reqs = _requests(rng, 9)  # 4 full batches + remainder
+    results = list(loop.run(reqs))
+    assert len(results) == 9
+    # order: re-run with depth=2 (the old double-buffer) and compare shifts
+    ref = list(ServingLoop(pipe, batch_size=2, depth=2).run(reqs))
+    for a, b in zip(results, ref):
+        np.testing.assert_allclose(a.shifts, b.shifts, atol=1e-5, equal_nan=True)
