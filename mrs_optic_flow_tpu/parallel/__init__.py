@@ -17,4 +17,8 @@ from mrs_optic_flow_tpu.parallel.sharding import (  # noqa: F401
     shard_batch,
     sharded_flow_step,
 )
-from mrs_optic_flow_tpu.parallel.pipeline import BatchPipeline  # noqa: F401
+from mrs_optic_flow_tpu.parallel.pipeline import (  # noqa: F401
+    BatchPipeline,
+    LongRangeOutput,
+    PipelineOutput,
+)

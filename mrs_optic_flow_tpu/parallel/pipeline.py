@@ -30,6 +30,14 @@ class PipelineOutput(NamedTuple):
     fleet_mean_speed: jnp.ndarray  # [] mean |shift| across the whole batch/mesh
 
 
+class LongRangeOutput(NamedTuple):
+    ok: jnp.ndarray  # [B]
+    tran: jnp.ndarray  # [B, 3] camera-frame velocity (z = 0)
+    tran_diff: jnp.ndarray  # [B, 3] rate-correction delta
+    shifts: jnp.ndarray  # [B, P_lr, 2]
+    fleet_mean_speed: jnp.ndarray  # []
+
+
 class BatchPipeline:
     def __init__(
         self,
@@ -72,6 +80,7 @@ class BatchPipeline:
         self.axis_name = axis_name
 
         step = self._build_step()
+        step_lr = self._build_step_long_range()
         if mesh is not None:
             batch = NamedSharding(mesh, P(axis_name))
             rep = NamedSharding(mesh, P())
@@ -80,8 +89,14 @@ class BatchPipeline:
                 in_shardings=((batch,) * 2 + (batch,) * 3 + (rep,) + (batch,)),
                 out_shardings=PipelineOutput(batch, batch, batch, batch, rep),
             )
+            self.step_long_range = jax.jit(
+                step_lr,
+                in_shardings=((batch,) * 2 + (batch,) * 4 + (rep,)),
+                out_shardings=LongRangeOutput(batch, batch, batch, batch, rep),
+            )
         else:
             self.step = jax.jit(step)
+            self.step_long_range = jax.jit(step_lr)
 
     def _preprocess(self, raw: jnp.ndarray) -> jnp.ndarray:
         # grayscale inputs keep their dtype: the flow kernel streams uint8
@@ -119,3 +134,32 @@ class BatchPipeline:
             )
 
         return step
+
+    def _build_step_long_range(self):
+        """Batched long-range mode: 4x-downsampled flow + vmapped get2DT
+        (the takeoff / low-altitude serving path; node-side per-frame
+        equivalent is ``OpticFlowNode._frame_program_lr``).  get_2dt is
+        small elementwise math, so plain vmap is fine here — no batch-last
+        relayout needed (unlike the homography chain)."""
+        from mrs_optic_flow_tpu.geometry.motion import get_2dt
+
+        cam = jnp.asarray(self.camera_matrix)
+        ul_x = jnp.float32(self.ul_x)
+        ratio = self.engine.config.long_range_ratio
+
+        def step_lr(prev_raw, curr_raw, heights, dts, roll_rates, pitch_rates, cam_yaw):
+            prev = self._preprocess(prev_raw)
+            curr = self._preprocess(curr_raw)
+            res = self.engine.step_batch_long_range(prev, curr)
+            rt = jax.vmap(
+                lambda s, h, d, rr, pr: get_2dt(
+                    s, h, d, ul_x, cam, rr, pr, cam_yaw, long_range_ratio=ratio
+                )
+            )(res.shifts, heights, dts, roll_rates, pitch_rates)
+            fleet = jnp.nanmean(jnp.linalg.norm(res.shifts_raw, axis=-1))
+            return LongRangeOutput(
+                ok=rt.ok, tran=rt.tran, tran_diff=rt.tran_diff,
+                shifts=res.shifts, fleet_mean_speed=fleet,
+            )
+
+        return step_lr

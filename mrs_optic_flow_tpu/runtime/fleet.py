@@ -66,11 +66,19 @@ class FleetServer:
         n_streams: int,
         *,
         c2b_quat=(0.0, 0.0, 0.0, 1.0),
+        long_range: bool = False,
+        cam_yaw: float = 0.0,
         seed: int = 0,
     ):
+        """``long_range=True`` runs the fleet through the 4x-downsampled
+        long-range path (takeoff / low altitude; the reference's
+        ``long_range_mode``) — pass per-stream ``roll_rates``/``pitch_rates``
+        to :meth:`tick` for the rate feed-forward correction."""
         self.pipeline = pipeline
         self.n = n_streams
         self.c2b = jnp.asarray(c2b_quat, jnp.float32)
+        self.long_range = long_range
+        self.cam_yaw = float(cam_yaw)
         self._key = jax.random.PRNGKey(seed)
         self._prev: Optional[jnp.ndarray] = None  # [N, H, W] on device
         self._prev_stamps = np.zeros(n_streams)
@@ -91,11 +99,14 @@ class FleetServer:
         heights: np.ndarray,
         rate_quats: Optional[np.ndarray] = None,
         mask: Optional[np.ndarray] = None,
+        roll_rates: Optional[np.ndarray] = None,
+        pitch_rates: Optional[np.ndarray] = None,
     ) -> FleetTick:
         """``frames``: ``[N, H, W]`` (uint8 preferred — streams into the
         kernel uncast) or ``[N, H, W, 3]`` BGR.  ``stamps``/``heights``:
         ``[N]``.  ``mask``: ``[N]`` bool, False = stream produced no frame
-        this tick."""
+        this tick.  ``roll_rates``/``pitch_rates``: ``[N]``, long-range
+        mode's rate feed-forward (default 0)."""
         n = self.n
         frames = jnp.asarray(frames)
         if frames.shape[0] != n:
@@ -112,7 +123,8 @@ class FleetServer:
             self._prev_stamps = stamps.copy()
             self._seen = mask.copy()
             zeros = jnp.zeros
-            p = self.pipeline.engine.num_windows
+            eng = self.pipeline.engine
+            p = eng.num_windows_lr if self.long_range else eng.num_windows
             return FleetTick(
                 ok=zeros((n,), bool), tran=jnp.full((n, 3), jnp.nan),
                 rot=jnp.tile(jnp.asarray([0, 0, 0, 1], jnp.float32), (n, 1)),
@@ -127,28 +139,46 @@ class FleetServer:
 
         self._key, sub = jax.random.split(self._key)
         keys = jax.random.split(sub, n)
-        out = self.pipeline.step(
-            self._prev,
-            frames,
-            jnp.asarray(heights, jnp.float32),
-            jnp.asarray(safe_dts, jnp.float32),
-            jnp.asarray(rate_quats, jnp.float32),
-            self.c2b,
-            keys,
-        )
+        if self.long_range:
+            zeros = jnp.zeros((n,), jnp.float32)
+            out = self.pipeline.step_long_range(
+                self._prev,
+                frames,
+                jnp.asarray(heights, jnp.float32),
+                jnp.asarray(safe_dts, jnp.float32),
+                zeros if roll_rates is None else jnp.asarray(roll_rates, jnp.float32),
+                zeros if pitch_rates is None else jnp.asarray(pitch_rates, jnp.float32),
+                jnp.float32(self.cam_yaw),
+            )
+            # long-range emits no rotation estimate (the reference publishes
+            # NaN angulars on this topic, src/optic_flow.cpp:1839-1846)
+            out_rot = jnp.tile(jnp.asarray([0, 0, 0, 1], jnp.float32), (n, 1))
+            out_tran, out_ok, out_shifts = out.tran, out.ok, out.shifts
+        else:
+            out = self.pipeline.step(
+                self._prev,
+                frames,
+                jnp.asarray(heights, jnp.float32),
+                jnp.asarray(safe_dts, jnp.float32),
+                jnp.asarray(rate_quats, jnp.float32),
+                self.c2b,
+                keys,
+            )
+            out_tran, out_rot = out.tran, out.rot
+            out_ok, out_shifts = out.ok, out.shifts
 
         # carry state: streams with a new frame swap prev; others keep it
         # (on device — no host round-trip)
-        mask_dev = jnp.asarray(mask)
-        self._prev = jnp.where(mask_dev[:, None, None], frames, self._prev)
+        mask_dev = jnp.asarray(mask).reshape((n,) + (1,) * (frames.ndim - 1))
+        self._prev = jnp.where(mask_dev, frames, self._prev)
         self._prev_stamps = np.where(mask, stamps, self._prev_stamps)
         self._seen = self._seen | mask
 
         valid_dev = jnp.asarray(valid)
         return FleetTick(
-            ok=out.ok & valid_dev,
-            tran=jnp.where(valid_dev[:, None], out.tran, jnp.nan),
-            rot=out.rot,
-            shifts=out.shifts,
+            ok=out_ok & valid_dev,
+            tran=jnp.where(valid_dev[:, None], out_tran, jnp.nan),
+            rot=out_rot,
+            shifts=out_shifts,
             dts=dts,
         )

@@ -88,3 +88,27 @@ def test_fleet_reset_regates_first_frame(rng):
         _fleet_frames(rng, n, 2, base), np.full(n, 0.2), heights
     ).materialize()
     assert t2.ok[0]
+
+
+def test_fleet_long_range_mode(rng):
+    """Fleet in long-range mode: 4x-downsampled flow + get2DT, per-stream
+    metric velocity from large shifts (takeoff scenario)."""
+    n = 3
+    base = (smooth_random_image(rng, 96, cutoff=0.4) * 127 + 128).astype(np.uint8)
+    pipe = BatchPipeline(frame_size=96, sample_point_size=24, camera_matrix=K,
+                         dist_coeffs=np.zeros(5, np.float32), crop_cx=48.0)
+    fleet = FleetServer(pipe, n, long_range=True)
+    heights = np.full(n, 3.0)
+
+    def frames(t):
+        return np.stack([np.roll(base, (0, 8 * t * (i + 1)), (0, 1)) for i in range(n)])
+
+    fleet.tick(frames(0), np.zeros(n), heights)
+    tick = fleet.tick(frames(1), np.full(n, 0.1), heights).materialize()
+    assert tick.shifts.shape == (n, 1, 2)  # coarse long-range grid
+    assert np.all(tick.ok)
+    # v = -shift_ds * ratio * h / f / dt; content moved 8*(i+1) px
+    for i in range(n):
+        expect_vx = -8.0 * (i + 1) * 3.0 / 40.0 / 0.1
+        np.testing.assert_allclose(tick.tran[i][0], expect_vx, rtol=0.15)
+        assert abs(tick.tran[i][1]) < abs(expect_vx) * 0.15

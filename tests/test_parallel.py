@@ -112,3 +112,37 @@ def test_batch_pipeline_uint8_sharded(rng):
     np.testing.assert_allclose(
         np.asarray(out8.tran), np.asarray(outf.tran), atol=1e-6, equal_nan=True
     )
+
+
+def test_batch_pipeline_long_range(rng):
+    """Batched long-range serving path: 4x-downsampled flow + vmapped
+    get2DT must agree with the per-sample geometry."""
+    from mrs_optic_flow_tpu.geometry.motion import get_2dt
+
+    b = 4
+    prev = np.stack([smooth_random_image(rng, 96, cutoff=0.4) for _ in range(b)])
+    curr = np.stack([np.roll(prev[i], (4 * (i + 1), -8), axis=(0, 1)) for i in range(b)])
+    heights = jnp.full((b,), 3.0, jnp.float32)
+    dts = jnp.full((b,), 0.1, jnp.float32)
+    rolls = jnp.zeros((b,), jnp.float32)
+    pitches = jnp.zeros((b,), jnp.float32)
+
+    pipe = BatchPipeline(frame_size=96, sample_point_size=24, camera_matrix=K,
+                         dist_coeffs=np.zeros(5, np.float32), crop_cx=48.0)
+    out = pipe.step_long_range(
+        jnp.asarray(prev), jnp.asarray(curr), heights, dts, rolls, pitches,
+        jnp.float32(0.0),
+    )
+    assert out.shifts.shape[0] == b
+    assert np.all(np.asarray(out.ok))
+    # cross-check sample 1 against direct get_2dt on its shifts
+    ref = get_2dt(
+        out.shifts[1], heights[1], dts[1], jnp.float32(pipe.ul_x),
+        jnp.asarray(pipe.camera_matrix), jnp.float32(0.0), jnp.float32(0.0),
+        jnp.float32(0.0), long_range_ratio=4,
+    )
+    np.testing.assert_allclose(np.asarray(out.tran[1]), np.asarray(ref.tran), atol=1e-5)
+    # physical sanity: content shifted (-8, 8) px at ratio 4, h=3, f=40
+    # -> v = -shift*4*h/f/dt; downsampled shift is (-2, 2)
+    expect = -np.array([-8.0, 8.0]) * 3.0 / 40.0 / 0.1
+    np.testing.assert_allclose(np.asarray(out.tran[1][:2]), expect, rtol=0.2)
