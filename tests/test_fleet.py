@@ -112,3 +112,22 @@ def test_fleet_long_range_mode(rng):
         expect_vx = -8.0 * (i + 1) * 3.0 / 40.0 / 0.1
         np.testing.assert_allclose(tick.tran[i][0], expect_vx, rtol=0.15)
         assert abs(tick.tran[i][1]) < abs(expect_vx) * 0.15
+
+
+def test_fleet_bgr_frames(rng):
+    """[N, H, W, 3] BGR frames go through fleet preprocessing (grayscale +
+    crop on device) and state carry."""
+    n = 2
+    base = (smooth_random_image(rng, 64) * 127 + 128).astype(np.uint8)
+    bgr = np.stack([base] * 3, axis=-1)
+    fleet = FleetServer(_pipeline(), n)
+    heights = np.full(n, 2.0)
+
+    def frames(t):
+        return np.stack([np.roll(bgr, (0, 2 * t, 0), (0, 1, 2)) for _ in range(n)])
+
+    fleet.tick(frames(0), np.zeros(n), heights)
+    tick = fleet.tick(frames(1), np.full(n, 0.1), heights).materialize()
+    assert np.all(tick.ok)
+    med = np.nanmedian(tick.shifts[0], axis=0)
+    np.testing.assert_allclose(med, [2.0, 0.0], atol=0.3)
