@@ -80,6 +80,32 @@ class ScaleRotationEstimator:
         new_state = ScaleRotState(prev_logpolar=lp, first=jnp.asarray(False))
         return new_state, ScaleRotResult(scale=scale, rotation=rot)
 
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def step_batch(
+        self, prev_frames: jnp.ndarray, curr_frames: jnp.ndarray
+    ) -> ScaleRotResult:
+        """Stateless batched mode: ``[B, N, N]`` frame pairs ->
+        per-pair (scale [B], rotation [B]).  The throughput analogue of
+        :meth:`step` (no reference equivalent — the reference is strictly
+        frame-to-frame); same decode as ``src/scaleRotationEstimator.cpp:
+        117-124``."""
+        c = self.config
+        n = c.resolution
+
+        def one(prev, curr):
+            lp_p = logpolar(jnp.asarray(prev, jnp.float32), jnp.float32(c.magnitude))
+            lp_c = logpolar(jnp.asarray(curr, jnp.float32), jnp.float32(c.magnitude))
+            surf = correlation_surface(lp_c, lp_p, search_radius=n // 2)
+            shift, _resp = peak_refine(surf)
+            pt = -shift
+            in_range = jnp.abs(pt[0]) <= n / 2
+            scale = jnp.where(in_range, jnp.exp(pt[0] / c.magnitude), 1.0)
+            rot = jnp.where(in_range, (pt[1] / self.ky) * (jnp.pi / 180.0), 0.0)
+            return scale, rot
+
+        scale, rot = jax.vmap(one)(prev_frames, curr_frames)
+        return ScaleRotResult(scale=scale, rotation=rot)
+
     def __hash__(self):
         return hash(self.config)
 

@@ -156,3 +156,27 @@ def test_block_method_pallas_engine(rng):
         state, res = eng.step(state, jnp.asarray(f1))
         outs.append(np.asarray(res.shifts))
     np.testing.assert_allclose(outs[0], outs[1])
+
+
+def test_scale_rotation_step_batch(rng):
+    """Batched scale/rotation agrees with the stateful per-frame path."""
+    cv2 = pytest.importorskip("cv2")
+    n = 128
+    eng = ScaleRotationEstimator(ScaleRotationConfig(resolution=n, magnitude=20.0))
+    prevs, currs, singles = [], [], []
+    for deg in (5.0, -8.0):
+        f0 = smooth_random_image(rng, n)
+        m = cv2.getRotationMatrix2D((n / 2, n / 2), deg, 1.0)
+        f1 = cv2.warpAffine(f0, m, (n, n))
+        prevs.append(f0)
+        currs.append(f1)
+        state = eng.init_state()
+        state, _ = eng.step(state, jnp.asarray(f0))
+        _, r = eng.step(state, jnp.asarray(f1))
+        singles.append(r)
+    batched = eng.step_batch(jnp.asarray(np.stack(prevs)), jnp.asarray(np.stack(currs)))
+    for i, r in enumerate(singles):
+        np.testing.assert_allclose(float(batched.scale[i]), float(r.scale), atol=1e-5)
+        np.testing.assert_allclose(
+            float(batched.rotation[i]), float(r.rotation), atol=1e-5
+        )
