@@ -12,6 +12,7 @@ from __future__ import annotations
 import abc
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -56,6 +57,21 @@ class FlowEngine(abc.ABC):
     def set_im_prev(self, state: FlowState, frame: jnp.ndarray) -> FlowState:
         """``OpticFlowCalc::setImPrev`` (``include/OpticFlowCalc.h:16``)."""
         return FlowState(prev=jnp.asarray(frame, jnp.float32), first=jnp.asarray(False))
+
+    def step_batch(self, prev_frames: jnp.ndarray, curr_frames: jnp.ndarray) -> FlowResult:
+        """Stateless throughput mode: ``[B, H, W]`` frame pairs in, batched
+        :class:`FlowResult` out.  Default implementation vmaps :meth:`step`
+        over synthesized states; engines with a dedicated batched kernel
+        (FftMethod) override this."""
+
+        def one(p, c):
+            state = FlowState(
+                prev=jnp.asarray(p, jnp.float32), first=jnp.asarray(False)
+            )
+            _, res = self.step(state, c)
+            return res
+
+        return jax.vmap(one)(jnp.asarray(prev_frames), jnp.asarray(curr_frames))
 
 
 class OpticFlowCalc:

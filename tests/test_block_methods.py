@@ -180,3 +180,22 @@ def test_scale_rotation_step_batch(rng):
         np.testing.assert_allclose(
             float(batched.rotation[i]), float(r.rotation), atol=1e-5
         )
+
+
+def test_block_engines_step_batch(rng):
+    """The FlowEngine default batched mode (vmapped step) works for both
+    SAD engines and agrees with per-frame stepping."""
+    for method in (3, 5):
+        eng = make_engine(method, **SMALL)
+        b = 2
+        prev = np.stack([smooth_random_image(rng, SMALL["frame_size"]) for _ in range(b)])
+        curr = np.stack([np.roll(prev[i], (1, 2 * (i + 1)), axis=(0, 1)) for i in range(b)])
+        batched = eng.step_batch(jnp.asarray(prev), jnp.asarray(curr))
+        assert batched.shifts.shape[0] == b
+        for i in range(b):
+            state = eng.set_im_prev(eng.init_state(), jnp.asarray(prev[i]))
+            _, single = eng.step(state, jnp.asarray(curr[i]))
+            np.testing.assert_allclose(
+                np.asarray(batched.shifts[i]), np.asarray(single.shifts),
+                atol=1e-5, equal_nan=True,
+            )
