@@ -67,11 +67,13 @@ def main(argv=None):
     cfg = load_config(args.config, overrides=_parse_overrides(args.overrides))
     dt = 1.0 / args.fps
 
-    if args.fleet:
+    if args.fleet is not None:
         from mrs_optic_flow_tpu.parallel import BatchPipeline
         from mrs_optic_flow_tpu.runtime import FleetServer
 
         n = args.fleet
+        if n < 1:
+            ap.error(f"--fleet needs at least 1 stream, got {n}")
         v = tuple(float(x) for x in args.velocity.split(","))
         scene = SyntheticScene(uav_height=args.height)
         ci = scene.camera_info()

@@ -10,6 +10,7 @@ invalid windows poisoned with NaN) but is functional: state in, state out.
 from __future__ import annotations
 
 import abc
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -58,17 +59,16 @@ class FlowEngine(abc.ABC):
         """``OpticFlowCalc::setImPrev`` (``include/OpticFlowCalc.h:16``)."""
         return FlowState(prev=jnp.asarray(frame, jnp.float32), first=jnp.asarray(False))
 
+    @functools.partial(jax.jit, static_argnames=("self",))
     def step_batch(self, prev_frames: jnp.ndarray, curr_frames: jnp.ndarray) -> FlowResult:
         """Stateless throughput mode: ``[B, H, W]`` frame pairs in, batched
         :class:`FlowResult` out.  Default implementation vmaps :meth:`step`
         over synthesized states; engines with a dedicated batched kernel
-        (FftMethod) override this."""
+        (FftMethod) override this.  (Jitted with static ``self`` like every
+        step method — subclasses define ``__hash__``/``__eq__`` on config.)"""
 
         def one(p, c):
-            state = FlowState(
-                prev=jnp.asarray(p, jnp.float32), first=jnp.asarray(False)
-            )
-            _, res = self.step(state, c)
+            _, res = self.step(self.set_im_prev(None, p), c)
             return res
 
         return jax.vmap(one)(jnp.asarray(prev_frames), jnp.asarray(curr_frames))

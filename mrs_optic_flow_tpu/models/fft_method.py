@@ -105,8 +105,16 @@ class FftMethod(FlowEngine):
         #: grid side (sqNum = frameSize / samplePointSize, src/FftMethod.cpp:1719)
         self.sq_num = c.frame_size // c.sample_point_size
         #: long-range grid side (sqNum_lr = sqNum / LONG_RANGE_RATIO, :1720);
-        #: the long-range patch size equals the normal one (:1685)
-        self.sq_num_lr = max(self.sq_num // c.long_range_ratio, 1)
+        #: the long-range patch size equals the normal one (:1685) — unless
+        #: the downsampled frame is smaller than the patch (e.g. frame 360 /
+        #: patch 120 / ratio 4 -> 90 px), where the whole downsampled frame
+        #: becomes the single window (the reference's sqNum_lr would be 0
+        #: there and its node-side bookkeeping indexes out of bounds;
+        #: ARCHITECTURE.md deviation 5)
+        self.patch_lr = min(c.sample_point_size, c.frame_size // c.long_range_ratio)
+        self.sq_num_lr = max(
+            (c.frame_size // c.long_range_ratio) // self.patch_lr, 1
+        )
         self.num_windows = self.sq_num * self.sq_num
         self.num_windows_lr = self.sq_num_lr * self.sq_num_lr
 
@@ -219,10 +227,10 @@ class FftMethod(FlowEngine):
 
         curr_d = resize_by(curr, c.long_range_ratio)
         prev_d = resize_by(prev, c.long_range_ratio)
-        curr_p = patchify(curr_d, c.sample_point_size)
-        prev_p = patchify(prev_d, c.sample_point_size)
+        curr_p = patchify(curr_d, self.patch_lr)
+        prev_p = patchify(prev_d, self.patch_lr)
         raw, resp = self._correlate(curr_p, prev_p)
-        shifts = self._gate(raw, c.sample_point_size, c.max_pixel_speed)
+        shifts = self._gate(raw, self.patch_lr, c.max_pixel_speed)
 
         new_state = FlowState(prev=curr, first=jnp.asarray(False))
         return new_state, FlowResult(shifts=shifts, shifts_raw=raw, response=resp)
@@ -276,6 +284,7 @@ class FftMethod(FlowEngine):
         throughput analogue of :meth:`step_long_range` for fleet serving at
         takeoff / low altitude.  Returns ``[B, P_lr, 2]`` shifts."""
         c = self.config
+        patch = self.patch_lr
         # bilinear resize interpolates, so the downsampled frames are no
         # longer 8-bit-exact: go through float32 (no exact-input path here)
         curr_d = resize_by(jnp.asarray(curr_frames, jnp.float32), c.long_range_ratio)
@@ -283,27 +292,33 @@ class FftMethod(FlowEngine):
         if (
             c.use_pallas
             and c.backend == "dft"
-            and c.sample_point_size % 8 == 0
-            and curr_d.shape[-1] % c.sample_point_size == 0
+            and patch % 8 == 0
+            and curr_d.shape[-1] % patch == 0
         ):
             from mrs_optic_flow_tpu.ops.pallas_kernels import (
                 phase_correlate_frames_pallas,
             )
 
+            # honor the tuned banding where it fits the coarser grid;
+            # fall back to auto-pick when it doesn't divide the LR rows
+            g = c.bands_per_step
+            if g is not None and self.sq_num_lr % g:
+                g = None
             raw, resp = phase_correlate_frames_pallas(
                 curr_d, prev_d,
-                patch=c.sample_point_size,
+                patch=patch,
                 search_radius=c.search_radius,
                 centroid_radius=c.centroid_radius,
                 half_spectrum=c.half_spectrum,
+                bands_per_step=g,
                 bf16x3=c.mxu_passes,
             )
         else:
             raw, resp = self._correlate(
-                patchify(curr_d, c.sample_point_size),
-                patchify(prev_d, c.sample_point_size),
+                patchify(curr_d, patch),
+                patchify(prev_d, patch),
             )
-        shifts = self._gate(raw, c.sample_point_size, c.max_pixel_speed)
+        shifts = self._gate(raw, patch, c.max_pixel_speed)
         return FlowResult(shifts=shifts, shifts_raw=raw, response=resp)
 
     # hashable/static for jax.jit static_argnames=("self",)

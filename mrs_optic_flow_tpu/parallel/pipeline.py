@@ -79,24 +79,36 @@ class BatchPipeline:
         self.mesh = mesh
         self.axis_name = axis_name
 
-        step = self._build_step()
-        step_lr = self._build_step_long_range()
+        step = self._build_step(pre=False)
+        step_pre = self._build_step(pre=True)
+        step_lr = self._build_step_long_range(pre=False)
+        step_lr_pre = self._build_step_long_range(pre=True)
         if mesh is not None:
             batch = NamedSharding(mesh, P(axis_name))
             rep = NamedSharding(mesh, P())
-            self.step = jax.jit(
-                step,
-                in_shardings=((batch,) * 2 + (batch,) * 3 + (rep,) + (batch,)),
-                out_shardings=PipelineOutput(batch, batch, batch, batch, rep),
-            )
+            out_sh = PipelineOutput(batch, batch, batch, batch, rep)
+            out_lr_sh = LongRangeOutput(batch, batch, batch, batch, rep)
+            sh = (batch,) * 2 + (batch,) * 3 + (rep,) + (batch,)
+            sh_lr = (batch,) * 2 + (batch,) * 4 + (rep,)
+            self.step = jax.jit(step, in_shardings=sh, out_shardings=out_sh)
+            self.step_pre = jax.jit(step_pre, in_shardings=sh, out_shardings=out_sh)
             self.step_long_range = jax.jit(
-                step_lr,
-                in_shardings=((batch,) * 2 + (batch,) * 4 + (rep,)),
-                out_shardings=LongRangeOutput(batch, batch, batch, batch, rep),
+                step_lr, in_shardings=sh_lr, out_shardings=out_lr_sh
+            )
+            self.step_long_range_pre = jax.jit(
+                step_lr_pre, in_shardings=sh_lr, out_shardings=out_lr_sh
+            )
+            self.preprocess = jax.jit(
+                self._preprocess, in_shardings=(batch,), out_shardings=batch
             )
         else:
             self.step = jax.jit(step)
+            self.step_pre = jax.jit(step_pre)
             self.step_long_range = jax.jit(step_lr)
+            self.step_long_range_pre = jax.jit(step_lr_pre)
+            #: jitted preprocess alone — for callers (FleetServer) that cache
+            #: the preprocessed frame as carried state and dispatch step_pre
+            self.preprocess = jax.jit(self._preprocess)
 
     def _preprocess(self, raw: jnp.ndarray) -> jnp.ndarray:
         # grayscale inputs keep their dtype: the flow kernel streams uint8
@@ -104,7 +116,7 @@ class BatchPipeline:
         g = to_grayscale(raw) if raw.ndim == 4 else jnp.asarray(raw)
         return center_crop(g, self.frame_size, int(self.crop_cx))
 
-    def _build_step(self):
+    def _build_step(self, pre: bool = False):
         cam = jnp.asarray(self.camera_matrix)
         # distortion-free cameras statically skip the 5-iteration fixed-point
         # undistort inversion (undistort_points dist=None fast path)
@@ -112,8 +124,10 @@ class BatchPipeline:
         ul_x = jnp.float32(self.ul_x)
 
         def step(prev_raw, curr_raw, heights, dts, rate_quats, c2b, keys):
-            prev = self._preprocess(prev_raw)
-            curr = self._preprocess(curr_raw)
+            # pre=True: inputs are already preprocessed [B, F, F] frames (a
+            # FleetServer carries the preprocessed prev — no double work)
+            prev = prev_raw if pre else self._preprocess(prev_raw)
+            curr = curr_raw if pre else self._preprocess(curr_raw)
             res = self.engine.step_batch(prev, curr)
             # batch-last geometry: ~15x better VPU lane utilization than
             # jax.vmap(get_rt) (which leaves size-2/9/16 axes on the lanes)
@@ -135,7 +149,7 @@ class BatchPipeline:
 
         return step
 
-    def _build_step_long_range(self):
+    def _build_step_long_range(self, pre: bool = False):
         """Batched long-range mode: 4x-downsampled flow + vmapped get2DT
         (the takeoff / low-altitude serving path; node-side per-frame
         equivalent is ``OpticFlowNode._frame_program_lr``).  get_2dt is
@@ -148,8 +162,8 @@ class BatchPipeline:
         ratio = self.engine.config.long_range_ratio
 
         def step_lr(prev_raw, curr_raw, heights, dts, roll_rates, pitch_rates, cam_yaw):
-            prev = self._preprocess(prev_raw)
-            curr = self._preprocess(curr_raw)
+            prev = prev_raw if pre else self._preprocess(prev_raw)
+            curr = curr_raw if pre else self._preprocess(curr_raw)
             res = self.engine.step_batch_long_range(prev, curr)
             rt = jax.vmap(
                 lambda s, h, d, rr, pr: get_2dt(

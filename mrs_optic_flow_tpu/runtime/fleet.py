@@ -80,7 +80,7 @@ class FleetServer:
         self.long_range = long_range
         self.cam_yaw = float(cam_yaw)
         self._key = jax.random.PRNGKey(seed)
-        self._prev: Optional[jnp.ndarray] = None  # [N, H, W] on device
+        self._prev: Optional[jnp.ndarray] = None  # [N, F, F] preprocessed, on device
         self._prev_stamps = np.zeros(n_streams)
         self._seen = np.zeros(n_streams, bool)
 
@@ -111,6 +111,10 @@ class FleetServer:
         frames = jnp.asarray(frames)
         if frames.shape[0] != n:
             raise ValueError(f"expected {n} streams, got {frames.shape[0]}")
+        # preprocess ONCE per frame: the preprocessed [N, F, F] result is both
+        # this tick's curr and (where masked in) next tick's prev — raw BGR is
+        # never re-grayscaled and the carried state is the cropped gray
+        frames = self.pipeline.preprocess(frames)
         stamps = np.asarray(stamps, float)
         mask = np.ones(n, bool) if mask is None else np.asarray(mask, bool)
         if rate_quats is None:
@@ -141,7 +145,7 @@ class FleetServer:
         keys = jax.random.split(sub, n)
         if self.long_range:
             zeros = jnp.zeros((n,), jnp.float32)
-            out = self.pipeline.step_long_range(
+            out = self.pipeline.step_long_range_pre(
                 self._prev,
                 frames,
                 jnp.asarray(heights, jnp.float32),
@@ -155,7 +159,7 @@ class FleetServer:
             out_rot = jnp.tile(jnp.asarray([0, 0, 0, 1], jnp.float32), (n, 1))
             out_tran, out_ok, out_shifts = out.tran, out.ok, out.shifts
         else:
-            out = self.pipeline.step(
+            out = self.pipeline.step_pre(
                 self._prev,
                 frames,
                 jnp.asarray(heights, jnp.float32),
@@ -169,7 +173,7 @@ class FleetServer:
 
         # carry state: streams with a new frame swap prev; others keep it
         # (on device — no host round-trip)
-        mask_dev = jnp.asarray(mask).reshape((n,) + (1,) * (frames.ndim - 1))
+        mask_dev = jnp.asarray(mask)[:, None, None]  # frames are [N, F, F] now
         self._prev = jnp.where(mask_dev, frames, self._prev)
         self._prev_stamps = np.where(mask, stamps, self._prev_stamps)
         self._seen = self._seen | mask
@@ -178,7 +182,11 @@ class FleetServer:
         return FleetTick(
             ok=out_ok & valid_dev,
             tran=jnp.where(valid_dev[:, None], out_tran, jnp.nan),
-            rot=out_rot,
+            # same invalid => NaN convention as tran: a first-frame /
+            # reconnected / dropped stream's decomposition quaternion is
+            # garbage (it correlates unrelated frames) and must not look
+            # plausible
+            rot=jnp.where(valid_dev[:, None], out_rot, jnp.nan),
             shifts=out_shifts,
             dts=dts,
         )

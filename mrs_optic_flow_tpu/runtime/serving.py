@@ -10,7 +10,7 @@ cannot do, ``src/FftMethod.cpp:398``).
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, Iterator, List, Optional, Tuple
+from typing import Iterable, Iterator, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -177,3 +177,20 @@ def test_step_batch_long_range_matches_single(rng):
         np.testing.assert_allclose(
             np.asarray(batched.shifts[i]), np.asarray(single.shifts), atol=1e-4
         )
+
+
+def test_long_range_small_downsampled_frame(rng):
+    """frame/ratio < patch: the whole downsampled frame becomes the single
+    long-range window instead of producing a zero-window reshape crash
+    (frame 360 / patch 120 / ratio 4 -> 90 px window)."""
+    import jax.numpy as jnp
+    from mrs_optic_flow_tpu.models import FftMethod, FftMethodConfig
+    from oracle import smooth_random_image
+
+    eng = FftMethod(FftMethodConfig(frame_size=360, sample_point_size=120))
+    assert eng.patch_lr == 90 and eng.num_windows_lr == 1
+    prev = np.stack([smooth_random_image(rng, 360, cutoff=0.4)])
+    curr = np.roll(prev, 8, axis=2)
+    res = eng.step_batch_long_range(jnp.asarray(prev), jnp.asarray(curr))
+    assert res.shifts.shape == (1, 1, 2)
+    np.testing.assert_allclose(np.asarray(res.shifts)[0, 0], [2.0, 0.0], atol=0.3)
