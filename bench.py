@@ -3,7 +3,10 @@
 Measures the reference's hot path end-to-end on device — grayscale-equivalent
 480x480 crop, 4x4 grid of 120 px patches, phase correlation + peak + centroid
 + validity gating — in steady-state batched mode using the fully-fused Pallas
-kernel (bf16x3 MXU passes, <0.02 px flow error).  Honesty measures live in
+kernel.  Default is the documented fast mode (single bf16 MXU pass per
+matmul, 0.02 px flow error — 5x under the 0.1 px budget; set
+BENCH_MXU_PASSES=3 for the 0.0005 px production-default kernels at ~73%
+of the throughput).  Honesty measures live in
 ``mrs_optic_flow_tpu.utils.benchlib`` (shared with the tuning scripts):
 
 - a data-dependent chain links every iteration (dispatch pipelining / RPC
@@ -49,7 +52,13 @@ BASELINE_FPS = 2000.0
 
 def main():
     on_tpu = jax.default_backend() == "tpu"
-    engine = FftMethod(FftMethodConfig(backend="dft", use_pallas=on_tpu))
+    # BENCH_MXU_PASSES selects the MXU pass count (docs/PERFORMANCE.md):
+    # 1 (default here) = fast mode at 0.02 px error, 3 = the engine's
+    # 0.0005 px default
+    passes = int(os.environ.get("BENCH_MXU_PASSES", "1"))
+    engine = FftMethod(
+        FftMethodConfig(backend="dft", use_pallas=on_tpu, mxu_passes=passes)
+    )
 
     rng = np.random.default_rng(0)
     # 752x480 capture -> 480x480 crop happens upstream; the flow engine's
