@@ -46,10 +46,18 @@ def __getattr__(name):
         import mrs_optic_flow_tpu.models as m
 
         return getattr(m, name)
-    if name in ("OpticFlowNode", "FrameStream", "SyntheticScene"):
+    if name in ("OpticFlowNode", "FrameStream", "SyntheticScene", "FleetServer"):
         import mrs_optic_flow_tpu.runtime as r
 
         return getattr(r, name)
+    if name in ("BatchPipeline", "make_mesh"):
+        import mrs_optic_flow_tpu.parallel as p
+
+        return getattr(p, name)
+    if name == "ServingLoop":
+        from mrs_optic_flow_tpu.runtime.serving import ServingLoop
+
+        return ServingLoop
     if name == "load_config":
         from mrs_optic_flow_tpu.config import load_config
 
