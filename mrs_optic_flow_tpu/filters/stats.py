@@ -54,12 +54,18 @@ def analyze_speeds(from_time: float, speeds: List[SpeedBox]) -> StatData:
     ax = np.abs(d)
     exx = dist_sq.mean()
     ex = dist.mean()
+
+    def _std(e2, e):
+        # E[X^2] - E[X]^2 cancels to a tiny negative for near-constant
+        # samples; clamp instead of emitting NaN + a RuntimeWarning
+        return float(np.sqrt(max(e2 - e * e, 0.0)))
+
     return StatData(
         mean=float(ex),
-        std_dev=float(np.sqrt(exx - ex * ex)),
+        std_dev=_std(exx, ex),
         num=n,
         mean_x=float(ax[:, 0].mean()),
-        std_dev_x=float(np.sqrt((ax[:, 0] ** 2).mean() - ax[:, 0].mean() ** 2)),
+        std_dev_x=_std((ax[:, 0] ** 2).mean(), ax[:, 0].mean()),
         mean_y=float(ax[:, 1].mean()),
-        std_dev_y=float(np.sqrt((ax[:, 1] ** 2).mean() - ax[:, 1].mean() ** 2)),
+        std_dev_y=_std((ax[:, 1] ** 2).mean(), ax[:, 1].mean()),
     )

@@ -1,0 +1,101 @@
+"""One-claim TPU smoke: every engine, the node (both range modes), and the
+cross-backend conformance check on real hardware.
+
+The CPU test suite runs everything in interpret mode; this script is the
+real-hardware sweep (one TPU claim, bounded by an internal alarm).
+
+Usage: python scripts/tpu_smoke.py
+"""
+
+import os
+import signal
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "")
+signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "560")))
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tests"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from oracle import smooth_random_image
+
+    from mrs_optic_flow_tpu.models import make_engine
+    from mrs_optic_flow_tpu.ops import conformance
+    from mrs_optic_flow_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    print(f"backend={jax.default_backend()}", flush=True)
+    rng = np.random.default_rng(1)
+
+    # --- engines 3 / 4 / 5 ------------------------------------------------
+    f0 = (smooth_random_image(rng, 480, cutoff=0.35) * 127 + 128).astype(np.uint8)
+    f1 = np.roll(f0, (2, -5), (0, 1))
+    for method in (3, 4, 5):
+        kw = {} if method == 4 else dict(frame_size=480, sample_point_size=120,
+                                         scan_radius=21, step_size=24)
+        eng = make_engine(method, **kw)
+        state = eng.set_im_prev(eng.init_state(), jnp.asarray(f0, jnp.float32))
+        _, res = eng.step(state, jnp.asarray(f1, jnp.float32))
+        med = np.nanmedian(np.atleast_2d(np.asarray(res.shifts)), axis=0)
+        assert np.abs(med - [-5, 2]).max() < 1.0, (method, med)
+        print(f"method {method}: median shift {med} OK", flush=True)
+
+    # --- scale-rotation (pure-numpy zoom to avoid a cv2 dependency) -------
+    from mrs_optic_flow_tpu.models import ScaleRotationConfig, ScaleRotationEstimator
+    import scipy.ndimage as ndi
+
+    n = 128
+    sre = ScaleRotationEstimator(ScaleRotationConfig(resolution=n, magnitude=20.0))
+    g0 = smooth_random_image(rng, n)
+    g1 = ndi.rotate(g0, 8.0, reshape=False, order=1, mode="nearest")
+    r = sre.step_batch(jnp.asarray(g0)[None], jnp.asarray(g1)[None])
+    rot_deg = np.rad2deg(float(r.rotation[0]))
+    assert abs(rot_deg - 8.0) < 1.5, rot_deg
+    print(f"scale-rotation: {rot_deg:.2f} deg (true 8.0) OK", flush=True)
+
+    # --- node, both range modes ------------------------------------------
+    from mrs_optic_flow_tpu.config import load_config
+    from mrs_optic_flow_tpu.runtime import FrameStream, OpticFlowNode, SyntheticScene
+
+    published = []
+    for lr_mode in ("always_off", "always_on"):
+        node = OpticFlowNode(
+            load_config(overrides={"mrs_optic_flow": {"long_range_mode": lr_mode}}),
+            publish=lambda t, m: published.append((t, m)), log=lambda s: None,
+        )
+        node.set_transforms((0.0, 0.0, 0.0, 1.0))
+        scene = SyntheticScene(uav_height=2.0)
+        stream = FrameStream(node)
+        scene.trajectory_events(stream, velocity=(0.8, -0.3), n_frames=6, dt=0.05)
+        stream.run()
+    main_twists = [m for t, m in published if t == "velocity_out"]
+    lr_twists = [m for t, m in published if t == "velocity_out_longrange"]
+    assert main_twists and lr_twists, (len(main_twists), len(lr_twists))
+    v = main_twists[-1].linear
+    assert abs(v[0] - 0.8) < 0.15 and abs(v[1] + 0.3) < 0.15, v
+    vlr = lr_twists[-1].linear
+    assert abs(vlr[0] - 0.8) < 0.3 and abs(vlr[1] + 0.3) < 0.3, vlr
+    print(f"node short-range v={v[:2]} long-range v={vlr[:2]} OK", flush=True)
+
+    # --- cross-backend conformance ---------------------------------------
+    curr_p = jnp.asarray(
+        np.stack([np.roll(smooth_random_image(rng, 120), 3, 1) for _ in range(4)])
+    )
+    prev_p = jnp.asarray(np.stack([np.roll(np.asarray(curr_p[i]), -3, 1)
+                                   for i in range(4)]))
+    diffs = conformance.check(curr_p, prev_p)
+    print("conformance:", {k: round(v, 5) for k, v in diffs.items()}, flush=True)
+    print("TPU SMOKE PASSED")
+
+
+if __name__ == "__main__":
+    main()
