@@ -41,7 +41,9 @@ def analyze_speeds(from_time: float, speeds: List[SpeedBox]) -> StatData:
 
     Matches the accumulation of ``src/utilityFunctions.cpp:291-344``:
     euclidean error mean/std plus per-axis absolute-difference stats
-    (E[X^2] - E[X]^2 form, including its NaN-when-empty behaviour).
+    (E[X^2] - E[X]^2 form, including its NaN-when-empty behaviour) — except
+    that the variance cancellation for near-constant samples clamps to 0
+    instead of propagating sqrt(-eps) = NaN (ARCHITECTURE.md deviation 8).
     """
     sel = [s for s in speeds if s.time > from_time]
     n = len(sel)

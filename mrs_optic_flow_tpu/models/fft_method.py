@@ -58,8 +58,9 @@ class FftMethodConfig:
     #: row bands per Pallas grid step for the frames kernel; None auto-picks
     bands_per_step: int | None = None
     #: MXU passes per f32 matmul in the Pallas kernels: True/3 = bf16x3
-    #: (0.0005 px error), 2 or 1 trade ~0.02 px for +11%/+16% throughput,
-    #: False = Precision.HIGHEST (docs/PERFORMANCE.md)
+    #: (0.0005 px error), 1 trades ~0.02 px for ~+37% throughput at deep
+    #: pipelining (2 sits between), False = Precision.HIGHEST
+    #: (measured numbers: docs/PERFORMANCE.md)
     mxu_passes: bool | int = True
 
     def normalized(self) -> "FftMethodConfig":

@@ -16,7 +16,19 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "")
+# the sandbox pins JAX_PLATFORMS=axon, which plain scripts cannot resolve;
+# clear exactly that (preserving deliberate overrides like "cpu")
+if os.environ.get("JAX_PLATFORMS") == "axon":
+    os.environ["JAX_PLATFORMS"] = ""
+
+
+def _alarm(_sig, _frm):
+    print("TIMED OUT (TPU claim wait or compiles exceeded the budget) — "
+          "any table above is PARTIAL", flush=True)
+    os._exit(142)
+
+
+signal.signal(signal.SIGALRM, _alarm)
 signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "540")))
 
 import jax
@@ -28,6 +40,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
 from oracle import fourier_shift, phase_correlate_oracle, smooth_random_image
 
 from mrs_optic_flow_tpu.models import FftMethod, FftMethodConfig
+from mrs_optic_flow_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 N_PAIRS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 SIZE, PATCH = 480, 120

@@ -20,7 +20,9 @@ CASES = [
     (100, 33, 4),   # non-divisor -> whole-frame window after normalization
     (64, 64, 4),    # one window; LR window = 16 px
     (360, 120, 4),  # LR downsample (90) < patch (120)
-    (97, 24, 4),    # odd frame -> normalized even
+    (97, 24, 4),    # odd config frame -> normalized() trims to 96 (the
+                    # engine contract is config-sized input; raw odd-sized
+                    # capture is cropped by the node's preprocess)
 ]
 
 
