@@ -22,6 +22,7 @@ from mrs_optic_flow_tpu.runtime.msgs import (  # noqa: F401
     TwistWithCovarianceStamped,
 )
 from mrs_optic_flow_tpu.runtime.fleet import FleetServer, FleetTick  # noqa: F401
+from mrs_optic_flow_tpu.runtime.fleet_feeder import FleetFeeder  # noqa: F401
 from mrs_optic_flow_tpu.runtime.node import OpticFlowNode  # noqa: F401
 from mrs_optic_flow_tpu.runtime.profiler import Profiler  # noqa: F401
 from mrs_optic_flow_tpu.runtime.stream import FrameStream, SyntheticScene  # noqa: F401

@@ -62,3 +62,46 @@ def test_feeder_realtime_drains_to_newest():
     assert feeder.feed_once()
     assert feeder.frames_skipped == 4
     assert len(feeder.queue) == 0
+
+
+def test_fleet_feeder(rng):
+    """N native rings -> one batched fleet tick; empty rings carry state,
+    stale frames drain to newest with skip accounting."""
+    import jax.numpy as jnp  # noqa: F401  (ensures jax initialized on CPU)
+
+    from oracle import smooth_random_image
+
+    from mrs_optic_flow_tpu.parallel import BatchPipeline
+    from mrs_optic_flow_tpu.runtime import FleetFeeder, FleetServer
+
+    K = np.array([[40.0, 0, 32.0], [0, 40.0, 24.0], [0, 0, 1.0]], np.float32)
+    pipe = BatchPipeline(frame_size=64, sample_point_size=16, camera_matrix=K,
+                         dist_coeffs=np.zeros(5, np.float32),
+                         ransac_iterations=32)
+    n = 3
+    fleet = FleetServer(pipe, n)
+    feeder = FleetFeeder(fleet, frame_shape=(64, 64))
+    base = (smooth_random_image(np.random.default_rng(0), 64) * 127 + 128
+            ).astype(np.uint8)
+    heights = [2.0] * n
+
+    # tick 0: all streams push -> first-frame tick (all gated)
+    for i in range(n):
+        assert feeder.push(i, base, 0.0)
+    t0 = feeder.tick(heights)
+    assert t0 is not None and not np.any(np.asarray(t0.ok))
+
+    # tick 1: stream 1 silent; stream 2 pushes TWO frames (older one skipped)
+    moved = np.roll(base, 2, axis=1)
+    feeder.push(0, moved, 0.1)
+    feeder.push(2, base, 0.05)
+    feeder.push(2, moved, 0.1)
+    t1 = feeder.tick(heights)
+    t1 = t1.materialize()
+    assert t1.ok[0] and not t1.ok[1] and t1.ok[2]
+    assert feeder.frames_skipped == 1
+    med = np.nanmedian(t1.shifts[0], axis=0)
+    np.testing.assert_allclose(med, [2.0, 0.0], atol=0.3)
+
+    # empty tick: nothing pushed
+    assert feeder.tick(heights) is None
