@@ -72,6 +72,11 @@ def load() -> ctypes.CDLL:
     lib.ofq_size.argtypes = [ctypes.c_void_p]
     lib.ofq_dropped.restype = ctypes.c_uint64
     lib.ofq_dropped.argtypes = [ctypes.c_void_p]
+    lib.ofq_gather_latest.restype = ctypes.c_long
+    lib.ofq_gather_latest.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_size_t, ctypes.POINTER(ctypes.c_double), ctypes.c_void_p,
+    ]
 
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     lib.ofp_bgr_to_gray.argtypes = [u8p, ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int]
@@ -159,6 +164,32 @@ class FrameQueue:
         if getattr(self, "_q", None):
             self._lib.ofq_destroy(self._q)
             self._q = None
+
+
+def gather_latest(queues, batch: np.ndarray, stamps: np.ndarray,
+                  mask: np.ndarray) -> int:
+    """Drain each queue to its newest frame into ``batch[i]`` — ONE native
+    call per fleet tick instead of N ctypes round-trips.
+
+    ``batch``: ``[N, ...]`` uint8, C-contiguous; slots of empty queues are
+    left untouched (carry the previous frame).  ``stamps``: float64 ``[N]``;
+    ``mask``: uint8 ``[N]`` set to 1 where a frame was produced.  Returns
+    the total number of stale frames skipped.
+    """
+    lib = load()
+    n = len(queues)
+    assert batch.flags.c_contiguous and batch.dtype == np.uint8
+    assert batch.shape[0] == n and stamps.shape == (n,) and mask.shape == (n,)
+    frame_bytes = batch.nbytes // n
+    handles = (ctypes.c_void_p * n)(*[q._q for q in queues])
+    r = lib.ofq_gather_latest(
+        handles, n, batch.ctypes.data_as(ctypes.c_void_p), frame_bytes,
+        stamps.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        mask.ctypes.data_as(ctypes.c_void_p),
+    )
+    if r < 0:
+        raise ValueError("queue frame size does not match the batch")
+    return int(r)
 
 
 def bgr_to_gray(img: np.ndarray, swap_rb: bool = True) -> np.ndarray:

@@ -140,6 +140,32 @@ std::uint64_t ofq_dropped(void* handle) {
   return static_cast<FrameQueue*>(handle)->dropped.load(std::memory_order_relaxed);
 }
 
+// gather_latest: drain each of n queues to its newest frame into one
+// contiguous [n, frame_bytes] batch — ONE native call per fleet tick
+// instead of n ctypes round-trips.  mask[i] = 1 when queue i produced a
+// frame (its batch slot and stamp are written), 0 when it was empty (slot
+// untouched — the caller keeps its previous frame there).  Returns the
+// total number of stale frames skipped across queues, or -2 on a
+// frame_bytes mismatch.
+long ofq_gather_latest(void** handles, int n, std::uint8_t* batch,
+                       std::size_t frame_bytes, double* stamps,
+                       std::uint8_t* mask) {
+  long total_skipped = 0;
+  for (int i = 0; i < n; ++i) {
+    auto* q = static_cast<FrameQueue*>(handles[i]);
+    if (q->frame_bytes != frame_bytes) return -2;
+    const long r = ofq_pop_latest(handles[i], batch + static_cast<std::size_t>(i) * frame_bytes,
+                                  frame_bytes, stamps + i);
+    if (r < 0) {
+      mask[i] = 0;
+    } else {
+      mask[i] = 1;
+      total_skipped += r;
+    }
+  }
+  return total_skipped;
+}
+
 // ---------------------------------------------------------------------------
 // preprocess: fixed-point grayscale + crop on uint8
 // ---------------------------------------------------------------------------
