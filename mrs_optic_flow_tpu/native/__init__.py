@@ -171,14 +171,15 @@ def gather_latest(queues, batch: np.ndarray, stamps: np.ndarray,
     """Drain each queue to its newest frame into ``batch[i]`` — ONE native
     call per fleet tick instead of N ctypes round-trips.
 
-    ``batch``: ``[N, ...]`` uint8, C-contiguous; slots of empty queues are
-    left untouched (carry the previous frame).  ``stamps``: float64 ``[N]``;
-    ``mask``: uint8 ``[N]`` set to 1 where a frame was produced.  Returns
-    the total number of stale frames skipped.
+    ``batch``: ``[N, ...]``, C-contiguous, any dtype (the gather is a raw
+    byte copy; each queue's frame_bytes must match a batch slot); slots of
+    empty queues are left untouched (carry the previous frame).
+    ``stamps``: float64 ``[N]``; ``mask``: uint8 ``[N]`` set to 1 where a
+    frame was produced.  Returns the total number of stale frames skipped.
     """
     lib = load()
     n = len(queues)
-    assert batch.flags.c_contiguous and batch.dtype == np.uint8
+    assert batch.flags.c_contiguous
     assert batch.shape[0] == n and stamps.shape == (n,) and mask.shape == (n,)
     frame_bytes = batch.nbytes // n
     handles = (ctypes.c_void_p * n)(*[q._q for q in queues])

@@ -65,29 +65,18 @@ class FleetFeeder:
         Returns None when no stream produced a frame (nothing to do).
         """
         n = self.fleet.n
-        if self._last.dtype == np.uint8:
-            # one native call drains all N rings into the batch (empty rings
-            # leave their slot carrying the previous frame)
-            mask_u8 = np.zeros(n, np.uint8)
-            stamps = np.zeros(n, np.float64)
-            self.frames_skipped += native.gather_latest(
-                self.queues, self._last, stamps, mask_u8
-            )
-            mask = mask_u8.astype(bool)
-            self._last_stamps = np.where(mask, stamps, self._last_stamps)
-        else:  # non-uint8 rings: per-queue drain
-            mask = np.zeros(n, bool)
-            for i, q in enumerate(self.queues):
-                got = q.pop_latest()
-                if got is None:
-                    continue
-                frame, stamp, skipped = got
-                self.frames_skipped += skipped
-                self._last[i] = frame
-                self._last_stamps[i] = stamp
-                mask[i] = True
+        # one native call drains all N rings into the batch (a raw byte
+        # gather, dtype-agnostic; empty rings leave their slot carrying the
+        # previous frame)
+        mask_u8 = np.zeros(n, np.uint8)
+        stamps = np.zeros(n, np.float64)
+        self.frames_skipped += native.gather_latest(
+            self.queues, self._last, stamps, mask_u8
+        )
+        mask = mask_u8.astype(bool)
         if not mask.any():
             return None
+        self._last_stamps = np.where(mask, stamps, self._last_stamps)
         return self.fleet.tick(
             self._last,
             self._last_stamps,
