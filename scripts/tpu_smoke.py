@@ -87,6 +87,22 @@ def main():
     assert abs(vlr[0] - 0.8) < 0.3 and abs(vlr[1] + 0.3) < 0.3, vlr
     print(f"node short-range v={v[:2]} long-range v={vlr[:2]} OK", flush=True)
 
+    # --- frames-kernel geometry sweep (Mosaic edge cases only show on
+    # real hardware; all verified on v5e) ---------------------------------
+    from mrs_optic_flow_tpu.ops.pallas_kernels import phase_correlate_frames_pallas
+
+    for frame, patch in ((256, 64), (384, 96), (640, 160), (480, 240), (240, 80)):
+        grng = np.random.default_rng(frame)
+        g0 = (smooth_random_image(grng, frame, cutoff=0.35) * 127 + 128).astype(np.uint8)
+        g1 = np.roll(g0, (3, -4), (0, 1))
+        sh, _ = phase_correlate_frames_pallas(
+            jnp.asarray(g1)[None], jnp.asarray(g0)[None], patch=patch,
+            search_radius=min(55, patch // 2 - 4), exact_inputs=True,
+        )
+        med = np.nanmedian(np.asarray(sh)[0], axis=0)
+        assert np.abs(med - [-4, 3]).max() < 0.5, (frame, patch, med)
+    print("frames-kernel geometry sweep OK", flush=True)
+
     # --- cross-backend conformance ---------------------------------------
     curr_p = jnp.asarray(
         np.stack([np.roll(smooth_random_image(rng, 120), 3, 1) for _ in range(4)])
