@@ -92,6 +92,28 @@ class FleetServer:
         else:
             self._seen[stream_id] = False
 
+    def save_state(self, path: str):
+        """Checkpoint the fleet's streaming state (per-stream preprocessed
+        previous frames + stamps + seen flags) so a serving restart resumes
+        without N first-frame glitches — the fleet analogue of
+        ``OpticFlowNode.save_state`` (the reference has neither;
+        SURVEY.md section 5: "resume = next frame")."""
+        np.savez(
+            path,
+            prev=np.asarray(self._prev) if self._prev is not None else np.zeros(0),
+            prev_stamps=self._prev_stamps,
+            seen=self._seen,
+            long_range=np.asarray(self.long_range),
+        )
+
+    def load_state(self, path: str):
+        z = np.load(path)
+        if bool(z["long_range"]) != self.long_range:
+            raise ValueError("checkpoint range mode does not match this server")
+        self._prev = jnp.asarray(z["prev"]) if z["prev"].size else None
+        self._prev_stamps = z["prev_stamps"]
+        self._seen = z["seen"].astype(bool)
+
     def tick(
         self,
         frames: np.ndarray,

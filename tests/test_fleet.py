@@ -131,3 +131,34 @@ def test_fleet_bgr_frames(rng):
     assert np.all(tick.ok)
     med = np.nanmedian(tick.shifts[0], axis=0)
     np.testing.assert_allclose(med, [2.0, 0.0], atol=0.3)
+
+
+def test_fleet_checkpoint_resume(tmp_path, rng):
+    """A restarted fleet resumes from the checkpoint without first-frame
+    glitches and produces the same estimates as the uninterrupted one."""
+    base = (smooth_random_image(rng, 64) * 127 + 128).astype(np.uint8)
+    n = 2
+    heights = np.full(n, 2.0)
+
+    def frames(t):
+        return np.stack([np.roll(base, (0, 2 * t), (0, 1)) for _ in range(n)])
+
+    pipe = _pipeline()
+    a = FleetServer(pipe, n)
+    a.tick(frames(0), np.zeros(n), heights)
+    path = str(tmp_path / "fleet.npz")
+    a.save_state(path)
+    cont = a.tick(frames(1), np.full(n, 0.1), heights).materialize()
+
+    b = FleetServer(pipe, n)
+    b.load_state(path)
+    resumed = b.tick(frames(1), np.full(n, 0.1), heights).materialize()
+    assert np.array_equal(resumed.ok, cont.ok) and np.all(resumed.ok)
+    np.testing.assert_allclose(resumed.shifts, cont.shifts, atol=1e-5, equal_nan=True)
+
+    # mode mismatch is refused
+    import pytest as _pytest
+
+    c = FleetServer(pipe, n, long_range=True)
+    with _pytest.raises(ValueError):
+        c.load_state(path)
