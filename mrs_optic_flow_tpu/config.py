@@ -92,6 +92,15 @@ class OpticFlowConfig:
     calibration_coeff_y: float
     constraints: Constraints
 
+    # ---- TPU-backend knobs (OPTIONAL ``tpu:`` block; absent in reference
+    # YAMLs, which must keep loading unchanged — hence defaults, not
+    # _require).  ``use_pallas`` is the YAML surface for the reference's
+    # ``useOCL`` launch param (src/optic_flow.cpp:853). ----
+    use_pallas: bool = True
+    backend: str = "dft"  # dft (MXU matmul) | fft (XLA FFT)
+    mxu_passes: int = 3  # docs/PERFORMANCE.md: 1 = fast mode (0.02 px)
+    half_spectrum: bool = True
+
     # ---- derived (filled by loader) ----
     sample_point_size_lr: int = 0  # = 2 * sample_point_size (src/optic_flow.cpp:876)
     sample_point_count_sqrt: int = 0  # frame/patch (:877)
@@ -231,6 +240,10 @@ def load_config(
             max_yaw_rate=float(_require(tree, "constraints/max_yaw_rate")),
             speed_noise=float(_require(tree, "constraints/speed_noise")),
         ),
+        use_pallas=bool(tree.get("tpu", {}).get("use_pallas", True)),
+        backend=str(tree.get("tpu", {}).get("backend", "dft")),
+        mxu_passes=int(tree.get("tpu", {}).get("mxu_passes", 3)),
+        half_spectrum=bool(tree.get("tpu", {}).get("half_spectrum", True)),
         sample_point_size_lr=2 * sample_point_size,
         sample_point_count_sqrt=frame_size // sample_point_size,
         scan_diameter=2 * scan_radius + 1,

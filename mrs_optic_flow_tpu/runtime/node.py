@@ -91,7 +91,11 @@ class OpticFlowNode:
         engine_kwargs = dict(frame_size=c.frame_size, sample_point_size=c.sample_point_size)
         if c.method == 4:
             self.engine = make_engine(
-                4, **engine_kwargs, max_pixel_speed=c.constraints.max_pixel_speed
+                4, **engine_kwargs, max_pixel_speed=c.constraints.max_pixel_speed,
+                # the optional `tpu:` config block (use_pallas is the YAML
+                # surface for the reference's useOCL, src/optic_flow.cpp:853)
+                use_pallas=c.use_pallas, backend=c.backend,
+                mxu_passes=c.mxu_passes, half_spectrum=c.half_spectrum,
             )
         else:
             self.engine = make_engine(

@@ -190,3 +190,25 @@ def test_config_method_check():
 def test_config_allsac_chosen_check():
     with pytest.raises(ConfigError, match="allsac"):
         load_config(overrides={"mrs_optic_flow": {"ransac": {"num_of_chosen": 3}}})
+
+
+def test_config_tpu_block_optional():
+    """The optional `tpu:` block reaches the engine; reference YAMLs
+    without it keep loading (strict loading applies only to the
+    reference's own parameter tree)."""
+    cfg = load_config()  # packaged default has no tpu: block
+    assert cfg.use_pallas is True and cfg.mxu_passes == 3
+
+    cfg = load_config(overrides={
+        "tpu": {"use_pallas": False, "backend": "fft", "mxu_passes": 1},
+    })
+    assert cfg.use_pallas is False
+    assert cfg.backend == "fft"
+    assert cfg.mxu_passes == 1
+
+    from mrs_optic_flow_tpu.runtime import OpticFlowNode
+
+    node = OpticFlowNode(cfg, publish=lambda t, m: None, log=lambda s: None)
+    assert node.engine.config.use_pallas is False
+    assert node.engine.config.backend == "fft"
+    assert node.engine.config.mxu_passes == 1
