@@ -451,12 +451,18 @@ class OpticFlowNode:
         # per-frame fault containment: a malformed frame must not take the
         # stream down (the reference wraps publishing in try/catch,
         # src/optic_flow.cpp:1770-1776; we widen it to the whole frame)
+        t0 = time.perf_counter()
         try:
             return self._process_image(msg)
         except Exception as e:  # noqa: BLE001
             self.log(f"[OpticFlow]: frame at t={msg.stamp} failed: {type(e).__name__}: {e}")
             self._note_result(False)
             return None
+        finally:
+            # per-frame raw-image-to-publish wall latency — the metric the
+            # reference's profiler only logs (SURVEY.md section 5); here it
+            # is a live diagnostics topic
+            self.publish("processing_latency_out", time.perf_counter() - t0)
 
     def _process_image(self, msg: ImageMsg) -> Optional[TwistWithCovarianceStamped]:
         if self.first_image:

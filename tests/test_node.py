@@ -390,3 +390,18 @@ def test_filter_method_variants():
         assert len(twists) >= 2, (fm, node.health)
         got = np.array([tw.linear[0] for tw in twists[1:]]).mean()
         assert abs(got - v[0]) < 0.45, (fm, got)
+
+
+def test_processing_latency_topic():
+    """Every processed frame publishes its wall latency on
+    processing_latency_out (the metric the reference's profiler only
+    logs; SURVEY.md section 5)."""
+    published = []
+    node = _make_node(published)
+    scene = SyntheticScene(uav_height=2.0)
+    stream = FrameStream(node)
+    scene.trajectory_events(stream, velocity=(0.5, 0.0), n_frames=4, dt=0.05)
+    stream.run()
+    lats = [m for t, m in published if t == "processing_latency_out"]
+    assert len(lats) >= 3  # every non-gated frame reports
+    assert all(0.0 < v < 120.0 for v in lats)
