@@ -97,6 +97,9 @@ class OpticFlowConfig:
     # _require).  ``use_pallas`` is the YAML surface for the reference's
     # ``useOCL`` launch param (src/optic_flow.cpp:853). ----
     use_pallas: bool = True
+    #: whether the YAML actually set use_pallas (the SAD engines have their
+    #: own default and only an explicit key overrides it)
+    use_pallas_explicit: bool = False
     backend: str = "dft"  # dft (MXU matmul) | fft (XLA FFT)
     mxu_passes: int = 3  # docs/PERFORMANCE.md: 1 = fast mode (0.02 px)
     half_spectrum: bool = True
@@ -195,6 +198,8 @@ def load_config(
         raise ConfigError("with allsac filtering, ransac/num_of_chosen must be 2")
 
     scan_radius = int(_require(tree, f"{of}/scan_radius"))
+    # optional block; a bare `tpu:` header maps to None in YAML
+    tpu_block = tree.get("tpu") or {}
 
     return OpticFlowConfig(
         version=version,
@@ -240,10 +245,16 @@ def load_config(
             max_yaw_rate=float(_require(tree, "constraints/max_yaw_rate")),
             speed_noise=float(_require(tree, "constraints/speed_noise")),
         ),
-        use_pallas=bool(tree.get("tpu", {}).get("use_pallas", True)),
-        backend=str(tree.get("tpu", {}).get("backend", "dft")),
-        mxu_passes=int(tree.get("tpu", {}).get("mxu_passes", 3)),
-        half_spectrum=bool(tree.get("tpu", {}).get("half_spectrum", True)),
+        use_pallas=bool(tpu_block.get("use_pallas", True)),
+        use_pallas_explicit="use_pallas" in tpu_block,
+        backend=str(tpu_block.get("backend", "dft")),
+        # same canonicalization as FftMethodConfig.normalized: a YAML `true`
+        # must mean 3 passes, not int(True) == 1 (the fast mode)
+        mxu_passes=(
+            3 if tpu_block.get("mxu_passes", 3) is True
+            else int(tpu_block.get("mxu_passes", 3))
+        ),
+        half_spectrum=bool(tpu_block.get("half_spectrum", True)),
         sample_point_size_lr=2 * sample_point_size,
         sample_point_count_sqrt=frame_size // sample_point_size,
         scan_diameter=2 * scan_radius + 1,

@@ -94,25 +94,42 @@ class FleetServer:
 
     def save_state(self, path: str):
         """Checkpoint the fleet's streaming state (per-stream preprocessed
-        previous frames + stamps + seen flags) so a serving restart resumes
-        without N first-frame glitches — the fleet analogue of
+        previous frames + stamps + seen flags + RNG) so a serving restart
+        resumes without N first-frame glitches — the fleet analogue of
         ``OpticFlowNode.save_state`` (the reference has neither;
-        SURVEY.md section 5: "resume = next frame")."""
+        SURVEY.md section 5: "resume = next frame").  ``path`` gets a
+        ``.npz`` suffix if absent (``np.savez`` appends one on write;
+        keeping it explicit makes the round-trip suffix-stable)."""
+        if not path.endswith(".npz"):
+            path += ".npz"
         np.savez(
             path,
             prev=np.asarray(self._prev) if self._prev is not None else np.zeros(0),
             prev_stamps=self._prev_stamps,
             seen=self._seen,
             long_range=np.asarray(self.long_range),
+            key=np.asarray(self._key),
         )
 
     def load_state(self, path: str):
+        if not path.endswith(".npz"):
+            path += ".npz"
         z = np.load(path)
         if bool(z["long_range"]) != self.long_range:
             raise ValueError("checkpoint range mode does not match this server")
+        if z["seen"].shape != (self.n,):
+            raise ValueError(
+                f"checkpoint has {z['seen'].shape[0]} streams, server has {self.n}"
+            )
         self._prev = jnp.asarray(z["prev"]) if z["prev"].size else None
+        if self._prev is not None and self._prev.shape[0] != self.n:
+            raise ValueError("checkpoint frame batch does not match the stream count")
         self._prev_stamps = z["prev_stamps"]
         self._seen = z["seen"].astype(bool)
+        if "key" in z:
+            # resume the RANSAC key stream so a restarted server reproduces
+            # the uninterrupted run's hypothesis sampling
+            self._key = jnp.asarray(z["key"])
 
     def tick(
         self,

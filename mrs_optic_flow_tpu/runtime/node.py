@@ -98,8 +98,13 @@ class OpticFlowNode:
                 mxu_passes=c.mxu_passes, half_spectrum=c.half_spectrum,
             )
         else:
+            # the SAD engines honor an EXPLICIT tpu.use_pallas (fused Pallas
+            # SAD kernel vs lax.scan); absent, they keep their own default
+            if c.use_pallas_explicit:
+                engine_kwargs["use_pallas"] = c.use_pallas
             self.engine = make_engine(
-                c.method, **engine_kwargs, scan_radius=c.scan_radius, step_size=c.step_size
+                c.method, **engine_kwargs, scan_radius=c.scan_radius,
+                step_size=c.step_size,
             )
         self.flow_state = self.engine.init_state()
 
@@ -461,8 +466,12 @@ class OpticFlowNode:
         finally:
             # per-frame raw-image-to-publish wall latency — the metric the
             # reference's profiler only logs (SURVEY.md section 5); here it
-            # is a live diagnostics topic
-            self.publish("processing_latency_out", time.perf_counter() - t0)
+            # is a live diagnostics topic.  Kept inside its own barrier: a
+            # raising transport must not mask the frame's result.
+            try:
+                self.publish("processing_latency_out", time.perf_counter() - t0)
+            except Exception:  # noqa: BLE001
+                pass
 
     def _process_image(self, msg: ImageMsg) -> Optional[TwistWithCovarianceStamped]:
         if self.first_image:
@@ -750,6 +759,9 @@ class OpticFlowNode:
         worth having: this captures exactly the state that survives a frame
         boundary.
         """
+        if not path.endswith(".npz"):
+            path += ".npz"  # np.savez appends it on write; keep the
+            # save/load round-trip suffix-stable
         np.savez(
             path,
             prev=np.asarray(self.flow_state.prev),
@@ -767,6 +779,8 @@ class OpticFlowNode:
     def load_state(self, path: str):
         from mrs_optic_flow_tpu.models.base import FlowState
 
+        if not path.endswith(".npz"):
+            path += ".npz"
         z = np.load(path)
         self.flow_state = FlowState(
             prev=jnp.asarray(z["prev"]), first=jnp.asarray(bool(z["first"]))

@@ -194,15 +194,22 @@ def test_config_allsac_chosen_check():
 
 def test_config_tpu_block_optional():
     """The optional `tpu:` block reaches the engine; reference YAMLs
-    without it keep loading (strict loading applies only to the
-    reference's own parameter tree)."""
-    cfg = load_config()  # packaged default has no tpu: block
+    without it (or with a bare empty `tpu:` header, which YAML maps to
+    None) keep loading with defaults."""
+    cfg = load_config(overrides={"tpu": None})  # absent/empty block
     assert cfg.use_pallas is True and cfg.mxu_passes == 3
+    assert cfg.use_pallas_explicit is False
+
+    # YAML `true` must mean 3 passes (the engine's documented True -> 3),
+    # never int(True) == 1 (the fast mode)
+    cfg = load_config(overrides={"tpu": {"mxu_passes": True}})
+    assert cfg.mxu_passes == 3
 
     cfg = load_config(overrides={
         "tpu": {"use_pallas": False, "backend": "fft", "mxu_passes": 1},
     })
     assert cfg.use_pallas is False
+    assert cfg.use_pallas_explicit is True
     assert cfg.backend == "fft"
     assert cfg.mxu_passes == 1
 

@@ -162,3 +162,13 @@ def test_fleet_checkpoint_resume(tmp_path, rng):
     c = FleetServer(pipe, n, long_range=True)
     with _pytest.raises(ValueError):
         c.load_state(path)
+    # stream-count mismatch is refused (broadcasting would silently
+    # stretch the state otherwise)
+    d = FleetServer(pipe, n + 1)
+    with _pytest.raises(ValueError, match="streams"):
+        d.load_state(path)
+    # suffix-free paths round-trip (np.savez appends .npz on write)
+    bare = str(tmp_path / "fleet2")
+    a.save_state(bare)
+    b2 = FleetServer(pipe, n)
+    b2.load_state(bare)
