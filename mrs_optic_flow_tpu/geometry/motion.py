@@ -43,6 +43,12 @@ from mrs_optic_flow_tpu.geometry.rotations import (
 )
 from mrs_optic_flow_tpu.geometry.undistort import undistort_points
 
+# Ratio-2 long-range mutual-agreement gate (px).  The reference defines
+# ``#define LONGRANGE_INLIER_THRESHOLD 15`` (``src/optic_flow.cpp:34``) and
+# passes it to ``getInliers`` at ``:456``; the comparison there is a strict
+# ``<`` on the shift-difference norm (``:349``), matched by ``get_inliers``.
+LONGRANGE_INLIER_THRESHOLD = 15.0
+
 
 def grid_centers(frame_size: int, patch: int) -> np.ndarray:
     """Patch-grid centre pixels ``[P, 2]`` in field order ``i + q*j``.
@@ -228,7 +234,7 @@ def get_2dt(
         # valid points, mutual-agreement inliers within the long-range
         # threshold, >= 3 inliers, average over the inlier set
         ok = jnp.isfinite(1.0 / dt) & (jnp.sum(valid) >= 3)
-        inl = get_inliers(shifts_f, valid, 2.0)  # LONGRANGE_INLIER_THRESHOLD
+        inl = get_inliers(shifts_f, valid, LONGRANGE_INLIER_THRESHOLD)
         ok &= jnp.sum(inl) >= 3
         w = inl.astype(shifts.dtype)
         avg = jnp.sum(shifts_f * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)

@@ -317,6 +317,34 @@ def test_get_2dt_ratio2_inlier_vote():
     assert not bool(res2.ok)
 
 
+def test_get_2dt_ratio2_inlier_threshold_is_15():
+    """Parity: LONGRANGE_INLIER_THRESHOLD is 15 px (src/optic_flow.cpp:34,
+    :456).  Points mutually spread 3-14 px apart are all within the 15 px
+    gate and must be averaged together; a 2 px gate (the round-1 bug) would
+    reject this spread and fail the vote."""
+    from mrs_optic_flow_tpu.geometry.motion import LONGRANGE_INLIER_THRESHOLD
+
+    assert LONGRANGE_INLIER_THRESHOLD == 15.0
+    # pairwise distances range ~3..14 px — all < 15, none < 2
+    shifts = np.array(
+        [[0.0, 0.0], [3.0, 0.0], [0.0, 7.0], [-6.0, -4.0]], np.float32
+    )
+    d = np.linalg.norm(shifts[:, None] - shifts[None, :], axis=-1)
+    offdiag = d[~np.eye(4, dtype=bool)]
+    assert offdiag.min() > 2.0 and offdiag.max() < 15.0
+    res = get_2dt(
+        jnp.asarray(shifts), jnp.float32(2.0), jnp.float32(0.1), jnp.float32(0.0),
+        jnp.asarray(K, jnp.float32), jnp.float32(0.0), jnp.float32(0.0),
+        jnp.float32(0.0), long_range_ratio=2,
+    )
+    assert bool(res.ok)
+    exp_shift = shifts.mean(0)
+    exp = -np.array([
+        exp_shift[0] * 2.0 / K[0, 0] * 2, exp_shift[1] * 2.0 / K[1, 1] * 2, 0.0
+    ]) / 0.1
+    np.testing.assert_allclose(np.asarray(res.tran), exp, rtol=1e-5, atol=1e-6)
+
+
 def test_homography_too_few_valid_points():
     """< 4 valid points cannot fit a homography -> ok False, identity H."""
     src = np.zeros((16, 2), np.float32)
