@@ -1,0 +1,105 @@
+"""Log-polar resample conformance + interpolation-quality quantification.
+
+The reference requests Lanczos4 resampling for its log-polar transform
+(``cv::INTER_LANCZOS4``, ``src/scaleRotationEstimator.cpp:113``).  These
+tests pin our sampler to the OpenCV oracle (``cv2.warpPolar`` with
+``WARP_POLAR_LOG`` — what ``cv::logPolar`` delegates to in OpenCV 4.x) and
+quantify the scale/rotation decode accuracy of both interpolators on
+textured frames — the measurement VERDICT.md round 1 asked for.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mrs_optic_flow_tpu.ops.logpolar import logpolar
+
+from oracle import smooth_random_image
+
+
+def _texture(rng, n):
+    return smooth_random_image(rng, n)  # already 0..255 float32
+
+
+def _cv2_logpolar(img, m, flags):
+    import cv2
+
+    n = img.shape[0]
+    max_r = float(np.exp(n / m))
+    return cv2.warpPolar(
+        img, (n, n), (n / 2, n / 2), max_r, flags + cv2.WARP_POLAR_LOG
+    )
+
+
+# interior columns: inside the source disc, away from the centre singularity
+def _interior(m, n):
+    rho_max = int(m * np.log(n / 2 - 6))
+    return np.s_[:, 4:rho_max]
+
+
+def test_logpolar_bilinear_matches_opencv(rng):
+    cv2 = pytest.importorskip("cv2")
+    n, m = 128, 20.0
+    img = _texture(rng, n)
+    ours = np.asarray(logpolar(jnp.asarray(img), jnp.float32(m), interp="bilinear"))
+    ref = _cv2_logpolar(img, m, cv2.INTER_LINEAR)
+    sl = _interior(m, n)
+    assert np.abs(ours[sl] - ref[sl]).max() < 0.01  # 0-255 scale
+
+
+def test_logpolar_lanczos4_matches_opencv(rng):
+    """Float Lanczos-4 vs OpenCV's fixed-point (2^15-quantized) tables:
+    sub-1% of the 0-255 range everywhere in the interior."""
+    cv2 = pytest.importorskip("cv2")
+    n, m = 128, 20.0
+    img = _texture(rng, n)
+    ours = np.asarray(logpolar(jnp.asarray(img), jnp.float32(m), interp="lanczos4"))
+    ref = _cv2_logpolar(img, m, cv2.INTER_LANCZOS4)
+    sl = _interior(m, n)
+    assert np.abs(ours[sl] - ref[sl]).mean() < 1.0
+    assert np.abs(ours[sl] - ref[sl]).max() < 5.0
+
+
+def test_logpolar_bad_interp():
+    with pytest.raises(ValueError, match="interp"):
+        logpolar(jnp.zeros((16, 16)), jnp.float32(5.0), interp="nearest")
+
+
+def test_scale_rotation_decode_accuracy_by_interp(rng):
+    """Quantify the decode-accuracy cost of bilinear vs Lanczos4 log-polar
+    resampling (VERDICT.md round 1, item 9): rotation and scale recovery on
+    textured frames must be within tight bounds for Lanczos4 (the reference
+    interpolator), and bilinear must not be catastrophically worse — the
+    measured deltas are recorded in docs/PERFORMANCE.md."""
+    cv2 = pytest.importorskip("cv2")
+
+    from mrs_optic_flow_tpu.models import ScaleRotationConfig, ScaleRotationEstimator
+
+    n = 128
+    deg_true, zoom_true = 10.0, 1.08
+    f0 = _texture(rng, n)
+    m_rot = cv2.getRotationMatrix2D((n / 2, n / 2), deg_true, 1.0)
+    f_rot = cv2.warpAffine(f0, m_rot, (n, n))
+    m_zoom = cv2.getRotationMatrix2D((n / 2, n / 2), 0.0, zoom_true)
+    f_zoom = cv2.warpAffine(f0, m_zoom, (n, n))
+
+    errs = {}
+    for interp in ("lanczos4", "bilinear"):
+        eng = ScaleRotationEstimator(
+            ScaleRotationConfig(resolution=n, magnitude=20.0, interp=interp)
+        )
+        res = eng.step_batch(
+            jnp.asarray(np.stack([f0, f0])), jnp.asarray(np.stack([f_rot, f_zoom]))
+        )
+        rot_err = abs(float(res.rotation[0]) - np.deg2rad(deg_true))
+        # zoom-IN decodes to scale < 1 (reference sign convention)
+        scale_err = abs(float(res.scale[1]) - 1.0 / zoom_true)
+        errs[interp] = (rot_err, scale_err)
+
+    # the reference interpolator: tight bounds
+    assert errs["lanczos4"][0] < np.deg2rad(1.0), errs
+    assert errs["lanczos4"][1] < 0.03, errs
+    # bilinear: quantified as usable (the documented cheaper mode)
+    assert errs["bilinear"][0] < np.deg2rad(1.5), errs
+    assert errs["bilinear"][1] < 0.05, errs
