@@ -1,19 +1,30 @@
 """Scale / rotation estimator via log-polar phase correlation.
 
 Rebuild of ``scaleRotationEstimator`` (``src/scaleRotationEstimator.cpp``):
-log-polar transform of each frame, phase correlation of consecutive
-log-polar images, decode ``scale = exp(dx / M)``, ``rot = (dy / Ky) * pi/180``
-(``:123-124``).  The node maps scale to vertical velocity and rotation to
-yaw rate (``scale_rot_output``, ``config/default.yaml:15``; the wiring in the
-reference node is commented out, ``src/optic_flow.cpp:1629-1650`` — here it
-is live through the runtime layer).
+log-polar transform of each frame (Lanczos4, ``:113``), phase correlation of
+consecutive log-polar images, decode ``scale = exp(dx / M)``,
+``rot = (dy / Ky) * pi/180`` (``:123-124``).  The node maps scale to vertical
+velocity and rotation to yaw rate (``scale_rot_output``,
+``config/default.yaml:15``; the wiring in the reference node is commented
+out, ``src/optic_flow.cpp:1629-1650`` — here it is live through the runtime
+layer).
+
+TPU-first design (unlike the reference's single CPU ``cv::phaseCorrelate``
+call): the correlation runs through the matmul-DFT backend — two ``[N, N]``
+MXU matmul pairs per transform — with the fused Pallas peak/centroid stage,
+the same fast path the flow engine uses (``docs/PERFORMANCE.md`` measured
+the XLA-FFT lowering ~18x slower on this backend).  ``lp_resolution``
+optionally shrinks the log-polar image (decode constants are rescaled so
+the configured ``magnitude`` semantics are preserved); ``step_batch`` is the
+fleet/throughput variant, and :class:`~mrs_optic_flow_tpu.runtime.fleet.FleetServer`
+exposes it per tick.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,19 +47,77 @@ class ScaleRotResult(NamedTuple):
 class ScaleRotationConfig:
     resolution: int = 480  # square frame size (ctor arg, :5)
     magnitude: float = 49.9  # optimM (scale_rot_magnitude, config/default.yaml:14)
+    #: log-polar image size; None = ``resolution`` (reference geometry).
+    #: Smaller trades decode granularity for speed — magnitude and Ky are
+    #: rescaled by ``lp_resolution / resolution`` so the decode stays
+    #: consistent with the configured ``magnitude``.
+    lp_resolution: Optional[int] = None
+    #: log-polar interpolation: "lanczos4" (the reference's INTER_LANCZOS4,
+    #: src/scaleRotationEstimator.cpp:113) or "bilinear" (cheaper; accuracy
+    #: delta quantified in tests/test_logpolar.py)
+    interp: str = "lanczos4"
+    backend: str = "dft"  # dft (MXU matmul) | fft (XLA FFT)
+    use_pallas: bool = True  # fused peak/centroid stage (useOCL analogue)
+
+    @property
+    def lp_res(self) -> int:
+        return self.lp_resolution or self.resolution
 
 
 class ScaleRotationEstimator:
     def __init__(self, config: ScaleRotationConfig = ScaleRotationConfig()):
         self.config = config
-        #: Ky = resolution / 360 (src/scaleRotationEstimator.cpp:28)
-        self.ky = config.resolution / 360.0
+        r = config.lp_res / config.resolution
+        #: effective optimM at the log-polar resolution
+        self.m_eff = config.magnitude * r
+        #: Ky = lp_rows / 360 (src/scaleRotationEstimator.cpp:28 at r=1)
+        self.ky = config.lp_res / 360.0
 
     def init_state(self) -> ScaleRotState:
-        n = self.config.resolution
+        n = self.config.lp_res
         return ScaleRotState(
             prev_logpolar=jnp.zeros((n, n), jnp.float32), first=jnp.asarray(True)
         )
+
+    # -- internals -----------------------------------------------------------
+
+    def _logpolar(self, frame: jnp.ndarray) -> jnp.ndarray:
+        c = self.config
+        return logpolar(
+            jnp.asarray(frame, jnp.float32),
+            jnp.float32(self.m_eff),
+            resolution=c.lp_res,
+            interp=c.interp,
+        )
+
+    def _correlate(self, lp_c: jnp.ndarray, lp_p: jnp.ndarray):
+        """Phase-correlate log-polar images ``[..., N, N]`` on the MXU path;
+        returns ``(shift [..., 2], maxval [...])``."""
+        c = self.config
+        n = c.lp_res
+        surf = correlation_surface(
+            lp_c, lp_p, search_radius=n // 2, backend=c.backend
+        )
+        if c.use_pallas:
+            from mrs_optic_flow_tpu.ops.pallas_kernels import peak_refine_pallas
+
+            lead = surf.shape[:-2]
+            s, m = peak_refine_pallas(surf.reshape((-1, n, n)))
+            return s.reshape(lead + (2,)), m.reshape(lead)
+        return peak_refine(surf)
+
+    def _decode(self, shift: jnp.ndarray, gate: jnp.ndarray):
+        """``pt`` -> (scale, rot) per ``src/scaleRotationEstimator.cpp:
+        119-124``; ``gate`` True forces the no-estimate result (1, 0)."""
+        n = self.config.lp_res
+        pt = -shift  # back to the cv::phaseCorrelate sign (src/FftMethod.cpp:1836)
+        in_range = jnp.abs(pt[..., 0]) <= n / 2  # (:119, both checks test pt.x)
+        bad = gate | ~in_range
+        scale = jnp.where(bad, 1.0, jnp.exp(pt[..., 0] / self.m_eff))
+        rot = jnp.where(bad, 0.0, (pt[..., 1] / self.ky) * (jnp.pi / 180.0))
+        return scale, rot
+
+    # -- public steps ----------------------------------------------------------
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def step(
@@ -59,24 +128,10 @@ class ScaleRotationEstimator:
         The first frame returns (1, 0) (``:74-75``), as does an
         out-of-range correlation peak (``:119-121``).
         """
-        c = self.config
-        n = c.resolution
-        lp = logpolar(jnp.asarray(frame, jnp.float32), jnp.float32(c.magnitude))
+        lp = self._logpolar(frame)
         prev_lp = jnp.where(state.first, lp, state.prev_logpolar)
-
-        # cv::phaseCorrelate(curr_lp, prev_lp) (:117); our field convention is
-        # the negation of OpenCV's return (src/FftMethod.cpp:1836)
-        surf = correlation_surface(lp, prev_lp, search_radius=n // 2)
-        shift, _resp = peak_refine(surf)
-        pt = -shift  # back to the cv::phaseCorrelate sign used at :123-124
-
-        in_range = jnp.abs(pt[0]) <= n / 2  # (:119, both checks test pt.x)
-        scale = jnp.where(
-            state.first | ~in_range, 1.0, jnp.exp(pt[0] / c.magnitude)
-        )
-        rot = jnp.where(
-            state.first | ~in_range, 0.0, (pt[1] / self.ky) * (jnp.pi / 180.0)
-        )
+        shift, _resp = self._correlate(lp, prev_lp)
+        scale, rot = self._decode(shift, state.first)
         new_state = ScaleRotState(prev_logpolar=lp, first=jnp.asarray(False))
         return new_state, ScaleRotResult(scale=scale, rotation=rot)
 
@@ -85,26 +140,30 @@ class ScaleRotationEstimator:
         self, prev_frames: jnp.ndarray, curr_frames: jnp.ndarray
     ) -> ScaleRotResult:
         """Stateless batched mode: ``[B, N, N]`` frame pairs ->
-        per-pair (scale [B], rotation [B]).  The throughput analogue of
-        :meth:`step` (no reference equivalent — the reference is strictly
+        per-pair (scale [B], rotation [B]).  The throughput/fleet analogue
+        of :meth:`step` (no reference equivalent — the reference is strictly
         frame-to-frame); same decode as ``src/scaleRotationEstimator.cpp:
-        117-124``."""
-        c = self.config
-        n = c.resolution
-
-        def one(prev, curr):
-            lp_p = logpolar(jnp.asarray(prev, jnp.float32), jnp.float32(c.magnitude))
-            lp_c = logpolar(jnp.asarray(curr, jnp.float32), jnp.float32(c.magnitude))
-            surf = correlation_surface(lp_c, lp_p, search_radius=n // 2)
-            shift, _resp = peak_refine(surf)
-            pt = -shift
-            in_range = jnp.abs(pt[0]) <= n / 2
-            scale = jnp.where(in_range, jnp.exp(pt[0] / c.magnitude), 1.0)
-            rot = jnp.where(in_range, (pt[1] / self.ky) * (jnp.pi / 180.0), 0.0)
-            return scale, rot
-
-        scale, rot = jax.vmap(one)(prev_frames, curr_frames)
+        117-124``.  The log-polar resample is vmapped; the correlation runs
+        as ONE batched MXU program."""
+        lp_p = jax.vmap(self._logpolar)(prev_frames)
+        lp_c = jax.vmap(self._logpolar)(curr_frames)
+        shift, _resp = self._correlate(lp_c, lp_p)
+        scale, rot = self._decode(shift, jnp.zeros(shift.shape[:-1], bool))
         return ScaleRotResult(scale=scale, rotation=rot)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def step_batch_carried(
+        self, prev_lp: jnp.ndarray, curr_frames: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, ScaleRotResult]:
+        """Fleet-serving variant: previous frames enter as already-computed
+        log-polar images (carried on device across ticks, like the
+        FleetServer's preprocessed ``prev``), so each tick pays ONE log-polar
+        resample per stream instead of two.  Returns ``(curr_lp, result)``;
+        feed ``curr_lp`` back as the next tick's ``prev_lp``."""
+        lp_c = jax.vmap(self._logpolar)(curr_frames)
+        shift, _resp = self._correlate(lp_c, prev_lp)
+        scale, rot = self._decode(shift, jnp.zeros(shift.shape[:-1], bool))
+        return lp_c, ScaleRotResult(scale=scale, rotation=rot)
 
     def __hash__(self):
         return hash(self.config)

@@ -38,6 +38,10 @@ class FleetTick:
     rot: jnp.ndarray  # [N, 4] rate quaternion
     shifts: jnp.ndarray  # [N, P, 2]
     dts: np.ndarray  # [N] per-stream frame spacing used
+    #: per-stream log-polar (scale, rotation) — filled only when the server
+    #: was built with a ScaleRotationEstimator (NaN where the tick is invalid)
+    scale: Optional[jnp.ndarray] = None  # [N]
+    rotation: Optional[jnp.ndarray] = None  # [N] rad
 
     def materialize(self) -> "FleetTick":
         return FleetTick(
@@ -46,6 +50,8 @@ class FleetTick:
             rot=np.asarray(self.rot),
             shifts=np.asarray(self.shifts),
             dts=self.dts,
+            scale=None if self.scale is None else np.asarray(self.scale),
+            rotation=None if self.rotation is None else np.asarray(self.rotation),
         )
 
 
@@ -69,18 +75,34 @@ class FleetServer:
         long_range: bool = False,
         cam_yaw: float = 0.0,
         seed: int = 0,
+        scale_rotation=None,
     ):
         """``long_range=True`` runs the fleet through the 4x-downsampled
         long-range path (takeoff / low altitude; the reference's
         ``long_range_mode``) — pass per-stream ``roll_rates``/``pitch_rates``
-        to :meth:`tick` for the rate feed-forward correction."""
+        to :meth:`tick` for the rate feed-forward correction.
+
+        ``scale_rotation``: an optional ``ScaleRotationEstimator`` (its
+        ``resolution`` must equal the pipeline frame size); when set, every
+        tick also runs the batched log-polar scale/rotation estimate
+        (``step_batch_carried`` — the per-stream log-polar image carries on
+        device, one resample per stream per tick) and fills
+        ``FleetTick.scale`` / ``FleetTick.rotation``."""
         self.pipeline = pipeline
         self.n = n_streams
         self.c2b = jnp.asarray(c2b_quat, jnp.float32)
         self.long_range = long_range
         self.cam_yaw = float(cam_yaw)
+        self.scale_rotation = scale_rotation
+        if scale_rotation is not None and (
+            scale_rotation.config.resolution != pipeline.frame_size
+        ):
+            raise ValueError(
+                "scale_rotation.resolution must equal the pipeline frame size"
+            )
         self._key = jax.random.PRNGKey(seed)
         self._prev: Optional[jnp.ndarray] = None  # [N, F, F] preprocessed, on device
+        self._prev_lp: Optional[jnp.ndarray] = None  # [N, L, L] log-polar carry
         self._prev_stamps = np.zeros(n_streams)
         self._seen = np.zeros(n_streams, bool)
 
@@ -105,6 +127,7 @@ class FleetServer:
         np.savez(
             path,
             prev=np.asarray(self._prev) if self._prev is not None else np.zeros(0),
+            prev_lp=np.asarray(self._prev_lp) if self._prev_lp is not None else np.zeros(0),
             prev_stamps=self._prev_stamps,
             seen=self._seen,
             long_range=np.asarray(self.long_range),
@@ -124,6 +147,8 @@ class FleetServer:
         self._prev = jnp.asarray(z["prev"]) if z["prev"].size else None
         if self._prev is not None and self._prev.shape[0] != self.n:
             raise ValueError("checkpoint frame batch does not match the stream count")
+        if "prev_lp" in z and z["prev_lp"].size:
+            self._prev_lp = jnp.asarray(z["prev_lp"])
         self._prev_stamps = z["prev_stamps"]
         self._seen = z["seen"].astype(bool)
         if "key" in z:
@@ -165,6 +190,11 @@ class FleetServer:
             self._prev = frames
             self._prev_stamps = stamps.copy()
             self._seen = mask.copy()
+            sr_scale = sr_rot = None
+            if self.scale_rotation is not None:
+                self._prev_lp = jax.vmap(self.scale_rotation._logpolar)(frames)
+                sr_scale = jnp.full((n,), jnp.nan)
+                sr_rot = jnp.full((n,), jnp.nan)
             zeros = jnp.zeros
             eng = self.pipeline.engine
             p = eng.num_windows_lr if self.long_range else eng.num_windows
@@ -172,6 +202,7 @@ class FleetServer:
                 ok=zeros((n,), bool), tran=jnp.full((n, 3), jnp.nan),
                 rot=jnp.tile(jnp.asarray([0, 0, 0, 1], jnp.float32), (n, 1)),
                 shifts=jnp.full((n, p, 2), jnp.nan), dts=np.zeros(n),
+                scale=sr_scale, rotation=sr_rot,
             )
 
         dts = stamps - self._prev_stamps
@@ -210,6 +241,19 @@ class FleetServer:
             out_tran, out_rot = out.tran, out.rot
             out_ok, out_shifts = out.ok, out.shifts
 
+        valid_dev = jnp.asarray(valid)
+        sr_scale = sr_rot = None
+        if self.scale_rotation is not None:
+            if self._prev_lp is None:
+                # e.g. resumed from a pre-scale-rotation checkpoint: rebuild
+                # the log-polar carry from the carried prev frames
+                self._prev_lp = jax.vmap(self.scale_rotation._logpolar)(self._prev)
+            lp_c, sr = self.scale_rotation.step_batch_carried(self._prev_lp, frames)
+            sr_scale = jnp.where(valid_dev, sr.scale, jnp.nan)
+            sr_rot = jnp.where(valid_dev, sr.rotation, jnp.nan)
+            mask_lp = jnp.asarray(mask)[:, None, None]
+            self._prev_lp = jnp.where(mask_lp, lp_c, self._prev_lp)
+
         # carry state: streams with a new frame swap prev; others keep it
         # (on device — no host round-trip)
         mask_dev = jnp.asarray(mask)[:, None, None]  # frames are [N, F, F] now
@@ -217,7 +261,6 @@ class FleetServer:
         self._prev_stamps = np.where(mask, stamps, self._prev_stamps)
         self._seen = self._seen | mask
 
-        valid_dev = jnp.asarray(valid)
         return FleetTick(
             ok=out_ok & valid_dev,
             tran=jnp.where(valid_dev[:, None], out_tran, jnp.nan),
@@ -228,4 +271,6 @@ class FleetServer:
             rot=jnp.where(valid_dev[:, None], out_rot, jnp.nan),
             shifts=out_shifts,
             dts=dts,
+            scale=sr_scale,
+            rotation=sr_rot,
         )

@@ -1,0 +1,134 @@
+"""Perf-qualify the scale/rotation estimator on real TPU.
+
+VERDICT round 1, item 5: when ``scale_rotation: true`` the estimator sits in
+the node's per-frame path with zero perf characterization.  This script
+measures, at the reference geometry (480x480, ``optimM`` 49.9 —
+``src/scaleRotationEstimator.cpp:5,28``):
+
+- the per-frame cost of ``ScaleRotationEstimator.step`` (the node-path
+  add-on) for both interpolators (lanczos4 = the reference's request,
+  bilinear = the cheaper mode);
+- the batched fleet path ``step_batch_carried`` per-frame cost;
+- a reduced ``lp_resolution`` (256) showing the speed/granularity trade.
+
+Methodology: docs/PERFORMANCE.md rules 5-7 via
+``benchlib.measure_scan_slope`` — two chain lengths, per-rep value-distinct
+dispatches, per-item time = the slope (link RTT cancels exactly).  Prints
+one JSON line per configuration.
+"""
+
+import json
+import os
+import signal
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("JAX_PLATFORMS") == "axon":
+    os.environ["JAX_PLATFORMS"] = ""
+signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "560")))
+
+import numpy as np
+
+
+def _frames(k, n=480):
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, size=(n, n)).astype(np.float32)
+    return np.stack([np.roll(base, 3 * i, axis=0) for i in range(k)])
+
+
+def measure_step_scan(eng, k=128, reps=9, warmup=2):
+    """Per-frame ms of the node-path ``step`` (log-polar + correlate +
+    decode), slope between k/4- and k-frame scan chains."""
+    import jax
+    import jax.numpy as jnp
+
+    from mrs_optic_flow_tpu.utils.benchlib import measure_scan_slope
+
+    @jax.jit
+    def chain(state, frames, bias):
+        def body(st, frame):
+            st, res = eng.step(st, frame + bias)
+            return st, (res.scale, res.rotation)
+
+        return jax.lax.scan(body, state, frames)
+
+    def build(kk):
+        frames = jnp.asarray(_frames(kk, eng.config.resolution))
+        holder = {"state": eng.init_state()}
+
+        def run(i):
+            st, outs = chain(holder["state"], frames, jnp.float32(i) * 1e-2)
+            jax.block_until_ready(outs)
+            holder["state"] = st
+
+        return run
+
+    return measure_scan_slope(build, (k // 4, k), reps=reps, warmup=warmup)[
+        "per_item_ms"
+    ]
+
+
+def measure_batch_carried(eng, b=16, t=24, reps=9, warmup=2):
+    """Fleet path: per-frame ms of ``step_batch_carried`` — T ticks of a
+    B-stream batch chained in one scan (log-polar carry + per-tick bias keep
+    every tick and rep distinct); slope over T, divided by B."""
+    import jax
+    import jax.numpy as jnp
+
+    from mrs_optic_flow_tpu.utils.benchlib import measure_scan_slope
+
+    frames0 = jnp.asarray(_frames(b, eng.config.resolution))
+
+    def make_chain(tt):
+        @jax.jit
+        def chain(lp, bias):
+            def body(lp, tick):
+                lp, res = eng.step_batch_carried(lp, frames0 + bias + tick)
+                return lp, (res.scale, res.rotation)
+
+            return jax.lax.scan(body, lp, jnp.arange(tt, dtype=jnp.float32))
+
+        return chain
+
+    def build(tt):
+        chain = make_chain(tt)
+        holder = {"lp": jax.vmap(eng._logpolar)(frames0)}
+
+        def run(i):
+            lp, outs = chain(holder["lp"], jnp.float32(i) * 1e-2)
+            jax.block_until_ready(outs)
+            holder["lp"] = lp
+
+        return run
+
+    slope = measure_scan_slope(build, (max(t // 4, 2), t), reps=reps, warmup=warmup)
+    return slope["per_item_ms"] / b
+
+
+def main():
+    import jax
+
+    from mrs_optic_flow_tpu.models import ScaleRotationConfig, ScaleRotationEstimator
+    from mrs_optic_flow_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    backend = jax.default_backend()
+    for tag, cfg in (
+        ("lanczos4_480", ScaleRotationConfig(interp="lanczos4")),
+        ("bilinear_480", ScaleRotationConfig(interp="bilinear")),
+        ("lanczos4_lp256", ScaleRotationConfig(interp="lanczos4", lp_resolution=256)),
+    ):
+        eng = ScaleRotationEstimator(cfg)
+        row = {
+            "metric": f"scale_rotation_{tag}_ms_per_frame",
+            "unit": "ms",
+            "backend": backend,
+            "step": round(measure_step_scan(eng), 4),
+            "batch_carried": round(measure_batch_carried(eng), 4),
+        }
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

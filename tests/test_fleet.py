@@ -172,3 +172,48 @@ def test_fleet_checkpoint_resume(tmp_path, rng):
     a.save_state(bare)
     b2 = FleetServer(pipe, n)
     b2.load_state(bare)
+
+
+def test_fleet_scale_rotation_hook(rng):
+    """FleetServer with a ScaleRotationEstimator fills per-stream
+    scale/rotation each tick (NaN on invalid ticks), carrying the log-polar
+    image on device (``step_batch_carried``)."""
+    import cv2
+
+    from mrs_optic_flow_tpu.models import ScaleRotationConfig, ScaleRotationEstimator
+
+    n = 2
+    sr = ScaleRotationEstimator(ScaleRotationConfig(resolution=64, magnitude=15.0))
+    fleet = FleetServer(_pipeline(), n, scale_rotation=sr)
+    heights = np.full(n, 2.0)
+
+    # 64 px log-polar rows give Ky = 64/360 ~ 0.18 px/deg, so use angles
+    # large enough to move the peak by >= 2 px
+    base = (smooth_random_image(rng, 64) * 127 + 128).astype(np.uint8)
+    deg = [20.0, -14.0]
+    rot = [
+        cv2.warpAffine(
+            base.astype(np.float32),
+            cv2.getRotationMatrix2D((32.0, 32.0), d, 1.0),
+            (64, 64),
+        )
+        for d in deg
+    ]
+
+    t0 = fleet.tick(np.stack([base] * n), np.zeros(n), heights)
+    assert t0.scale is not None and np.all(np.isnan(np.asarray(t0.scale)))
+
+    t1 = fleet.tick(np.stack(rot), np.full(n, 0.1), heights).materialize()
+    assert t1.scale.shape == (n,) and t1.rotation.shape == (n,)
+    for i in range(n):
+        assert abs(t1.rotation[i] - np.deg2rad(deg[i])) < np.deg2rad(3.0), (
+            i, t1.rotation[i], deg[i],
+        )
+        assert abs(t1.scale[i] - 1.0) < 0.06
+
+    # resolution mismatch is refused
+    import pytest as _pytest
+
+    bad = ScaleRotationEstimator(ScaleRotationConfig(resolution=48))
+    with _pytest.raises(ValueError, match="resolution"):
+        FleetServer(_pipeline(), n, scale_rotation=bad)
