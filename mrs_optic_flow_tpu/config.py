@@ -103,6 +103,10 @@ class OpticFlowConfig:
     backend: str = "dft"  # dft (MXU matmul) | fft (XLA FFT)
     mxu_passes: int = 3  # docs/PERFORMANCE.md: 1 = fast mode (0.02 px)
     half_spectrum: bool = True
+    #: long-range downsample ratio — the reference's compile-time
+    #: ``LONG_RANGE_RATIO`` (src/FftMethod.cpp:3, default 4); ratio 2
+    #: switches get2DT to the inlier-vote policy (src/optic_flow.cpp:414-421)
+    long_range_ratio: int = 4
 
     # ---- derived (filled by loader) ----
     sample_point_size_lr: int = 0  # = 2 * sample_point_size (src/optic_flow.cpp:876)
@@ -255,6 +259,7 @@ def load_config(
             else int(tpu_block.get("mxu_passes", 3))
         ),
         half_spectrum=bool(tpu_block.get("half_spectrum", True)),
+        long_range_ratio=int(tpu_block.get("long_range_ratio", 4)),
         sample_point_size_lr=2 * sample_point_size,
         sample_point_count_sqrt=frame_size // sample_point_size,
         scan_diameter=2 * scan_radius + 1,

@@ -2,8 +2,10 @@
 
 Transport-agnostic rebuild of the ROS nodelet ``mrs_optic_flow/OpticFlow``
 (``src/optic_flow.cpp:808-1871``).  Callbacks mirror the six subscriptions
-(``:1049-1058``); ``set_transforms`` replaces the 1 Hz timerTf lookup
-(``:1165-1243``); ``on_image`` is callbackImage + processImage.  Published
+(``:1049-1058``); the 1 Hz timerTf lookup (``:1165-1243``) maps to either
+push-style ``set_transforms`` or a pluggable ``transform_provider`` polled
+at 1 Hz from the image path; ``on_image`` is callbackImage + processImage.
+Published
 messages go through a pluggable ``publish(topic, msg)`` callable (tests
 collect them; a real deployment wires its own transport).
 
@@ -78,7 +80,18 @@ class OpticFlowNode:
         uav_frame: str = "fcu",
         uav_untilted_frame: str = "fcu_untilted",
         enable_profiler: bool = True,
+        transform_provider: Optional[Callable[[], object]] = None,
     ):
+        """``transform_provider``: optional pluggable analogue of the
+        reference's 1 Hz tf2 lookup timer (``timerTf``,
+        ``src/optic_flow.cpp:1165-1243``) — a zero-argument callable
+        returning the camera->base rotation quaternion ``[x, y, z, w]``, a
+        ``(c2b_quat, cam_yaw)`` tuple, or ``None`` ("not available yet").
+        It is polled at most once per second from the image path until it
+        succeeds, then never again (the reference stops its timer the same
+        way); a raising provider is treated as a failed lookup (the
+        ``tf2::TransformException`` path).  ``set_transforms`` remains the
+        push-style alternative."""
         self.config = config or load_config()
         self.publish = publish or (lambda topic, msg: None)
         self.log = log
@@ -96,6 +109,7 @@ class OpticFlowNode:
                 # surface for the reference's useOCL, src/optic_flow.cpp:853)
                 use_pallas=c.use_pallas, backend=c.backend,
                 mxu_passes=c.mxu_passes, half_spectrum=c.half_spectrum,
+                long_range_ratio=c.long_range_ratio,
             )
         else:
             # the SAD engines honor an EXPLICIT tpu.use_pallas (fused Pallas
@@ -112,7 +126,12 @@ class OpticFlowNode:
         self.scale_rot_state = None
         if c.scale_rotation:
             self.scale_rotation_estimator = ScaleRotationEstimator(
-                ScaleRotationConfig(resolution=c.frame_size, magnitude=c.scale_rot_magnitude)
+                ScaleRotationConfig(
+                    resolution=c.frame_size, magnitude=c.scale_rot_magnitude,
+                    # the estimator shares the flow engine's fast-path knobs
+                    # (the tpu: config block)
+                    backend=c.backend, use_pallas=c.use_pallas,
+                )
             )
             self.scale_rot_state = self.scale_rotation_estimator.init_state()
 
@@ -141,6 +160,8 @@ class OpticFlowNode:
 
         self.c2b_quat = np.asarray([0.0, 0.0, 0.0, 1.0])
         self.cam_yaw = 0.0
+        self.transform_provider = transform_provider
+        self._tf_poll_next = -np.inf  # next stamp the provider may run (1 Hz)
 
         self.first_image = True
         self._begin: Optional[float] = None
@@ -217,6 +238,34 @@ class OpticFlowNode:
         self.cam_yaw = float(cam_yaw)
         self.got_tfs = True
 
+    def poll_transforms(self, now: float) -> bool:
+        """Run the ``transform_provider`` (if any) at most once per second
+        until it yields a transform — the pull-style ``timerTf``
+        (``src/optic_flow.cpp:1165-1243``: 1 Hz lookup, stop on success,
+        sleep-and-retry on ``tf2::TransformException``).  Driven from
+        :meth:`on_image` with the frame stamp; callable explicitly with wall
+        time by deployments that prefer their own cadence.  Returns
+        ``got_tfs``."""
+        if self.got_tfs or self.transform_provider is None:
+            return self.got_tfs
+        if now < self._tf_poll_next:
+            return False
+        self._tf_poll_next = now + 1.0
+        try:
+            result = self.transform_provider()
+        except Exception as e:  # noqa: BLE001 — the TransformException path
+            self.log(f"[OpticFlow]: TF: {type(e).__name__}: {e}")
+            return False
+        if result is None:
+            return False
+        if isinstance(result, tuple) and len(result) == 2:
+            c2b, cam_yaw = result
+            self.set_transforms(c2b, float(cam_yaw))
+        else:
+            self.set_transforms(result)
+        self.log("[OpticFlow]: got TFs, stopping transform polling")
+        return True
+
     # ------------------------------------------------------------------ #
     # helpers                                                             #
     # ------------------------------------------------------------------ #
@@ -289,8 +338,13 @@ class OpticFlowNode:
         path: preprocess -> engine step -> getRT -> detilt + body-frame
         rotation.  The reference performs one blocking kernel launch plus a
         readback per frame (``src/FftMethod.cpp:398-407``); dispatching the
-        whole chain once keeps the same shape and, through the tunnelled
-        device here, saves two host round-trips per frame (~2 ms p50).
+        whole chain once keeps the same shape.  Host round-trip discipline
+        (each round trip costs a full link RTT — docs/PERFORMANCE.md): the
+        RANSAC key stream evolves ON DEVICE (``key`` in, next key out — no
+        host-side ``jax.random.split`` dispatch per frame) and every scalar
+        the host needs afterwards is packed into ONE ``summary`` vector
+        ``[ok, tran_b(3), ang(3), n_inliers, ang_diff]`` for a single
+        readback.
         """
         c = self.config
         from mrs_optic_flow_tpu.geometry.motion import get_rt as _get_rt
@@ -299,7 +353,7 @@ class OpticFlowNode:
         ul_x = jnp.float32(cx_eff - c.frame_size // 2)
 
         @jax.jit
-        def run(state, img, height, dt, cam, dist, c2b, rate_quat, detilt, key):
+        def run(state, key, img, height, dt, cam, dist, c2b, rate_quat, detilt):
             if pre_cropped:
                 gray = jnp.asarray(img, jnp.float32)
             else:
@@ -308,9 +362,10 @@ class OpticFlowNode:
                     g = resize_by(g, c.scale_factor)
                 gray = center_crop(g, c.frame_size, cx_eff)
 
+            key, sub = jax.random.split(key)
             new_state, flow = self.engine.step(state, gray)
             res = _get_rt(
-                flow.shifts, height, dt, ul_x, cam, dist, c2b, rate_quat, key,
+                flow.shifts, height, dt, ul_x, cam, dist, c2b, rate_quat, sub,
                 frame_size=c.frame_size,
                 patch=c.sample_point_size,
                 shifted_pts_thr=c.shifted_pts_thr,
@@ -321,7 +376,14 @@ class OpticFlowNode:
             axis, angle = quat_axis_angle(res.rot)
             rot_b = quat_from_axis_angle(quat_rotate(c2b, axis), angle)
             ang = jnp.stack(rpy_from_matrix(matrix_from_quat(rot_b)))
-            return new_state, gray, flow, res, tran_b, ang
+            summary = jnp.concatenate([
+                res.ok.astype(jnp.float32)[None],
+                tran_b,
+                ang,
+                res.n_inliers.astype(jnp.float32)[None],
+                res.ang_diff[None],
+            ])
+            return new_state, key, gray, flow, summary
 
         return run
 
@@ -340,7 +402,7 @@ class OpticFlowNode:
         pre_cropped = channels == 1 and (h, w) == (c.frame_size, c.frame_size)
 
         @jax.jit
-        def run(state, img, height, dt, cam, c2b, key):
+        def run(state, key, img, height, dt, cam, c2b):
             if pre_cropped:
                 gray = jnp.asarray(img, jnp.float32)
             else:
@@ -349,6 +411,7 @@ class OpticFlowNode:
                     g = resize_by(g, c.scale_factor)
                 gray = center_crop(g, c.frame_size, cx_eff)
 
+            key, sub = jax.random.split(key)
             new_state, flow = self.engine.step(state, gray)
             # per-cell metric velocities: v = -d * h / f / dt
             cells = jnp.atleast_2d(flow.shifts_raw)
@@ -361,7 +424,7 @@ class OpticFlowNode:
                 vec, _ = allsac_mean(vels, valid, thr_sq)
             elif c.filter_method == "ransac":
                 vec = ransac_mean(
-                    vels, valid, thr_sq, key,
+                    vels, valid, thr_sq, sub,
                     num_of_chosen=c.ransac.num_of_chosen,
                     num_of_iterations=c.ransac.num_of_iter,
                 )
@@ -370,7 +433,8 @@ class OpticFlowNode:
             ok = jnp.any(valid) & jnp.all(jnp.isfinite(vec))
             tran = jnp.concatenate([vec, jnp.zeros((1,), vec.dtype)])
             tran_b = quat_rotate(c2b, tran)
-            return new_state, gray, flow, ok, tran_b
+            summary = jnp.concatenate([ok.astype(jnp.float32)[None], tran_b])
+            return new_state, key, gray, flow, summary
 
         return run
 
@@ -406,7 +470,10 @@ class OpticFlowNode:
             )
             tran_b = quat_rotate(c2b, res.tran)
             diff_b = quat_rotate(c2b, res.tran_diff)
-            return new_state, gray, flow, res.ok, tran_b, diff_b
+            summary = jnp.concatenate(
+                [res.ok.astype(jnp.float32)[None], tran_b, diff_b]
+            )
+            return new_state, gray, flow, summary
 
         return run
 
@@ -429,7 +496,7 @@ class OpticFlowNode:
         if self.config.ang_rate_source == "imu" and not self.got_imu:
             self.log_throttled("imu", "[OpticFlow]: waiting for imu")
             return None
-        if not self.got_tfs:
+        if not self.got_tfs and not self.poll_transforms(msg.stamp):
             self.log_throttled("tf", "[OpticFlow]: waiting for camera transforms")
             return None
         if not (np.isfinite(self.imu_roll) and np.isfinite(self.imu_pitch)):
@@ -496,7 +563,9 @@ class OpticFlowNode:
         # ulCorner of the crop in scaled-image pixels (src/optic_flow.cpp:1613)
         ul_x = cx_eff - c.frame_size // 2
 
-        self._key, key = jax.random.split(self._key)
+        # NOTE: the RANSAC key stream evolves inside the frame programs (one
+        # less host->device dispatch per frame); self._key is a device array
+        # returned by the last program invocation.
         detilt = np_quat_from_rpy(self.imu_roll, self.imu_pitch, 0.0)  # (:1702)
         c2b = jnp.asarray(self.c2b_quat, jnp.float32)
 
@@ -505,23 +574,24 @@ class OpticFlowNode:
             # through the simple metric-scaling path
             prog = self._frame_program_simple(img.shape[0], img.shape[1], channels, cx_eff)
             with self._mutex, self.profiler.routine("frame_program_simple"):
-                (self.flow_state, gray, flow, ok, tran_b_dev) = prog(
+                (self.flow_state, self._key, gray, flow, summary_dev) = prog(
                     self.flow_state,
+                    self._key,
                     jnp.asarray(img),
                     jnp.float32(height),
                     jnp.float32(self.dt),
                     jnp.asarray(self.camera_matrix, jnp.float32),
                     c2b,
-                    key,
                 )
             if c.raw_output:
                 self.publish("points_raw_out", np.asarray(flow.shifts_raw))
             if c.store_video:
                 self._record_overlay(msg.stamp, gray, flow)
-            if not bool(ok):
+            summary = np.asarray(summary_dev)  # ONE readback: [ok, tran_b]
+            if not bool(summary[0] > 0.5):
                 self._note_result(False)
                 return None
-            tran_b = np.asarray(tran_b_dev)
+            tran_b = summary[1:4]
             if not np.all(np.isfinite(tran_b[:2])):
                 self._note_result(False)
                 return None
@@ -542,8 +612,9 @@ class OpticFlowNode:
             # ---- short-range: the whole per-frame chain in one dispatch ----
             prog = self._frame_program(img.shape[0], img.shape[1], channels, cx_eff)
             with self._mutex, self.profiler.routine("frame_program"):
-                (self.flow_state, gray, flow, res, tran_b_dev, ang_dev) = prog(
+                (self.flow_state, self._key, gray, flow, summary_dev) = prog(
                     self.flow_state,
+                    self._key,
                     jnp.asarray(img),
                     jnp.float32(height),
                     jnp.float32(self.dt),
@@ -552,7 +623,6 @@ class OpticFlowNode:
                     c2b,
                     jnp.asarray(self.angular_rate_quat, jnp.float32),
                     jnp.asarray(detilt, jnp.float32),
-                    key,
                 )
 
             if self.scale_rotation_estimator is not None:
@@ -566,11 +636,14 @@ class OpticFlowNode:
             if c.store_video:
                 self._record_overlay(msg.stamp, gray, flow)
 
-            if not bool(res.ok):
+            # ONE readback: [ok, tran_b(3), ang(3), n_inliers, ang_diff]
+            summary = np.asarray(summary_dev)
+            if not bool(summary[0] > 0.5):
                 self._note_result(False)
                 return None
-            tran_b = np.asarray(tran_b_dev)
-            ang = [float(a) for a in np.asarray(ang_dev)]
+            tran_b = summary[1:4]
+            ang = [float(a) for a in summary[4:7]]
+            n_inliers = int(summary[7])
             if not np.all(np.isfinite(tran_b)):
                 self.log("[OpticFlow]: NaNs in output, returning.")
                 return None
@@ -587,7 +660,7 @@ class OpticFlowNode:
                 cov_xy=(50.0 * height / fx) ** 2,
             )
             self.publish("velocity_out", twist)
-            self._publish_diagnostics(msg.stamp, tran_b[:2], height, fx, res)
+            self._publish_diagnostics(msg.stamp, tran_b[:2], height, fx, n_inliers)
             self._note_result(True)
             self._frames_processed += 1
             return twist
@@ -597,7 +670,7 @@ class OpticFlowNode:
         with self._mutex, self.profiler.routine("frame_program_lr"):
             # get2DT receives height corrected by the static tilt
             # (src/optic_flow.cpp:1781)
-            (self.flow_state, gray, flow, ok, tran_b_dev, diff_b_dev) = prog(
+            (self.flow_state, gray, flow, summary_dev) = prog(
                 self.flow_state,
                 jnp.asarray(img),
                 jnp.float32(height / (np.cos(self.imu_pitch) * np.cos(self.imu_roll))),
@@ -619,10 +692,12 @@ class OpticFlowNode:
         if c.store_video:
             self._record_overlay(msg.stamp, gray, flow)
 
-        if not bool(ok):
+        # ONE readback: [ok, tran_b(3), diff_b(3)]
+        summary = np.asarray(summary_dev)
+        if not bool(summary[0] > 0.5):
             self._note_result(False)
             return None
-        tran_b = np.asarray(tran_b_dev)
+        tran_b = summary[1:4]
         if not np.all(np.isfinite(tran_b[:2])):
             self.log("[OpticFlow]: NaNs in output, returning.")
             self._note_result(False)
@@ -632,7 +707,7 @@ class OpticFlowNode:
         twists = []
         for topic, vec_b in (
             ("velocity_out_longrange", tran_b),
-            ("velocity_out_longrange_diff", np.asarray(diff_b_dev)),
+            ("velocity_out_longrange_diff", summary[4:7]),
         ):
             twist = TwistWithCovarianceStamped.make(
                 frame_id=self.uav_frame,
@@ -649,7 +724,7 @@ class OpticFlowNode:
         self._frames_processed += 1
         return twists[0]
 
-    def _publish_diagnostics(self, stamp, v_xy, height, fx, rt_result):
+    def _publish_diagnostics(self, stamp, v_xy, height, fx, n_inliers):
         """Diagnostics the reference advertises but never publishes
         (``velocity_stddev_out``, ``max_velocity_out``, ``allsac_chosen_out``
         are advertised at ``src/optic_flow.cpp:1036-1045`` with no publish
@@ -665,7 +740,7 @@ class OpticFlowNode:
         """
         from mrs_optic_flow_tpu.filters import SpeedBox, analyze_speeds
 
-        self.publish("allsac_chosen_out", int(rt_result.n_inliers))
+        self.publish("allsac_chosen_out", int(n_inliers))
         if self.dt > 0:
             self.publish(
                 "max_velocity_out",

@@ -109,6 +109,29 @@ def test_long_range_mode_height_based():
     assert lr[0].frame_id == "fcu"
 
 
+def test_long_range_ratio2_from_yaml():
+    """``tpu.long_range_ratio: 2`` reaches the engine AND get2DT's ratio-2
+    inlier-vote policy end-to-end (LONG_RANGE_RATIO src/FftMethod.cpp:3;
+    policy src/optic_flow.cpp:414-421)."""
+    published = []
+    node = _make_node(
+        published,
+        mrs_optic_flow={"long_range_mode": "always_on"},
+        tpu={"long_range_ratio": 2},
+    )
+    assert node.engine.config.long_range_ratio == 2
+    # ratio 2 -> 240 px downsampled frame -> 2x2 grid of 120 px windows
+    assert node.engine.sq_num_lr == 2
+    scene = SyntheticScene(uav_height=HEIGHT, seed=7)
+    stream = FrameStream(node)
+    scene.trajectory_events(stream, velocity=(0.6, 0.0), n_frames=5, dt=DT)
+    stream.run()
+    lr = [m for t, m in published if t == "velocity_out_longrange"]
+    assert len(lr) >= 2
+    v = np.array([tw.linear[:2] for tw in lr[1:]])
+    assert np.abs(v[:, 0] - 0.6).max() < 0.25, v
+
+
 def test_long_range_takeoff_based():
     published = []
     node = _make_node(published, mrs_optic_flow={"long_range_mode": "takeoff_based"})
@@ -405,3 +428,43 @@ def test_processing_latency_topic():
     lats = [m for t, m in published if t == "processing_latency_out"]
     assert len(lats) >= 3  # every non-gated frame reports
     assert all(0.0 < v < 120.0 for v in lats)
+
+
+def test_transform_provider_polling():
+    """Pluggable transform provider (the reference's 1 Hz timerTf,
+    src/optic_flow.cpp:1165-1243): polled at most once per second from the
+    image path, a raising provider counts as a failed lookup
+    (the TransformException sleep-and-retry path), and on success polling
+    stops for good."""
+    calls = []
+
+    def provider():
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("tf tree not ready")
+        if len(calls) == 2:
+            return None
+        return (0.0, 0.0, 0.0, 1.0)
+
+    node = OpticFlowNode(
+        load_config(), publish=lambda t, m: None, log=lambda s: None,
+        transform_provider=provider,
+    )
+    node.got_odometry = node.got_imu = True
+    img = np.zeros((480, 752), np.float32)
+
+    # three frames inside one second: exactly ONE poll (which raises)
+    for stamp in (0.0, 0.1, 0.2):
+        node.on_image(ImageMsg(stamp=stamp, data=img))
+    assert len(calls) == 1 and not node.got_tfs
+
+    node.on_image(ImageMsg(stamp=1.05, data=img))  # second poll: None
+    assert len(calls) == 2 and not node.got_tfs
+
+    node.on_image(ImageMsg(stamp=2.1, data=img))  # third poll: success
+    assert len(calls) == 3 and node.got_tfs
+    # cam_yaw defaults to yaw(inverse(c2b)) + pi/2 (src/optic_flow.cpp:1206-1208)
+    assert abs(node.cam_yaw - np.pi / 2) < 1e-9
+
+    node.on_image(ImageMsg(stamp=3.2, data=img))  # never polled again
+    assert len(calls) == 3
