@@ -3,10 +3,12 @@
 Measures the reference's hot path end-to-end on device — grayscale-equivalent
 480x480 crop, 4x4 grid of 120 px patches, phase correlation + peak + centroid
 + validity gating — in steady-state batched mode using the fully-fused Pallas
-kernel.  Default is the documented fast mode (single bf16 MXU pass per
-matmul, 0.02 px flow error — 5x under the 0.1 px budget; set
-BENCH_MXU_PASSES=3 for the 0.0005 px production-default kernels at ~73%
-of the throughput).  Honesty measures live in
+kernel.  The headline ``value`` is the SHIPPED engine default (bf16x3 MXU
+passes, 0.0005 px flow error); the documented fast mode (1 pass, 0.02 px —
+still 5x under the 0.1 px budget) is reported alongside as ``value_fast``.
+Set BENCH_MXU_PASSES to pin a single mode.  Per-frame latency percentiles
+(see ``bench_latency.py`` for the full artifact) are appended as
+``latency_*`` fields unless BENCH_LATENCY=0.  Honesty measures live in
 ``mrs_optic_flow_tpu.utils.benchlib`` (shared with the tuning scripts):
 
 - a data-dependent chain links every iteration (dispatch pipelining / RPC
@@ -28,7 +30,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# fail fast instead of hanging the driver if the device link is wedged
+# fail fast instead of hanging the driver if the device link is wedged —
+# with a raising handler so partial results still print as the JSON line
+def _timeout(signum, frame):
+    raise TimeoutError("BENCH_TIMEOUT_S exceeded")
+
+
+signal.signal(signal.SIGALRM, _timeout)
 signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "540")))
 
 # prefer the real TPU when the axon sitecustomize is active; JAX_PLATFORMS
@@ -50,15 +58,28 @@ PIPELINE = int(os.environ.get("BENCH_PIPELINE", "8"))
 BASELINE_FPS = 2000.0
 
 
-def main():
+def _measure_fps(passes: int, prev, curr) -> float:
     on_tpu = jax.default_backend() == "tpu"
-    # BENCH_MXU_PASSES selects the MXU pass count (docs/PERFORMANCE.md):
-    # 1 (default here) = fast mode at 0.02 px error, 3 = the engine's
-    # 0.0005 px default
-    passes = int(os.environ.get("BENCH_MXU_PASSES", "1"))
     engine = FftMethod(
         FftMethodConfig(backend="dft", use_pallas=on_tpu, mxu_passes=passes)
     )
+
+    def step(prev, curr):
+        res = engine.step_batch(prev, curr)
+        return res.shifts, jnp.sum(res.response)
+
+    chained = make_chained(step)
+    return measure_chained(
+        chained, prev, curr, items_per_call=BATCH, iters=ITERS, pipeline=PIPELINE
+    )
+
+
+def main():
+    # BENCH_MXU_PASSES pins one MXU pass count (docs/PERFORMANCE.md);
+    # unset, the headline is the shipped engine default (3 = 0.0005 px) with
+    # the fast mode (1 = 0.02 px) measured alongside
+    pinned = os.environ.get("BENCH_MXU_PASSES")
+    passes = int(pinned) if pinned else 3
 
     rng = np.random.default_rng(0)
     # 752x480 capture -> 480x480 crop happens upstream; the flow engine's
@@ -71,24 +92,45 @@ def main():
     prev = jnp.asarray(rng.integers(0, 255, size=(BATCH, 480, 480)), jnp.uint8)
     curr = jnp.asarray(rng.integers(0, 255, size=(BATCH, 480, 480)), jnp.uint8)
 
-    def step(prev, curr):
-        res = engine.step_batch(prev, curr)
-        return res.shifts, jnp.sum(res.response)
+    record = {
+        "metric": "flow_frame_pairs_per_sec",
+        "unit": "fps",
+        "mxu_passes": passes,
+    }
+    try:
+        fps = _measure_fps(passes, prev, curr)
+        record["value"] = round(fps, 1)
+        record["vs_baseline"] = round(fps / BASELINE_FPS, 3)
+    except TimeoutError as e:
+        record["error"] = str(e)
+        print(json.dumps(record))
+        raise SystemExit(1)
+    if not pinned:
+        try:
+            record["value_fast"] = round(_measure_fps(1, prev, curr), 1)
+        except Exception as e:  # noqa: BLE001 — headline must still print
+            record["value_fast_error"] = f"{type(e).__name__}: {e}"
+    if os.environ.get("BENCH_LATENCY", "1") != "0":
+        try:
+            from mrs_optic_flow_tpu.utils.benchlib import (
+                measure_device_chain_latency,
+                measure_node_latency,
+            )
 
-    chained = make_chained(step)
-    fps = measure_chained(
-        chained, prev, curr, items_per_call=BATCH, iters=ITERS, pipeline=PIPELINE
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "flow_frame_pairs_per_sec",
-                "value": round(fps, 1),
-                "unit": "fps",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-            }
-        )
-    )
+            dev = measure_device_chain_latency(
+                int(os.environ.get("BENCH_LATENCY_K", "100"))
+            )
+            e2e = measure_node_latency(
+                int(os.environ.get("BENCH_LATENCY_FRAMES", "1000"))
+            )
+            record.update(
+                latency_device_ms=round(dev["per_frame_ms"], 4),
+                latency_p50_ms=round(e2e["p50_ms"], 3),
+                latency_p99_ms=round(e2e["p99_ms"], 3),
+            )
+        except Exception as e:  # noqa: BLE001 — headline must still print
+            record["latency_error"] = f"{type(e).__name__}: {e}"
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,80 @@
+"""Latency benchmark: single-frame end-to-end + device-program-only.
+
+Proves the BASELINE.md latency target (<= 2 ms p50 device-side) with a
+reproducible artifact.  Two measurements:
+
+- **end-to-end**: ``OpticFlowNode``'s per-frame path driven with raw uint8
+  BGR 752x480 frames for >= 1,000 frames — host -> device transfer, the
+  fused frame program (preprocess -> flow -> getRT -> detilt), and the
+  result readbacks, i.e. the shape of the reference's blocking enqueue +
+  readback per frame (``src/FftMethod.cpp:398-407``).  In this sandbox the
+  device link is a tunnelled RPC, so the end-to-end number includes several
+  ms of link overhead per round trip that on-host TPU serving would not pay.
+- **device-program-only**: the same per-frame chain scanned ``k`` times in
+  ONE dispatch (``lax.scan``, data-chained through the prev-frame state), so
+  ``total / k`` isolates the device program from per-dispatch link overhead.
+
+Prints ONE JSON line with both (milliseconds).  ``BENCH_LATENCY_FRAMES`` /
+``BENCH_LATENCY_K`` override the sample counts.
+"""
+
+import json
+import os
+import signal
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# a raising handler (not the default SIGALRM kill) so a wedged device link
+# still yields a JSON error line instead of a silent 142 exit
+def _timeout(signum, frame):
+    raise TimeoutError("BENCH_TIMEOUT_S exceeded")
+
+
+signal.signal(signal.SIGALRM, _timeout)
+signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "540")))
+
+import jax  # noqa: E402
+
+from mrs_optic_flow_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
+from mrs_optic_flow_tpu.utils.benchlib import (  # noqa: E402
+    measure_device_chain_latency,
+    measure_node_latency,
+)
+
+
+def main():
+    n_frames = int(os.environ.get("BENCH_LATENCY_FRAMES", "1000"))
+    k = int(os.environ.get("BENCH_LATENCY_K", "100"))
+    try:
+        dev = measure_device_chain_latency(k)
+        e2e = measure_node_latency(n_frames)
+    except TimeoutError as e:
+        print(json.dumps({"metric": "frame_latency_p50_ms", "error": str(e)}))
+        raise SystemExit(1)
+    print(
+        json.dumps(
+            {
+                "metric": "frame_latency_p50_ms",
+                "value": round(dev["per_frame_ms"], 4),
+                "unit": "ms",
+                "vs_baseline": round(2.0 / max(dev["per_frame_ms"], 1e-9), 3),
+                "device_per_frame_ms": round(dev["per_frame_ms"], 4),
+                "device_chain_k": dev["k"],
+                "e2e_p50_ms": round(e2e["p50_ms"], 3),
+                "e2e_p90_ms": round(e2e["p90_ms"], 3),
+                "e2e_p95_ms": round(e2e["p95_ms"], 3),
+                "e2e_p99_ms": round(e2e["p99_ms"], 3),
+                "e2e_mean_ms": round(e2e["mean_ms"], 3),
+                "e2e_frames": e2e["n"],
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

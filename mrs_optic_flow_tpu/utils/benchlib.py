@@ -35,6 +35,205 @@ def make_chained(step: Callable[[jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, j
     return chained
 
 
+def measure_scan_slope(build, k_pair=(25, 100), *, reps: int = 7, warmup: int = 2) -> dict:
+    """Per-item device time via TWO chain lengths.
+
+    ``build(k)`` returns ``run(i)``, which dispatches ONE ``k``-item chained
+    program whose inputs incorporate the rep index ``i`` — value-identical
+    dispatches can be deduplicated below the client even when every buffer
+    is fresh (a scan that carries state hits a value fixed-point after one
+    rep, which is how a "chained" benchmark can still read back impossibly
+    fast) — and blocks on the result.  The per-item time is the slope
+    ``(T[k_hi] - T[k_lo]) / (k_hi - k_lo)`` of the median wall times, which
+    cancels the per-dispatch link overhead (RTT, dispatch setup) exactly;
+    dividing one chain's total by ``k`` would smear ~RTT/k into every item.
+    """
+    med = {}
+    for k in k_pair:
+        run = build(k)
+        for i in range(warmup):
+            run(i)
+        times = []
+        for i in range(warmup, warmup + reps):
+            t0 = time.perf_counter()
+            run(i)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        med[k] = times[len(times) // 2]
+    k_lo, k_hi = k_pair
+    per = (med[k_hi] - med[k_lo]) / (k_hi - k_lo)
+    return {
+        "per_item_ms": per * 1e3,
+        "overhead_ms": (med[k_lo] - per * k_lo) * 1e3,
+        "k_pair": list(k_pair),
+    }
+
+
+def make_latency_frames(
+    n_distinct: int = 64,
+    *,
+    width: int = 752,
+    height: int = 480,
+    channels: int = 3,
+    seed: int = 0,
+):
+    """``n_distinct`` distinct uint8 BGR camera frames (textured, shifted) —
+    host-side prep for the latency benchmarks.  Distinct content per frame
+    plus the node's state chaining (prev frame = device output of the last
+    step) defeat RPC dedupe (docs/PERFORMANCE.md rule 5)."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 255, size=(height, width), dtype=np.uint8)
+    frames = []
+    for i in range(n_distinct):
+        g = np.roll(base, (3 * i) % height, axis=0)
+        if channels == 3:
+            g = np.stack([g, g, g], axis=-1)
+        frames.append(np.ascontiguousarray(g))
+    return frames
+
+
+def measure_node_latency(
+    n_frames: int = 1000,
+    *,
+    warmup: int = 64,
+    n_distinct: int = 64,
+    dt: float = 0.02,
+    overrides=None,
+) -> dict:
+    """End-to-end per-frame latency of ``OpticFlowNode``'s single-frame
+    fused program: raw uint8 BGR 752x480 frame in -> twist out, measured
+    around ``on_image`` for ``n_frames`` frames after ``warmup``.
+
+    This is the latency shape of the reference's per-frame blocking enqueue
+    + readback (``src/FftMethod.cpp:398-407``) — here one fused device
+    program plus the host readbacks of the tiny result arrays.  Returns
+    p50/p90/p95/p99/mean in milliseconds.
+    """
+    from mrs_optic_flow_tpu.config import load_config
+    from mrs_optic_flow_tpu.runtime.msgs import (
+        CameraInfo,
+        Float64Stamped,
+        ImageMsg,
+        Imu,
+        Odometry,
+    )
+    from mrs_optic_flow_tpu.runtime.node import OpticFlowNode
+
+    cfg = load_config(overrides=overrides)
+    node = OpticFlowNode(cfg, publish=lambda t, m: None, log=lambda s: None,
+                         enable_profiler=False)
+    node.set_transforms((0.0, 0.0, 0.0, 1.0))
+    t0 = 100.0
+    node.on_camera_info(CameraInfo(k=[420.0, 0, 376.0, 0, 420.0, 240.0, 0, 0, 1],
+                                   d=[0.0] * 5))
+    node.on_imu(Imu(stamp=t0, angular_velocity=(0.0, 0.0, 0.0),
+                    orientation=(0.0, 0.0, 0.0, 1.0)))
+    node.on_odometry(Odometry(stamp=t0, orientation=(0.0, 0.0, 0.0, 1.0),
+                              linear_velocity=(0.0, 0.0, 0.0)))
+    node.on_height(Float64Stamped(stamp=t0, value=2.0))
+
+    frames = make_latency_frames(n_distinct)
+    times = []
+    stamp = t0
+    for i in range(warmup + n_frames):
+        stamp += dt
+        img = frames[i % n_distinct]
+        t_start = time.perf_counter()
+        node.on_image(ImageMsg(stamp=stamp, data=img))
+        elapsed = time.perf_counter() - t_start
+        if i >= warmup:
+            times.append(elapsed)
+    arr = np.asarray(times) * 1e3
+    arr.sort()
+    pct = lambda p: float(arr[min(int(len(arr) * p), len(arr) - 1)])  # noqa: E731
+    return {
+        "n": len(arr),
+        "p50_ms": pct(0.50),
+        "p90_ms": pct(0.90),
+        "p95_ms": pct(0.95),
+        "p99_ms": pct(0.99),
+        "mean_ms": float(arr.mean()),
+    }
+
+
+def measure_device_chain_latency(
+    k: int = 100,
+    *,
+    reps: int = 7,
+    warmup: int = 2,
+    mxu_passes: int | None = None,
+) -> dict:
+    """Device-program-only per-frame latency of the full single-frame chain
+    (grayscale -> crop -> FftMethod.step -> getRT -> detilt).
+
+    Chains ``k``- and ``k/4``-frame ``lax.scan`` programs and reports the
+    per-frame SLOPE between the two (:func:`measure_scan_slope`) — the
+    per-dispatch host/tunnel overhead that dominates single-frame RPC timing
+    cancels exactly, and a per-rep scalar bias keeps every dispatch
+    value-distinct so nothing can be deduplicated below the client."""
+    import jax
+    import jax.numpy as jnp
+
+    from mrs_optic_flow_tpu.geometry.motion import get_rt
+    from mrs_optic_flow_tpu.geometry.rotations import (
+        matrix_from_quat,
+        quat_rotate,
+        rpy_from_matrix,
+    )
+    from mrs_optic_flow_tpu.models import FftMethod, FftMethodConfig
+    from mrs_optic_flow_tpu.ops.preprocess import center_crop, to_grayscale
+
+    ecfg = FftMethodConfig() if mxu_passes is None else FftMethodConfig(
+        mxu_passes=mxu_passes
+    )
+    engine = FftMethod(ecfg)
+    frame_size = engine.config.frame_size
+    patch = engine.config.sample_point_size
+    cx = 376
+    ul_x = jnp.float32(cx - frame_size // 2)
+    cam = jnp.asarray(
+        [[420.0, 0, 376.0], [0, 420.0, 240.0], [0, 0, 1.0]], jnp.float32
+    )
+    dist = jnp.zeros((5,), jnp.float32)
+    ident = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32)
+    height = jnp.float32(2.0)
+    dtv = jnp.float32(0.02)
+
+    @jax.jit
+    def chain(state, frames, keys, bias):
+        def body(st, xs):
+            img, key = xs
+            gray = center_crop(to_grayscale(img), frame_size, cx) + bias
+            new_state, flow = engine.step(st, gray)
+            res = get_rt(
+                flow.shifts, height, dtv, ul_x, cam, dist, ident, ident, key,
+                frame_size=frame_size, patch=patch,
+            )
+            tran_b = quat_rotate(ident, quat_rotate(ident, res.tran))
+            ang = jnp.stack(rpy_from_matrix(matrix_from_quat(res.rot)))
+            return new_state, (tran_b, ang, res.ok)
+        return jax.lax.scan(body, state, (frames, keys))
+
+    def build(kk):
+        frames = jnp.asarray(np.stack(make_latency_frames(kk)))
+        keys = jax.random.split(jax.random.PRNGKey(0), kk)
+        holder = {"state": engine.init_state()}
+
+        def run(i):
+            st, outs = chain(holder["state"], frames, keys, jnp.float32(i) * 1e-3)
+            jax.block_until_ready(outs)
+            holder["state"] = st
+
+        return run
+
+    slope = measure_scan_slope(build, (max(k // 4, 8), k), reps=reps, warmup=warmup)
+    return {
+        "k": k,
+        "per_frame_ms": slope["per_item_ms"],
+        "dispatch_overhead_ms": slope["overhead_ms"],
+    }
+
+
 def measure_chained(
     chained,
     prev: jnp.ndarray,
