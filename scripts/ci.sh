@@ -8,6 +8,9 @@ cd "$(dirname "$0")/.."
 echo "== native build =="
 make -C native
 
+echo "== native sanitizer stress (TSAN + ASAN) =="
+make -C native sanitize
+
 echo "== test suite =="
 python -m pytest tests/ -q
 
