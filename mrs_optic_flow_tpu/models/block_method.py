@@ -38,7 +38,9 @@ class BlockMethodConfig:
     scan_radius: int = 21
     step_size: int = 24  # unused by BlockMethod's own grid, kept for parity
     refine_passes: int = 2  # Refine(..., 2), src/BlockMethod.cpp:82
-    use_pallas: bool = False  # fused Pallas SAD kernel vs lax.scan
+    #: fused Pallas SAD kernel vs lax.scan — measured 2.8x faster on v5e at
+    #: the default geometry (scripts/tune_sad_kernel.py, docs/PERFORMANCE.md)
+    use_pallas: bool = True
 
 
 class BlockMethod(FlowEngine):

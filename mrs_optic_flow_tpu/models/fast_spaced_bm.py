@@ -36,7 +36,9 @@ class FastSpacedBMConfig:
     scan_radius: int = 21
     step_size: int = 24  # blockStep (grid pitch = size + step)
     test_depth: int = 3  # TestDepth (src/FastSpacedBMMethod_OCL.cpp:100)
-    use_pallas: bool = False  # fused Pallas SAD kernel vs lax.scan
+    #: fused Pallas SAD kernel vs lax.scan — measured ~1.3x faster on v5e at
+    #: the default geometry (scripts/tune_sad_kernel.py, docs/PERFORMANCE.md)
+    use_pallas: bool = True
 
 
 class FastSpacedBM(FlowEngine):

@@ -50,6 +50,18 @@ def main():
         assert np.abs(med - [-5, 2]).max() < 1.0, (method, med)
         print(f"method {method}: median shift {med} OK", flush=True)
 
+    # --- SAD kernel: fused Pallas vs lax.scan agree on real hardware ------
+    # (methods 3/5 above already ran the Pallas default end-to-end; this
+    # pins the two lowerings against each other at an odd geometry)
+    from mrs_optic_flow_tpu.ops.block_matching import sad_search, sad_search_pallas
+
+    blocks = jnp.asarray(rng.integers(0, 255, size=(5, 24, 24)), jnp.float32)
+    regions = jnp.asarray(rng.integers(0, 255, size=(5, 38, 38)), jnp.float32)
+    sad_a = sad_search(blocks, regions, block_size=24, scan_radius=7)
+    sad_b = sad_search_pallas(blocks, regions, block_size=24, scan_radius=7)
+    np.testing.assert_allclose(np.asarray(sad_a), np.asarray(sad_b), rtol=1e-6)
+    print("SAD pallas == scan OK", flush=True)
+
     # --- scale-rotation (pure-numpy zoom to avoid a cv2 dependency) -------
     from mrs_optic_flow_tpu.models import ScaleRotationConfig, ScaleRotationEstimator
     import scipy.ndimage as ndi
