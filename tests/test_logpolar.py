@@ -103,3 +103,27 @@ def test_scale_rotation_decode_accuracy_by_interp(rng):
     # bilinear: quantified as usable (the documented cheaper mode)
     assert errs["bilinear"][0] < np.deg2rad(1.5), errs
     assert errs["bilinear"][1] < 0.05, errs
+
+
+def test_scale_rotation_lp_resolution_decode(rng):
+    """A reduced lp_resolution rescales magnitude and Ky so the decode stays
+    consistent with the configured ``magnitude`` semantics: rotation/scale
+    recovery at lp 64 on a 128 px frame must agree with the full-resolution
+    decode within the coarser grid's tolerance."""
+    cv2 = pytest.importorskip("cv2")
+
+    from mrs_optic_flow_tpu.models import ScaleRotationConfig, ScaleRotationEstimator
+
+    n, deg_true = 128, 14.0
+    f0 = _texture(rng, n)
+    m_rot = cv2.getRotationMatrix2D((n / 2, n / 2), deg_true, 1.0)
+    f_rot = cv2.warpAffine(f0, m_rot, (n, n))
+
+    eng = ScaleRotationEstimator(
+        ScaleRotationConfig(resolution=n, magnitude=20.0, lp_resolution=64)
+    )
+    assert eng.ky == 64 / 360.0 and abs(eng.m_eff - 10.0) < 1e-9
+    res = eng.step_batch(jnp.asarray(f0)[None], jnp.asarray(f_rot)[None])
+    # 64 log-polar rows -> one row = 5.6 deg; sub-pixel centroid gets closer
+    assert abs(float(res.rotation[0]) - np.deg2rad(deg_true)) < np.deg2rad(3.0)
+    assert abs(float(res.scale[0]) - 1.0) < 0.08
