@@ -107,6 +107,9 @@ class OpticFlowConfig:
     #: ``LONG_RANGE_RATIO`` (src/FftMethod.cpp:3, default 4); ratio 2
     #: switches get2DT to the inlier-vote policy (src/optic_flow.cpp:414-421)
     long_range_ratio: int = 4
+    #: carry imPrev as 8-bit grayscale like the reference's 8U pipeline
+    #: (src/optic_flow.cpp:1597, src/FftMethod.cpp:1872); False = float32
+    quantize_8bit: bool = True
 
     # ---- derived (filled by loader) ----
     sample_point_size_lr: int = 0  # = 2 * sample_point_size (src/optic_flow.cpp:876)
@@ -260,6 +263,7 @@ def load_config(
         ),
         half_spectrum=bool(tpu_block.get("half_spectrum", True)),
         long_range_ratio=int(tpu_block.get("long_range_ratio", 4)),
+        quantize_8bit=bool(tpu_block.get("quantize_8bit", True)),
         sample_point_size_lr=2 * sample_point_size,
         sample_point_count_sqrt=frame_size // sample_point_size,
         scan_diameter=2 * scan_radius + 1,

@@ -20,8 +20,10 @@ import jax.numpy as jnp
 class FlowState(NamedTuple):
     """Per-stream engine state.
 
-    ``prev``  — previous grayscale frame, float32 ``[H, W]`` (the reference's
-    ``imPrev`` member, seeded black at init, ``src/optic_flow.cpp:1016-1018``).
+    ``prev``  — previous grayscale frame ``[H, W]`` (the reference's
+    ``imPrev`` member, seeded black at init, ``src/optic_flow.cpp:1016-1018``);
+    uint8 for engines carrying the reference's 8-bit pipeline
+    (``FftMethodConfig.quantize_8bit``), float32 otherwise.
     ``first`` — scalar bool; on the first frame the reference copies the
     current frame into ``imPrev`` so the first output is a zero-shift
     measurement (``src/FftMethod.cpp:1787-1789``).

@@ -62,6 +62,16 @@ class FftMethodConfig:
     #: pipelining (2 sits between), False = Precision.HIGHEST
     #: (measured numbers: docs/PERFORMANCE.md)
     mxu_passes: bool | int = True
+    #: carry ``imPrev`` as 8-bit grayscale like the reference (the node's
+    #: cvtColor produces CV_8UC1 and FftMethod swaps that into imPrev,
+    #: ``src/optic_flow.cpp:1597``, ``src/FftMethod.cpp:1872``; the float
+    #: conversion at ``:1805`` happens per step, from the 8-bit image).
+    #: Incoming float grays are rounded to uint8 before use, which matches
+    #: the reference's quantization, makes both operands 8-bit-exact so the
+    #: frames kernel drops the low-order input split pass (2 MXU passes
+    #: instead of 3 in stage 1), and quarters the carried state bytes.
+    #: ``False`` keeps round 1's float32 carry (no input rounding).
+    quantize_8bit: bool = True
 
     def normalized(self) -> "FftMethodConfig":
         """Derived-size normalization from the reference ctor:
@@ -123,10 +133,28 @@ class FftMethod(FlowEngine):
 
     def init_state(self) -> FlowState:
         c = self.config
+        dt = jnp.uint8 if c.quantize_8bit else jnp.float32
         return FlowState(
-            prev=jnp.zeros((c.frame_size, c.frame_size), jnp.float32),
+            prev=jnp.zeros((c.frame_size, c.frame_size), dt),
             first=jnp.asarray(True),
         )
+
+    def _ingest(self, frame: jnp.ndarray) -> jnp.ndarray:
+        """Frame as carried: rounded uint8 when ``quantize_8bit`` (the
+        reference's 8-bit pipeline; pass-through for already-8-bit input),
+        float32 otherwise."""
+        if not self.config.quantize_8bit:
+            return jnp.asarray(frame, jnp.float32)
+        frame = jnp.asarray(frame)
+        if frame.dtype == jnp.uint8:
+            return frame
+        return jnp.clip(jnp.round(frame.astype(jnp.float32)), 0, 255).astype(
+            jnp.uint8
+        )
+
+    def set_im_prev(self, state: FlowState, frame: jnp.ndarray) -> FlowState:
+        """``OpticFlowCalc::setImPrev`` with the engine's carry dtype."""
+        return FlowState(prev=self._ingest(frame), first=jnp.asarray(False))
 
     # -- core ----------------------------------------------------------------
 
@@ -181,10 +209,11 @@ class FftMethod(FlowEngine):
         float32 happens on device (``convertTo(CV_32FC1)``, ``:1805``).
         """
         c = self.config
-        # NOTE: no exact_inputs here — state.prev is float32 and may hold
-        # non-integer values if the stream mixes frame dtypes; only the
-        # stateless step_batch (both operands user-provided) auto-enables it
-        curr = jnp.asarray(frame, jnp.float32)
+        # with quantize_8bit both operands are 8-bit-exact (the reference's
+        # 8U pipeline), so the frames kernel takes the exact-input fast path;
+        # the float32 carry keeps round 1's behavior (no exact_inputs: a
+        # mixed-dtype stream may leave non-integer values in state.prev)
+        curr = self._ingest(frame)
         prev = jnp.where(state.first, curr, state.prev)  # first-frame copy (:1788)
 
         # the frame-banded kernel needs sublane-aligned bands (patch % 8);
@@ -202,11 +231,12 @@ class FftMethod(FlowEngine):
                 half_spectrum=c.half_spectrum,
                 bands_per_step=c.bands_per_step,
                 bf16x3=c.mxu_passes,
+                exact_inputs=c.quantize_8bit,
             )
             raw, resp = raw[0], resp[0]
         else:
-            curr_p = patchify(curr, c.sample_point_size)
-            prev_p = patchify(prev, c.sample_point_size)
+            curr_p = patchify(curr.astype(jnp.float32), c.sample_point_size)
+            prev_p = patchify(prev.astype(jnp.float32), c.sample_point_size)
             raw, resp = self._correlate(curr_p, prev_p)
         shifts = self._gate(raw, c.sample_point_size, c.max_pixel_speed)
 
@@ -223,11 +253,14 @@ class FftMethod(FlowEngine):
         long-range bounds (``max_px_speed_lr = max_px_speed``, ``:1687``).
         """
         c = self.config
-        curr = jnp.asarray(frame, jnp.float32)
+        curr = self._ingest(frame)
         prev = jnp.where(state.first, curr, state.prev)
 
-        curr_d = resize_by(curr, c.long_range_ratio)
-        prev_d = resize_by(prev, c.long_range_ratio)
+        # bilinear resize in float32 on the (possibly 8-bit) carry; the
+        # reference resizes the 8U images and keeps 8U output (:1931-1932) —
+        # a <=0.5 LSB rounding deviation on the downsampled pixels
+        curr_d = resize_by(curr.astype(jnp.float32), c.long_range_ratio)
+        prev_d = resize_by(prev.astype(jnp.float32), c.long_range_ratio)
         curr_p = patchify(curr_d, self.patch_lr)
         prev_p = patchify(prev_d, self.patch_lr)
         raw, resp = self._correlate(curr_p, prev_p)
@@ -246,8 +279,11 @@ class FftMethod(FlowEngine):
         parallelism item 1).
         """
         c = self.config
-        curr_frames = jnp.asarray(curr_frames)
-        prev_frames = jnp.asarray(prev_frames)
+        # the engine's carry discipline applies to the batched modes too
+        # (quantize_8bit rounds float frames to the reference's 8U pixels),
+        # keeping step / step_batch / fleet paths numerically consistent
+        curr_frames = self._ingest(curr_frames)
+        prev_frames = self._ingest(prev_frames)
         exact = _exact_in_bf16(curr_frames) and _exact_in_bf16(prev_frames)
         if c.use_pallas and c.backend == "dft" and c.sample_point_size % 8 == 0:
             # frame-tiled kernel: patch extraction happens in the BlockSpec
@@ -287,9 +323,10 @@ class FftMethod(FlowEngine):
         c = self.config
         patch = self.patch_lr
         # bilinear resize interpolates, so the downsampled frames are no
-        # longer 8-bit-exact: go through float32 (no exact-input path here)
-        curr_d = resize_by(jnp.asarray(curr_frames, jnp.float32), c.long_range_ratio)
-        prev_d = resize_by(jnp.asarray(prev_frames, jnp.float32), c.long_range_ratio)
+        # longer 8-bit-exact: go through float32 (no exact-input path here);
+        # _ingest first so the carry discipline matches step_long_range
+        curr_d = resize_by(self._ingest(curr_frames).astype(jnp.float32), c.long_range_ratio)
+        prev_d = resize_by(self._ingest(prev_frames).astype(jnp.float32), c.long_range_ratio)
         if (
             c.use_pallas
             and c.backend == "dft"

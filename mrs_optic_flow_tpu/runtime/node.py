@@ -110,6 +110,7 @@ class OpticFlowNode:
                 use_pallas=c.use_pallas, backend=c.backend,
                 mxu_passes=c.mxu_passes, half_spectrum=c.half_spectrum,
                 long_range_ratio=c.long_range_ratio,
+                quantize_8bit=c.quantize_8bit,
             )
         else:
             # the SAD engines honor an EXPLICIT tpu.use_pallas (fused Pallas
@@ -857,8 +858,18 @@ class OpticFlowNode:
         if not path.endswith(".npz"):
             path += ".npz"
         z = np.load(path)
+        prev = jnp.asarray(z["prev"])
+        proto = self.engine.init_state().prev
+        if prev.dtype != proto.dtype:
+            # e.g. a float32-carry checkpoint resumed into the 8-bit-carry
+            # engine (tpu.quantize_8bit) or vice versa
+            if proto.dtype == jnp.uint8:
+                prev = jnp.clip(jnp.round(prev.astype(jnp.float32)), 0, 255
+                                ).astype(jnp.uint8)
+            else:
+                prev = prev.astype(proto.dtype)
         self.flow_state = FlowState(
-            prev=jnp.asarray(z["prev"]), first=jnp.asarray(bool(z["first"]))
+            prev=prev, first=jnp.asarray(bool(z["first"]))
         )
         begin = float(z["begin"])
         self._begin = None if np.isnan(begin) else begin

@@ -194,3 +194,59 @@ def test_long_range_small_downsampled_frame(rng):
     res = eng.step_batch_long_range(jnp.asarray(prev), jnp.asarray(curr))
     assert res.shifts.shape == (1, 1, 2)
     np.testing.assert_allclose(np.asarray(res.shifts)[0, 0], [2.0, 0.0], atol=0.3)
+
+
+def test_quantized_state_carry(rng):
+    """quantize_8bit (default True): the engine carries imPrev as uint8 like
+    the reference's 8-bit pipeline (src/optic_flow.cpp:1597,
+    src/FftMethod.cpp:1872).  On integral input the quantized and float32
+    carries are numerically identical; fractional grays are rounded (the
+    reference's convertTo quantization), which must not move the measured
+    shift by more than the sub-LSB noise floor."""
+    import jax.numpy as jnp
+    from mrs_optic_flow_tpu.models import FftMethod, FftMethodConfig
+    from oracle import smooth_random_image
+
+    f0 = (smooth_random_image(rng, 64) * 255).astype(np.uint8)
+    f1 = np.roll(f0, (2, -3), (0, 1))
+
+    q = FftMethod(FftMethodConfig(frame_size=64, sample_point_size=16))
+    assert q.config.quantize_8bit
+    f = FftMethod(FftMethodConfig(frame_size=64, sample_point_size=16,
+                                  quantize_8bit=False))
+
+    sq = q.init_state()
+    assert sq.prev.dtype == jnp.uint8
+    sf = f.init_state()
+    assert sf.prev.dtype == jnp.float32
+
+    # integral frames: identical gated shifts through both carries
+    sq, rq = q.step(sq, jnp.asarray(f0))
+    sf, rf = f.step(sf, jnp.asarray(f0, jnp.float32))
+    sq, rq = q.step(sq, jnp.asarray(f1))
+    sf, rf = f.step(sf, jnp.asarray(f1, jnp.float32))
+    assert sq.prev.dtype == jnp.uint8
+    np.testing.assert_allclose(
+        np.asarray(rq.shifts), np.asarray(rf.shifts), atol=1e-5
+    )
+
+    # fractional grays (the node's BGR mix): rounding stays sub-noise.
+    # cutoff 0.35 gives real texture inside 16 px patches — at the default
+    # 0.15 the patches are nearly flat and BOTH carries sit on fragile
+    # sub-pixel peaks where 0.5 LSB legitimately moves weak windows
+    g0 = smooth_random_image(rng, 64, cutoff=0.35)  # 0..255, fractional
+    g1 = np.roll(g0, (2, -3), (0, 1))
+    sq = q.init_state()
+    sq, _ = q.step(sq, jnp.asarray(g0))
+    assert sq.prev.dtype == jnp.uint8
+    sq, rq2 = q.step(sq, jnp.asarray(g1))
+    sf = f.init_state()
+    sf, _ = f.step(sf, jnp.asarray(g0))
+    sf, rf2 = f.step(sf, jnp.asarray(g1))
+    np.testing.assert_allclose(
+        np.asarray(rq2.shifts), np.asarray(rf2.shifts), atol=0.05
+    )
+
+    # set_im_prev honors the carry dtype
+    st = q.set_im_prev(q.init_state(), jnp.asarray(g0))
+    assert st.prev.dtype == jnp.uint8

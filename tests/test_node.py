@@ -468,3 +468,34 @@ def test_transform_provider_polling():
 
     node.on_image(ImageMsg(stamp=3.2, data=img))  # never polled again
     assert len(calls) == 3
+
+
+def test_checkpoint_cross_carry_dtype(tmp_path):
+    """A float32-carry checkpoint (round 1 / tpu.quantize_8bit: false)
+    resumes cleanly into the 8-bit-carry engine: prev is rounded to the
+    engine's dtype on load."""
+    from mrs_optic_flow_tpu.runtime.node import OpticFlowNode
+
+    f32_node = OpticFlowNode(
+        load_config(overrides={"tpu": {"quantize_8bit": False}}),
+        publish=lambda t, m: None, log=lambda s: None,
+    )
+    rng = np.random.default_rng(0)
+    frame = rng.uniform(0, 255, size=(480, 480)).astype(np.float32)
+    f32_node.flow_state = f32_node.engine.set_im_prev(
+        f32_node.flow_state, frame
+    )
+    path = str(tmp_path / "ckpt")
+    f32_node.save_state(path)
+
+    u8_node = OpticFlowNode(
+        load_config(), publish=lambda t, m: None, log=lambda s: None,
+    )
+    u8_node.load_state(path)
+    import jax.numpy as jnp
+
+    assert u8_node.flow_state.prev.dtype == jnp.uint8
+    np.testing.assert_array_equal(
+        np.asarray(u8_node.flow_state.prev),
+        np.clip(np.round(frame), 0, 255).astype(np.uint8),
+    )
