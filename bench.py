@@ -66,7 +66,12 @@ def _measure_fps(passes: int, prev, curr) -> float:
 
     def step(prev, curr):
         res = engine.step_batch(prev, curr)
-        return res.shifts, jnp.sum(res.response)
+        # materialize a CHECKSUM of the shifts, not the [B, P, 2] tensor:
+        # the data dependence still forces full execution, but reading
+        # 512 KB/window through this sandbox's ~20 MB/s link would measure
+        # the link, not the chip (on-host the same readback is PCIe-cheap)
+        chk = jnp.nansum(res.shifts, axis=(1, 2))  # [B]
+        return chk, jnp.sum(res.response)
 
     chained = make_chained(step)
     return measure_chained(

@@ -18,9 +18,22 @@ centre and is verified to 1e-5 against ``cv2.warpPolar`` in
   (``cv::INTER_LANCZOS4``, ``src/scaleRotationEstimator.cpp:113``): an 8x8
   separable-weight windowed-sinc tap stencil with per-axis normalized
   weights and zero border (``cv::remap`` BORDER_CONSTANT semantics);
-- ``interp="bilinear"`` — ``jax.scipy.ndimage.map_coordinates`` order 1,
-  cheaper; the accuracy delta on the scale/rotation decode is quantified in
-  ``tests/test_logpolar.py`` and ``docs/PERFORMANCE.md``.
+- ``interp="bilinear"`` — 2x2 tap stencil, same border semantics.
+
+TPU-first execution: the resample is computed as ONE-HOT SEPARABLE MATMULS,
+not gathers.  For each output row (fixed phi) the per-axis tap weights are
+scattered into dense ``[C, N]`` matrices (8 broadcast compares per axis) and
+contracted against the image on the MXU:
+
+    T[y, c]  = sum_x img[y, x] * Wx[c, x]        (matmul)
+    out[c]   = sum_y Wy[c, y] * T[y, c]          (elementwise + reduce)
+
+Gathers run at ~1e9 elements/s on v5e — the tap-loop formulation cost
+~13 ms/frame and a slice-stencil variant ~19 ms/frame (and its ``[P, 8, 8]``
+temp pads 16x to the ``(8, 128)`` tile, OOMing at fleet batch); the one-hot
+matmul form is dense, layout-friendly, and batches over frames on the MXU.
+Output rows are processed in chunks under ``lax.map`` to bound the dense
+weight temporaries.
 """
 
 from __future__ import annotations
@@ -48,39 +61,91 @@ def _lanczos4_weights(frac: jnp.ndarray) -> jnp.ndarray:
     return w / jnp.sum(w, axis=-1, keepdims=True)
 
 
-def _resample_lanczos4(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """Sample ``img`` [H, W] at float coords (``y``, ``x``) [R, C] with an
-    8x8 Lanczos-4 stencil; out-of-bounds taps contribute zero (the
-    ``cv::remap`` BORDER_CONSTANT border the reference's ``cv::logPolar``
-    uses).
+def _bilinear_weights(frac: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear weights ``[..., 2]`` for taps at offsets (0, 1)."""
+    return jnp.stack([1.0 - frac, frac], axis=-1)
 
-    TPU-first layout: the stencil is fetched as ONE contiguous ``[8, 8]``
-    slice per output pixel (vmapped ``dynamic_slice`` on a zero-padded
-    image — XLA lowers it to a gather of 64-element slices) instead of 64
-    independent elementwise gathers.  Elementwise gathers run at ~1e9
-    elem/s on v5e, which made the tap loop ~13 ms/frame at 480^2; the
-    slice fetch amortizes the gather cost across the whole stencil."""
+
+def _one_hot_weight_matrix(
+    idx0: jnp.ndarray, w: jnp.ndarray, offsets: np.ndarray, n: int
+) -> jnp.ndarray:
+    """Scatter per-pixel tap weights into a dense ``[..., N]`` matrix.
+
+    ``idx0`` ``[...,]`` int32 tap origins, ``w`` ``[..., T]`` weights,
+    ``offsets`` the T tap offsets.  Out-of-range taps fall outside the iota
+    and contribute nothing — exactly ``cv::remap`` BORDER_CONSTANT zeros.
+    """
+    iota = jnp.arange(n, dtype=jnp.int32)
+    dense = jnp.zeros(idx0.shape + (n,), jnp.float32)
+    for k, off in enumerate(offsets):
+        hit = (idx0 + np.int32(off))[..., None] == iota  # [..., N]
+        dense = dense + hit.astype(jnp.float32) * w[..., k : k + 1]
+    return dense
+
+
+def _resample_separable(
+    img: jnp.ndarray,
+    y: jnp.ndarray,
+    x: jnp.ndarray,
+    *,
+    offsets: np.ndarray,
+    weight_fn,
+    rows_per_chunk: int = 8,
+) -> jnp.ndarray:
+    """Sample ``img`` [H, W] at float coords (``y``, ``x``) [R, C] with a
+    separable tap stencil via one-hot matmuls (module docstring).  Output
+    rows are processed ``rows_per_chunk`` at a time under ``lax.map``; the
+    dense weight temporaries per chunk are ``2 * G * C * N`` floats."""
     h, w = img.shape[-2], img.shape[-1]
-    pad = 8
-    padded = jnp.pad(img, pad)  # zeros = BORDER_CONSTANT taps
+    r, c = y.shape
 
-    # any sample farther than 4 px outside the image has an all-zero stencil
-    y = jnp.clip(y, -5.0, h + 5.0)
-    x = jnp.clip(x, -5.0, w + 5.0)
     y0 = jnp.floor(y)
     x0 = jnp.floor(x)
-    wy = _lanczos4_weights((y - y0).astype(jnp.float32))  # [R, C, 8]
-    wx = _lanczos4_weights((x - x0).astype(jnp.float32))
-    # stencil origin = floor - 3 shifted into padded coords (always in range
-    # thanks to the clip above: floor(-5) - 3 + 8 = 0)
-    y0i = y0.astype(jnp.int32) - 3 + pad
-    x0i = x0.astype(jnp.int32) - 3 + pad
+    wy = weight_fn((y - y0).astype(jnp.float32))  # [R, C, T]
+    wx = weight_fn((x - x0).astype(jnp.float32))
+    # clamp origins into a harmless range: any stencil fully outside the
+    # image has all-zero one-hot rows anyway, and the clamp keeps the int32
+    # compare domain tight (exp(rho/M) can reach ~1e4 off-image)
+    y0i = jnp.clip(y0, -16.0, h + 16.0).astype(jnp.int32)
+    x0i = jnp.clip(x0, -16.0, w + 16.0).astype(jnp.int32)
 
-    shape = y.shape
-    st = jax.vmap(
-        lambda yy, xx: jax.lax.dynamic_slice(padded, (yy, xx), (8, 8))
-    )(y0i.reshape(-1), x0i.reshape(-1)).reshape(shape + (8, 8))
-    return jnp.einsum("...yx,...y,...x->...", st, wy, wx)
+    g = min(rows_per_chunk, r)
+    n_chunks = -(-r // g)
+    pad_rows = n_chunks * g - r
+
+    def _chunks(a):
+        if pad_rows:
+            a = jnp.pad(a, ((0, pad_rows),) + ((0, 0),) * (a.ndim - 1))
+        return a.reshape((n_chunks, g) + a.shape[1:])
+
+    def _split(a):
+        hi = a.astype(jnp.bfloat16)
+        lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    img_hi, img_lo = _split(img)
+
+    def _one(args):
+        y0c, x0c, wyc, wxc = args  # [G, C](, T)
+        wx_d = _one_hot_weight_matrix(x0c, wxc, offsets, w)  # [G, C, N]
+        wy_d = _one_hot_weight_matrix(y0c, wyc, offsets, h)  # [G, C, N]
+        # T1[g, y, c] = sum_x img[y, x] * wx_d[g, c, x] on the MXU, via the
+        # bf16 hi/lo operand split (3 passes ~ 2e-5 relative error — the
+        # flow kernel's bf16x3 trick; Precision.HIGHEST measured ~3x slower)
+        wx_hi, wx_lo = _split(wx_d)
+
+        def ein(a, b):
+            return jnp.einsum("yx,gcx->gyc", a, b,
+                              preferred_element_type=jnp.float32)
+
+        t1 = ein(img_hi, wx_hi) + ein(img_hi, wx_lo) + ein(img_lo, wx_hi)
+        # out[g, c] = sum_y wy_d[g, c, y] * T1[g, y, c]  (VPU reduce, f32)
+        return jnp.einsum("gcy,gyc->gc", wy_d, t1)
+
+    out = jax.lax.map(
+        _one, (_chunks(y0i), _chunks(x0i), _chunks(wy), _chunks(wx))
+    )
+    return out.reshape(-1, c)[:r]
 
 
 @functools.partial(jax.jit, static_argnames=("resolution", "interp"))
@@ -110,9 +175,11 @@ def logpolar(
     x = cx + r[None, :] * jnp.cos(phi)[:, None]
     y = cy + r[None, :] * jnp.sin(phi)[:, None]
     if interp == "lanczos4":
-        return _resample_lanczos4(img, y, x)
+        return _resample_separable(
+            img, y, x, offsets=_lanczos4_tap_offsets(), weight_fn=_lanczos4_weights
+        )
     if interp == "bilinear":
-        return jax.scipy.ndimage.map_coordinates(
-            img, [y, x], order=1, mode="constant", cval=0.0
+        return _resample_separable(
+            img, y, x, offsets=np.arange(2), weight_fn=_bilinear_weights
         )
     raise ValueError(f"unknown interp {interp!r} (expected 'lanczos4' or 'bilinear')")

@@ -43,10 +43,14 @@ def measure_scan_slope(build, k_pair=(25, 100), *, reps: int = 7, warmup: int = 
     dispatches can be deduplicated below the client even when every buffer
     is fresh (a scan that carries state hits a value fixed-point after one
     rep, which is how a "chained" benchmark can still read back impossibly
-    fast) — and blocks on the result.  The per-item time is the slope
-    ``(T[k_hi] - T[k_lo]) / (k_hi - k_lo)`` of the median wall times, which
-    cancels the per-dispatch link overhead (RTT, dispatch setup) exactly;
-    dividing one chain's total by ``k`` would smear ~RTT/k into every item.
+    fast) — and MATERIALIZES a result to the host (``float()``/
+    ``np.asarray`` of a scalar checksum; ``jax.block_until_ready`` is NOT
+    sufficient — through the tunnelled backend it can return before the
+    device has executed, and only a host readback truly waits).  The
+    per-item time is the slope ``(T[k_hi] - T[k_lo]) / (k_hi - k_lo)`` of
+    the median wall times, which cancels the per-dispatch link overhead
+    (RTT, dispatch setup, readback sync) exactly; dividing one chain's
+    total by ``k`` would smear those constants into every item.
     """
     med = {}
     for k in k_pair:
@@ -212,7 +216,13 @@ def measure_device_chain_latency(
             tran_b = quat_rotate(ident, quat_rotate(ident, res.tran))
             ang = jnp.stack(rpy_from_matrix(matrix_from_quat(res.rot)))
             return new_state, (tran_b, ang, res.ok)
-        return jax.lax.scan(body, state, (frames, keys))
+        st, outs = jax.lax.scan(body, state, (frames, keys))
+        # scalar checksum — run() materializes it to the host, which is the
+        # only wait that is guaranteed to cover execution (see
+        # measure_scan_slope)
+        chk = (jnp.nansum(outs[0]) + jnp.nansum(outs[1])
+               + jnp.sum(outs[2].astype(jnp.float32)))
+        return st, chk
 
     def build(kk):
         frames = jnp.asarray(np.stack(make_latency_frames(kk)))
@@ -220,8 +230,8 @@ def measure_device_chain_latency(
         holder = {"state": engine.init_state()}
 
         def run(i):
-            st, outs = chain(holder["state"], frames, keys, jnp.float32(i) * 1e-3)
-            jax.block_until_ready(outs)
+            st, chk = chain(holder["state"], frames, keys, jnp.float32(i) * 1e-3)
+            float(chk)
             holder["state"] = st
 
         return run

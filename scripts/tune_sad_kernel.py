@@ -47,9 +47,10 @@ def measure_engine_scan(engine, k=256, reps=9, warmup=2):
     def chain(state, frames, bias):
         def body(st, frame):
             st, res = engine.step(st, frame + bias)
-            return st, (res.shifts, res.response)
+            return st, (jnp.nansum(res.shifts), jnp.sum(res.response))
 
-        return jax.lax.scan(body, state, frames)
+        st, outs = jax.lax.scan(body, state, frames)
+        return st, jnp.sum(outs[0]) + jnp.sum(outs[1])
 
     def build(kk):
         rng = np.random.default_rng(0)
@@ -60,8 +61,8 @@ def measure_engine_scan(engine, k=256, reps=9, warmup=2):
         holder = {"state": engine.init_state()}
 
         def run(i):
-            st, outs = chain(holder["state"], frames, jnp.float32(i) * 1e-2)
-            jax.block_until_ready(outs)
+            st, chk = chain(holder["state"], frames, jnp.float32(i) * 1e-2)
+            float(chk)  # host materialization — the only guaranteed wait
             holder["state"] = st
 
         return run

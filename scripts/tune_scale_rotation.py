@@ -51,15 +51,16 @@ def measure_step_scan(eng, k=128, reps=9, warmup=2):
             st, res = eng.step(st, frame + bias)
             return st, (res.scale, res.rotation)
 
-        return jax.lax.scan(body, state, frames)
+        st, outs = jax.lax.scan(body, state, frames)
+        return st, jnp.sum(outs[0]) + jnp.sum(outs[1])
 
     def build(kk):
         frames = jnp.asarray(_frames(kk, eng.config.resolution))
         holder = {"state": eng.init_state()}
 
         def run(i):
-            st, outs = chain(holder["state"], frames, jnp.float32(i) * 1e-2)
-            jax.block_until_ready(outs)
+            st, chk = chain(holder["state"], frames, jnp.float32(i) * 1e-2)
+            float(chk)  # host materialization — the only guaranteed wait
             holder["state"] = st
 
         return run
@@ -87,7 +88,8 @@ def measure_batch_carried(eng, b=16, t=24, reps=9, warmup=2):
                 lp, res = eng.step_batch_carried(lp, frames0 + bias + tick)
                 return lp, (res.scale, res.rotation)
 
-            return jax.lax.scan(body, lp, jnp.arange(tt, dtype=jnp.float32))
+            lp, outs = jax.lax.scan(body, lp, jnp.arange(tt, dtype=jnp.float32))
+            return lp, jnp.sum(outs[0]) + jnp.sum(outs[1])
 
         return chain
 
@@ -96,8 +98,8 @@ def measure_batch_carried(eng, b=16, t=24, reps=9, warmup=2):
         holder = {"lp": jax.vmap(eng._logpolar)(frames0)}
 
         def run(i):
-            lp, outs = chain(holder["lp"], jnp.float32(i) * 1e-2)
-            jax.block_until_ready(outs)
+            lp, chk = chain(holder["lp"], jnp.float32(i) * 1e-2)
+            float(chk)  # host materialization — the only guaranteed wait
             holder["lp"] = lp
 
         return run
