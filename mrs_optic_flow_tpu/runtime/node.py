@@ -907,19 +907,31 @@ class OpticFlowNode:
 
     def _record_overlay(self, stamp, gray, flow):
         """store_video equivalent (``src/FftMethod.cpp:1695-1704``,
-        ``:1895-1897``): flow-overlay frames into a native Recorder log at
-        ``video_path`` (raw timestamped frames instead of MPEG)."""
-        from mrs_optic_flow_tpu.runtime.viz import flow_overlay
+        ``:1895-1897``): flow-overlay frames written to ``video_path``.
+        A ``.ofrec`` path records a raw timestamped native-Recorder stream
+        (replayable by ``runtime.stream``); any other extension writes a
+        standard AVI video at ``video_fps`` (``viz.VideoWriter`` — the
+        ``cv::VideoWriter`` analogue, grayscale overlay like the reference's
+        ``isColor=false`` open at ``src/FftMethod.cpp:1697``)."""
+        from mrs_optic_flow_tpu.runtime.viz import VideoWriter, flow_overlay
 
         if not hasattr(self, "_recorder"):
             try:
-                from mrs_optic_flow_tpu import native
+                if self.config.video_path.endswith(".ofrec"):
+                    from mrs_optic_flow_tpu import native
 
-                self._recorder = native.Recorder(
-                    self.config.video_path,
-                    width=self.config.frame_size,
-                    height=self.config.frame_size,
-                )
+                    self._recorder = native.Recorder(
+                        self.config.video_path,
+                        width=self.config.frame_size,
+                        height=self.config.frame_size,
+                    )
+                else:
+                    self._recorder = VideoWriter(
+                        self.config.video_path,
+                        width=self.config.frame_size,
+                        height=self.config.frame_size,
+                        fps=self.config.video_fps,
+                    )
             except Exception as e:  # no toolchain / unwritable path
                 self.log(f"[OpticFlow]: could not open video recorder: {e}")
                 self._recorder = None
@@ -927,7 +939,18 @@ class OpticFlowNode:
             overlay = flow_overlay(
                 np.asarray(gray), np.asarray(flow.shifts), self.config.sample_point_size
             )
-            self._recorder.write(stamp, overlay)
+            if isinstance(self._recorder, VideoWriter):
+                self._recorder.write(overlay)  # AVI frames carry no stamp
+            else:
+                self._recorder.write(stamp, overlay)
+
+    def close(self):
+        """Release output sinks (the AVI writer's index is finalized here;
+        the file is kept valid after every frame regardless)."""
+        rec = getattr(self, "_recorder", None)
+        if rec is not None and hasattr(rec, "close"):
+            rec.close()
+        self._recorder = None
 
     def _publish_scale_rotation(self, stamp, sr, height):
         """Scale/rotation outputs (the reference's wiring at

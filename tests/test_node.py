@@ -153,6 +153,79 @@ def test_flow_overlay_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(back, img)
 
 
+def test_video_writer_avi_roundtrip(tmp_path, rng):
+    """viz.VideoWriter emits a standard AVI (cv::VideoWriter parity,
+    src/FftMethod.cpp:1695-1704) — conformance-read with OpenCV: bit-exact
+    frames, fps and frame count from the header."""
+    cv2 = pytest.importorskip("cv2")
+    from mrs_optic_flow_tpu.runtime.viz import VideoWriter
+
+    frames = [rng.integers(0, 255, size=(64, 64)).astype(np.uint8) for _ in range(4)]
+    p = str(tmp_path / "flow.avi")
+    with VideoWriter(p, 64, 64, fps=25.0) as w:
+        for fr in frames:
+            w.write(fr)
+    cap = cv2.VideoCapture(p)
+    assert cap.isOpened()
+    assert cap.get(cv2.CAP_PROP_FPS) == pytest.approx(25.0)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 4
+    for i, fr in enumerate(frames):
+        ok, img = cap.read()
+        assert ok, f"frame {i} unreadable"
+        np.testing.assert_array_equal(img, np.repeat(fr[..., None], 3, axis=-1))
+    ok, _ = cap.read()
+    assert not ok
+    cap.release()
+
+
+def test_video_writer_valid_without_close(tmp_path, rng):
+    """The header is patched after every frame, so a crash (no close()) still
+    leaves a readable file — same robustness need as the reference's
+    always-open cv::VideoWriter."""
+    cv2 = pytest.importorskip("cv2")
+    from mrs_optic_flow_tpu.runtime.viz import VideoWriter
+
+    frames = [rng.integers(0, 255, size=(64, 64)).astype(np.uint8) for _ in range(3)]
+    p = str(tmp_path / "crash.avi")
+    w = VideoWriter(p, 64, 64, fps=30.0)
+    for fr in frames:
+        w.write(fr)
+    w._f.flush()  # simulate death without close(): no idx1, header patched
+    cap = cv2.VideoCapture(p)
+    assert cap.isOpened()
+    n = 0
+    while True:
+        ok, img = cap.read()
+        if not ok:
+            break
+        np.testing.assert_array_equal(img[..., 0], frames[n])
+        n += 1
+    assert n == 3
+    cap.release()
+    w.close()
+
+
+def test_node_store_video_avi(tmp_path):
+    """store_video with a non-.ofrec path records the flow overlay as an AVI
+    video (the reference records MPEG at src/FftMethod.cpp:1895-1897)."""
+    cv2 = pytest.importorskip("cv2")
+    p = str(tmp_path / "overlay.avi")
+    published = []
+    node = _make_node(published, store_video=True, video_path=p, video_fps=30)
+    scene = SyntheticScene(uav_height=HEIGHT, seed=7)
+    stream = FrameStream(node)
+    scene.trajectory_events(stream, velocity=(0.4, 0.2), n_frames=4, dt=DT)
+    stream.run()
+    node.close()
+    cap = cv2.VideoCapture(p)
+    assert cap.isOpened()
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    assert n >= 3  # every processed frame after the seed
+    ok, img = cap.read()
+    assert ok and img.shape == (480, 480, 3)
+    cap.release()
+
+
 def test_profiler_collects():
     published = []
     node = _make_node(published)
