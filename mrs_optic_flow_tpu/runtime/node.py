@@ -586,7 +586,7 @@ class OpticFlowNode:
                 )
             if c.raw_output:
                 self.publish("points_raw_out", np.asarray(flow.shifts_raw))
-            if c.store_video:
+            if c.store_video or c.gui:
                 self._record_overlay(msg.stamp, gray, flow)
             summary = np.asarray(summary_dev)  # ONE readback: [ok, tran_b]
             if not bool(summary[0] > 0.5):
@@ -634,7 +634,7 @@ class OpticFlowNode:
                     self._publish_scale_rotation(msg.stamp, sr, height)
             if c.raw_output:
                 self.publish("points_raw_out", np.asarray(flow.shifts_raw))
-            if c.store_video:
+            if c.store_video or c.gui:
                 self._record_overlay(msg.stamp, gray, flow)
 
             # ONE readback: [ok, tran_b(3), ang(3), n_inliers, ang_diff]
@@ -690,7 +690,7 @@ class OpticFlowNode:
                 self._publish_scale_rotation(msg.stamp, sr, height)
         if c.raw_output:
             self.publish("points_raw_out", np.asarray(flow.shifts_raw))
-        if c.store_video:
+        if c.store_video or c.gui:
             self._record_overlay(msg.stamp, gray, flow)
 
         # ONE readback: [ok, tran_b(3), diff_b(3)]
@@ -906,15 +906,38 @@ class OpticFlowNode:
             )
 
     def _record_overlay(self, stamp, gray, flow):
-        """store_video equivalent (``src/FftMethod.cpp:1695-1704``,
-        ``:1895-1897``): flow-overlay frames written to ``video_path``.
-        A ``.ofrec`` path records a raw timestamped native-Recorder stream
-        (replayable by ``runtime.stream``); any other extension writes a
-        standard AVI video at ``video_fps`` (``viz.VideoWriter`` — the
-        ``cv::VideoWriter`` analogue, grayscale overlay like the reference's
-        ``isColor=false`` open at ``src/FftMethod.cpp:1697``)."""
+        """``gui`` / ``store_video`` outputs, one overlay render for both.
+
+        ``store_video`` (``src/FftMethod.cpp:1695-1704``, ``:1895-1897``):
+        flow-overlay frames written to ``video_path``.  A ``.ofrec`` path
+        records a raw timestamped native-Recorder stream (replayable by
+        ``runtime.stream``); any other extension writes a standard AVI video
+        at ``video_fps`` (``viz.VideoWriter`` — the ``cv::VideoWriter``
+        analogue, grayscale overlay like the reference's ``isColor=false``
+        open at ``src/FftMethod.cpp:1697``).
+
+        ``gui`` (``src/FftMethod.cpp:1886-1892``, window at
+        ``src/optic_flow.cpp:918-924``): live ``cv2.imshow`` of the overlay
+        when OpenCV and a display exist; disabled after the first failure
+        (headless hosts) instead of raising per frame."""
         from mrs_optic_flow_tpu.runtime.viz import VideoWriter, flow_overlay
 
+        c = self.config
+        overlay = None
+        if c.gui and not getattr(self, "_gui_failed", False):
+            overlay = flow_overlay(
+                np.asarray(gray), np.asarray(flow.shifts), c.sample_point_size
+            )
+            try:
+                import cv2
+
+                cv2.imshow("optic_flow", overlay)
+                cv2.waitKey(1)
+            except Exception as e:  # no OpenCV / no display
+                self.log(f"[OpticFlow]: gui disabled: {e}")
+                self._gui_failed = True
+        if not c.store_video:
+            return
         if not hasattr(self, "_recorder"):
             try:
                 if self.config.video_path.endswith(".ofrec"):
@@ -936,9 +959,10 @@ class OpticFlowNode:
                 self.log(f"[OpticFlow]: could not open video recorder: {e}")
                 self._recorder = None
         if self._recorder is not None:
-            overlay = flow_overlay(
-                np.asarray(gray), np.asarray(flow.shifts), self.config.sample_point_size
-            )
+            if overlay is None:
+                overlay = flow_overlay(
+                    np.asarray(gray), np.asarray(flow.shifts), c.sample_point_size
+                )
             if isinstance(self._recorder, VideoWriter):
                 self._recorder.write(overlay)  # AVI frames carry no stamp
             else:

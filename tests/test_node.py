@@ -226,6 +226,51 @@ def test_node_store_video_avi(tmp_path):
     cap.release()
 
 
+def test_node_gui_overlay(monkeypatch):
+    """gui: true shows the live overlay via cv2.imshow (the reference's
+    window at src/optic_flow.cpp:918-924, imshow src/FftMethod.cpp:1888)."""
+    import sys
+    import types
+
+    calls = []
+    fake = types.SimpleNamespace(
+        imshow=lambda name, img: calls.append((name, img.shape)),
+        waitKey=lambda ms: None,
+    )
+    monkeypatch.setitem(sys.modules, "cv2", fake)
+    node = _make_node([], gui=True)
+    scene = SyntheticScene(uav_height=HEIGHT, seed=9)
+    stream = FrameStream(node)
+    scene.trajectory_events(stream, velocity=(0.3, 0.1), n_frames=3, dt=DT)
+    stream.run()
+    assert calls, "imshow never called with gui: true"
+    assert calls[0][0] == "optic_flow" and calls[0][1] == (480, 480)
+
+
+def test_node_gui_headless_disables(monkeypatch):
+    """A failing imshow (headless host) disables the GUI after one attempt
+    instead of raising per frame."""
+    import sys
+    import types
+
+    def boom(*a):
+        raise RuntimeError("no display")
+
+    monkeypatch.setitem(sys.modules, "cv2",
+                        types.SimpleNamespace(imshow=boom, waitKey=lambda ms: None))
+    logs = []
+    from mrs_optic_flow_tpu.config import load_config as _lc
+    node = OpticFlowNode(_lc(overrides={"gui": True}),
+                         publish=lambda t, m: None, log=logs.append)
+    node.set_transforms((0.0, 0.0, 0.0, 1.0))
+    scene = SyntheticScene(uav_height=HEIGHT, seed=10)
+    stream = FrameStream(node)
+    scene.trajectory_events(stream, velocity=(0.3, 0.1), n_frames=3, dt=DT)
+    stream.run()  # no exception
+    assert getattr(node, "_gui_failed", False) is True
+    assert sum("gui disabled" in s for s in logs) == 1
+
+
 def test_profiler_collects():
     published = []
     node = _make_node(published)
