@@ -58,6 +58,12 @@ class ScaleRotationConfig:
     interp: str = "lanczos4"
     backend: str = "dft"  # dft (MXU matmul) | fft (XLA FFT)
     use_pallas: bool = True  # fused peak/centroid stage (useOCL analogue)
+    #: round incoming float grays to uint8 before the log-polar resample —
+    #: the reference feeds its 8-bit gray pipeline into ``cv::logPolar``
+    #: (``src/scaleRotationEstimator.cpp:108-113`` on the CV_8UC1 imCurr),
+    #: and 8-bit-exact inputs let the resample drop one of its three bf16
+    #: MXU passes (``ops/logpolar.py``)
+    quantize_8bit: bool = True
 
     @property
     def lp_res(self) -> int:
@@ -81,10 +87,25 @@ class ScaleRotationEstimator:
 
     # -- internals -----------------------------------------------------------
 
+    def _ingest(self, frame: jnp.ndarray) -> jnp.ndarray:
+        """Frame as resampled: rounded uint8 when ``quantize_8bit`` (the
+        reference's 8-bit pipeline; pass-through for already-8-bit input),
+        float32 otherwise — the same contract as ``FftMethod._ingest``."""
+        frame = jnp.asarray(frame)
+        if not self.config.quantize_8bit:
+            return frame.astype(jnp.float32)
+        if frame.dtype == jnp.uint8:
+            return frame
+        return jnp.clip(jnp.round(frame.astype(jnp.float32)), 0, 255).astype(
+            jnp.uint8
+        )
+
     def _logpolar(self, frame: jnp.ndarray) -> jnp.ndarray:
         c = self.config
+        # uint8 frames are exact in bf16, letting the resample drop one of
+        # its three MXU passes (ops/logpolar.py)
         return logpolar(
-            jnp.asarray(frame, jnp.float32),
+            self._ingest(frame),
             jnp.float32(self.m_eff),
             resolution=c.lp_res,
             interp=c.interp,

@@ -91,6 +91,7 @@ def _resample_separable(
     offsets: np.ndarray,
     weight_fn,
     rows_per_chunk: int = 8,
+    img_exact_bf16: bool = False,
 ) -> jnp.ndarray:
     """Sample ``img`` [H, W] at float coords (``y``, ``x``) [R, C] with a
     separable tap stencil via one-hot matmuls (module docstring).  Output
@@ -138,7 +139,11 @@ def _resample_separable(
             return jnp.einsum("yx,gcx->gyc", a, b,
                               preferred_element_type=jnp.float32)
 
-        t1 = ein(img_hi, wx_hi) + ein(img_hi, wx_lo) + ein(img_lo, wx_hi)
+        t1 = ein(img_hi, wx_hi) + ein(img_hi, wx_lo)
+        if not img_exact_bf16:
+            t1 = t1 + ein(img_lo, wx_hi)
+        # (8-bit integer frames are exact in bf16, so img_lo == 0 and its
+        # pass is dropped — the flow kernel's uint8-exact trick)
         # out[g, c] = sum_y wy_d[g, c, y] * T1[g, y, c]  (VPU reduce, f32)
         return jnp.einsum("gcy,gyc->gc", wy_d, t1)
 
@@ -166,6 +171,9 @@ def logpolar(
     """
     n = img.shape[-1]
     res = resolution or n
+    # 8-bit integer frames (the node's uint8 grayscale carry) are exact in
+    # bf16 — the resample drops its low-order image pass (1 of 3 MXU passes)
+    exact = jnp.issubdtype(img.dtype, jnp.integer) and img.dtype.itemsize == 1
     img = img.astype(jnp.float32)
     rho = jnp.arange(res, dtype=jnp.float32)
     phi = jnp.arange(res, dtype=jnp.float32) * (2.0 * jnp.pi / res)
@@ -176,10 +184,12 @@ def logpolar(
     y = cy + r[None, :] * jnp.sin(phi)[:, None]
     if interp == "lanczos4":
         return _resample_separable(
-            img, y, x, offsets=_lanczos4_tap_offsets(), weight_fn=_lanczos4_weights
+            img, y, x, offsets=_lanczos4_tap_offsets(),
+            weight_fn=_lanczos4_weights, img_exact_bf16=exact,
         )
     if interp == "bilinear":
         return _resample_separable(
-            img, y, x, offsets=np.arange(2), weight_fn=_bilinear_weights
+            img, y, x, offsets=np.arange(2), weight_fn=_bilinear_weights,
+            img_exact_bf16=exact,
         )
     raise ValueError(f"unknown interp {interp!r} (expected 'lanczos4' or 'bilinear')")

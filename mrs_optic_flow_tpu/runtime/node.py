@@ -132,6 +132,7 @@ class OpticFlowNode:
                     # the estimator shares the flow engine's fast-path knobs
                     # (the tpu: config block)
                     backend=c.backend, use_pallas=c.use_pallas,
+                    quantize_8bit=c.quantize_8bit,
                 )
             )
             self.scale_rot_state = self.scale_rotation_estimator.init_state()

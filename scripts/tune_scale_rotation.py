@@ -41,8 +41,10 @@ import numpy as np
 
 
 def _frames(k, n=480):
+    # uint8, like the node's grayscale carry — 8-bit-exact inputs let the
+    # log-polar resample drop one of its three MXU passes (ops/logpolar.py)
     rng = np.random.default_rng(0)
-    base = rng.integers(0, 255, size=(n, n)).astype(np.float32)
+    base = rng.integers(0, 255, size=(n, n), dtype=np.uint8)
     return np.stack([np.roll(base, 3 * i, axis=0) for i in range(k)])
 
 
@@ -57,7 +59,9 @@ def measure_step_scan(eng, k=128, reps=9, warmup=2):
     @jax.jit
     def chain(state, frames, bias):
         def body(st, frame):
-            st, res = eng.step(st, frame + bias)
+            # the value-distinct bias must not promote the uint8 frames to
+            # f32 (that would disable the resample's 8-bit-exact fast path)
+            st, res = eng.step(st, frame + bias.astype(frame.dtype))
             return st, (res.scale, res.rotation)
 
         st, outs = jax.lax.scan(body, state, frames)
@@ -68,7 +72,9 @@ def measure_step_scan(eng, k=128, reps=9, warmup=2):
         holder = {"state": eng.init_state()}
 
         def run(i):
-            st, chk = chain(holder["state"], frames, jnp.float32(i) * 1e-2)
+            # integer-valued bias: i*1e-2 would truncate to 0 in the uint8
+            # cast, losing the per-rep value-distinctness the link requires
+            st, chk = chain(holder["state"], frames, jnp.float32(1 + i))
             float(chk)  # host materialization — the only guaranteed wait
             holder["state"] = st
 
@@ -94,7 +100,9 @@ def measure_batch_carried(eng, b=16, t=24, reps=9, warmup=2):
         @jax.jit
         def chain(lp, bias):
             def body(lp, tick):
-                lp, res = eng.step_batch_carried(lp, frames0 + bias + tick)
+                # keep the frames uint8 (see measure_step_scan)
+                shifted = frames0 + (bias + tick).astype(frames0.dtype)
+                lp, res = eng.step_batch_carried(lp, shifted)
                 return lp, (res.scale, res.rotation)
 
             lp, outs = jax.lax.scan(body, lp, jnp.arange(tt, dtype=jnp.float32))
@@ -107,7 +115,8 @@ def measure_batch_carried(eng, b=16, t=24, reps=9, warmup=2):
         holder = {"lp": jax.vmap(eng._logpolar)(frames0)}
 
         def run(i):
-            lp, chk = chain(holder["lp"], jnp.float32(i) * 1e-2)
+            # integer-valued bias (see measure_step_scan)
+            lp, chk = chain(holder["lp"], jnp.float32(1 + i))
             float(chk)  # host materialization — the only guaranteed wait
             holder["lp"] = lp
 
@@ -125,11 +134,14 @@ def main():
 
     enable_persistent_cache()
     backend = jax.default_backend()
+    only = os.environ.get("BENCH_ONLY")  # comma-separated tag filter
     for tag, cfg in (
         ("lanczos4_480", ScaleRotationConfig(interp="lanczos4")),
         ("bilinear_480", ScaleRotationConfig(interp="bilinear")),
         ("lanczos4_lp256", ScaleRotationConfig(interp="lanczos4", lp_resolution=256)),
     ):
+        if only and tag not in only.split(","):
+            continue
         eng = ScaleRotationEstimator(cfg)
         row = {
             "metric": f"scale_rotation_{tag}_ms_per_frame",

@@ -61,6 +61,44 @@ def test_logpolar_lanczos4_matches_opencv(rng):
     assert np.abs(ours[sl] - ref[sl]).max() < 5.0
 
 
+@pytest.mark.parametrize("interp", ["lanczos4", "bilinear"])
+def test_logpolar_uint8_exact_fast_path(rng, interp):
+    """8-bit integer frames are exact in bf16, so the resample drops the
+    low-order image pass (2 MXU passes instead of 3) — the result must be
+    bit-identical to feeding the same values as float32 (the node's uint8
+    grayscale carry hits this path; see ``ops/logpolar.py``)."""
+    n, m = 128, 20.0
+    img_u8 = rng.integers(0, 255, size=(n, n), dtype=np.uint8)
+    out_u8 = np.asarray(
+        logpolar(jnp.asarray(img_u8), jnp.float32(m), interp=interp)
+    )
+    out_f32 = np.asarray(
+        logpolar(jnp.asarray(img_u8, jnp.float32), jnp.float32(m), interp=interp)
+    )
+    np.testing.assert_array_equal(out_u8, out_f32)
+
+
+def test_scale_rotation_quantize_ingest(rng):
+    """With ``quantize_8bit`` (default) the estimator rounds float grays to
+    the reference's 8U pixels before the log-polar resample, so a float
+    frame and its rounded uint8 image produce identical states; disabling
+    it keeps the float values."""
+    from mrs_optic_flow_tpu.models import ScaleRotationConfig, ScaleRotationEstimator
+
+    n = 64
+    f = rng.uniform(0, 255, size=(n, n)).astype(np.float32)
+    eng = ScaleRotationEstimator(ScaleRotationConfig(resolution=n, magnitude=12.0))
+    lp_f = eng._logpolar(jnp.asarray(f))
+    lp_u = eng._logpolar(jnp.asarray(np.clip(np.round(f), 0, 255), jnp.uint8))
+    np.testing.assert_array_equal(np.asarray(lp_f), np.asarray(lp_u))
+
+    eng_nq = ScaleRotationEstimator(
+        ScaleRotationConfig(resolution=n, magnitude=12.0, quantize_8bit=False)
+    )
+    lp_nq = eng_nq._logpolar(jnp.asarray(f))
+    assert np.abs(np.asarray(lp_nq) - np.asarray(lp_f)).max() > 0  # not rounded
+
+
 def test_logpolar_bad_interp():
     with pytest.raises(ValueError, match="interp"):
         logpolar(jnp.zeros((16, 16)), jnp.float32(5.0), interp="nearest")
