@@ -10,9 +10,11 @@ reproducible artifact.  Two measurements:
   readback per frame (``src/FftMethod.cpp:398-407``).  In this sandbox the
   device link is a tunnelled RPC, so the end-to-end number includes several
   ms of link overhead per round trip that on-host TPU serving would not pay.
-- **device-program-only**: the same per-frame chain scanned ``k`` times in
-  ONE dispatch (``lax.scan``, data-chained through the prev-frame state), so
-  ``total / k`` isolates the device program from per-dispatch link overhead.
+- **device-program-only**: the same per-frame chain run ``k`` and ``k/4``
+  times inside ONE dispatch (a ``lax.while_loop`` with a dynamic trip count,
+  data-chained through the prev-frame state; one compile covers both
+  lengths), per-frame time = the slope between the two — per-dispatch link
+  overhead cancels exactly (``benchlib.measure_scan_slope``).
 
 Prints ONE JSON line with both (milliseconds).  ``BENCH_LATENCY_FRAMES`` /
 ``BENCH_LATENCY_K`` override the sample counts.

@@ -510,6 +510,7 @@ def get_rt_batch(
     ok &= found
 
     multi = n_solutions > 1
+    ang_diff_rejected = found & multi & (best_diff > (jnp.pi / 4))
     ok &= jnp.where(multi, best_diff <= (jnp.pi / 4), True)
 
     nz_best = jnp.sum(normals[:, 2] * oh, axis=0)
@@ -538,4 +539,5 @@ def get_rt_batch(
         tran=tran_out,
         n_inliers=n_inl,
         ang_diff=best_diff,
+        ang_diff_rejected=ang_diff_rejected,
     )

@@ -83,6 +83,11 @@ class GetRTResult(NamedTuple):
     tran: jnp.ndarray  # [3] camera-frame velocity [m/s]
     n_inliers: jnp.ndarray  # scalar int32
     ang_diff: jnp.ndarray  # scalar: best IMU-consistency angle [rad]
+    #: True exactly when the reference would warn "Angle difference greater
+    #: than pi/4, skipping." — a solution was found, the homography had
+    #: multiple solutions, and the best angle exceeds pi/4
+    #: (src/optic_flow.cpp:682-684)
+    ang_diff_rejected: jnp.ndarray
 
 
 @functools.partial(
@@ -165,6 +170,7 @@ def get_rt(
 
     multi = dec.n_solutions > 1
     # pi/4 gate applies on the multi-solution path only (:682-684)
+    ang_diff_rejected = found & multi & (best_diff > (jnp.pi / 4))
     ok &= jnp.where(multi, best_diff <= (jnp.pi / 4), True)
 
     # inverseSolution <=> n_z >= 0 (:657-660); sign flip of t on the
@@ -188,6 +194,7 @@ def get_rt(
         tran=jnp.where(ok, tran, nant),
         n_inliers=hres.n_inliers,
         ang_diff=best_diff,
+        ang_diff_rejected=ang_diff_rejected,
     )
 
 

@@ -80,6 +80,12 @@ class FftMethodConfig:
         canonicalizes ``mxu_passes`` to an int: ``True == 1`` in Python, so
         a bool would collide with the 1-pass mode in every equality-keyed
         cache (frozen-dataclass ==, jit static args)."""
+        if self.backend not in ("dft", "fft"):
+            # fail at construction, not at the first traced step (the config
+            # layer's strict-load philosophy, src/optic_flow.cpp:1084-1087)
+            raise ValueError(
+                f"unknown backend {self.backend!r} (expected 'fft' or 'dft')"
+            )
         frame = self.frame_size - (self.frame_size % 2)
         patch = self.sample_point_size
         if frame % patch != 0:
@@ -145,12 +151,9 @@ class FftMethod(FlowEngine):
         float32 otherwise."""
         if not self.config.quantize_8bit:
             return jnp.asarray(frame, jnp.float32)
-        frame = jnp.asarray(frame)
-        if frame.dtype == jnp.uint8:
-            return frame
-        return jnp.clip(jnp.round(frame.astype(jnp.float32)), 0, 255).astype(
-            jnp.uint8
-        )
+        from mrs_optic_flow_tpu.ops.preprocess import quantize_u8
+
+        return quantize_u8(frame)
 
     def set_im_prev(self, state: FlowState, frame: jnp.ndarray) -> FlowState:
         """``OpticFlowCalc::setImPrev`` with the engine's carry dtype."""

@@ -91,14 +91,11 @@ class ScaleRotationEstimator:
         """Frame as resampled: rounded uint8 when ``quantize_8bit`` (the
         reference's 8-bit pipeline; pass-through for already-8-bit input),
         float32 otherwise — the same contract as ``FftMethod._ingest``."""
-        frame = jnp.asarray(frame)
         if not self.config.quantize_8bit:
-            return frame.astype(jnp.float32)
-        if frame.dtype == jnp.uint8:
-            return frame
-        return jnp.clip(jnp.round(frame.astype(jnp.float32)), 0, 255).astype(
-            jnp.uint8
-        )
+            return jnp.asarray(frame, jnp.float32)
+        from mrs_optic_flow_tpu.ops.preprocess import quantize_u8
+
+        return quantize_u8(frame)
 
     def _logpolar(self, frame: jnp.ndarray) -> jnp.ndarray:
         c = self.config

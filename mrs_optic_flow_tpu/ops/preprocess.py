@@ -31,6 +31,25 @@ def to_grayscale(img: jnp.ndarray, *, swap_rb: bool = True) -> jnp.ndarray:
     return jnp.tensordot(img.astype(jnp.float32), w, axes=([-1], [0]))
 
 
+def quantize_u8(frame: jnp.ndarray) -> jnp.ndarray:
+    """Round-and-saturate a float image to the reference's 8U pixels
+    (``cv::cvtColor`` output is CV_8UC1, ``src/optic_flow.cpp:1622``).
+
+    The single definition of the framework's 8-bit quantization: every
+    quantize-to-carry site (``FftMethod._ingest``,
+    ``ScaleRotationEstimator._ingest``, checkpoint resume) routes through
+    here so the rounding semantics can never desynchronize between the
+    engine carry, the log-polar ingest, and resume.  uint8 input passes
+    through untouched.
+    """
+    frame = jnp.asarray(frame)
+    if frame.dtype == jnp.uint8:
+        return frame
+    return jnp.clip(jnp.round(frame.astype(jnp.float32)), 0, 255).astype(
+        jnp.uint8
+    )
+
+
 def center_crop(img: jnp.ndarray, frame_size: int, cx: float) -> jnp.ndarray:
     """Crop a ``frame_size``-square region centred on ``(cx, H/2)``.
 

@@ -148,6 +148,17 @@ class FleetServer:
         if self._prev is not None and self._prev.shape[0] != self.n:
             raise ValueError("checkpoint frame batch does not match the stream count")
         if "prev_lp" in z and z["prev_lp"].size:
+            if self.scale_rotation is None:
+                raise ValueError(
+                    "checkpoint carries a log-polar state but this server has "
+                    "no scale_rotation estimator"
+                )
+            lp = self.scale_rotation.config.lp_res
+            if z["prev_lp"].shape != (self.n, lp, lp):
+                raise ValueError(
+                    f"checkpoint log-polar carry {z['prev_lp'].shape} does not "
+                    f"match this server's ({self.n}, {lp}, {lp})"
+                )
             self._prev_lp = jnp.asarray(z["prev_lp"])
         self._prev_stamps = z["prev_stamps"]
         self._seen = z["seen"].astype(bool)

@@ -345,8 +345,8 @@ class OpticFlowNode:
         RANSAC key stream evolves ON DEVICE (``key`` in, next key out — no
         host-side ``jax.random.split`` dispatch per frame) and every scalar
         the host needs afterwards is packed into ONE ``summary`` vector
-        ``[ok, tran_b(3), ang(3), n_inliers, ang_diff]`` for a single
-        readback.
+        ``[ok, tran_b(3), ang(3), n_inliers, ang_diff_rejected]`` for a
+        single readback.
         """
         c = self.config
         from mrs_optic_flow_tpu.geometry.motion import get_rt as _get_rt
@@ -383,7 +383,7 @@ class OpticFlowNode:
                 tran_b,
                 ang,
                 res.n_inliers.astype(jnp.float32)[None],
-                res.ang_diff[None],
+                res.ang_diff_rejected.astype(jnp.float32)[None],
             ])
             return new_state, key, gray, flow, summary
 
@@ -638,9 +638,16 @@ class OpticFlowNode:
             if c.store_video or c.gui:
                 self._record_overlay(msg.stamp, gray, flow)
 
-            # ONE readback: [ok, tran_b(3), ang(3), n_inliers, ang_diff]
+            # ONE readback: [ok, tran_b(3), ang(3), n_inliers, ang_diff_rejected]
             summary = np.asarray(summary_dev)
             if not bool(summary[0] > 0.5):
+                if bool(summary[8] > 0.5):
+                    # src/optic_flow.cpp:682-684 (throttled, 1 Hz)
+                    self.log_throttled(
+                        "angdiff",
+                        "[OpticFlow]: Angle difference greater than pi/4, "
+                        "skipping.",
+                    )
                 self._note_result(False)
                 return None
             tran_b = summary[1:4]
@@ -865,8 +872,9 @@ class OpticFlowNode:
             # e.g. a float32-carry checkpoint resumed into the 8-bit-carry
             # engine (tpu.quantize_8bit) or vice versa
             if proto.dtype == jnp.uint8:
-                prev = jnp.clip(jnp.round(prev.astype(jnp.float32)), 0, 255
-                                ).astype(jnp.uint8)
+                from mrs_optic_flow_tpu.ops.preprocess import quantize_u8
+
+                prev = quantize_u8(prev)
             else:
                 prev = prev.astype(proto.dtype)
         self.flow_state = FlowState(

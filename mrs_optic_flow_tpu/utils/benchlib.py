@@ -11,7 +11,6 @@ previous output) and every result is materialized on the host.
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Callable, Tuple
 
@@ -167,15 +166,23 @@ def measure_device_chain_latency(
     reps: int = 7,
     warmup: int = 2,
     mxu_passes: int | None = None,
+    config=None,
+    width: int = 752,
+    height: int = 480,
 ) -> dict:
     """Device-program-only per-frame latency of the full single-frame chain
     (grayscale -> crop -> FftMethod.step -> getRT -> detilt).
 
-    Chains ``k``- and ``k/4``-frame ``lax.scan`` programs and reports the
+    Chains the frame program ``k`` and ``k/4`` times and reports the
     per-frame SLOPE between the two (:func:`measure_scan_slope`) — the
     per-dispatch host/tunnel overhead that dominates single-frame RPC timing
     cancels exactly, and a per-rep scalar bias keeps every dispatch
-    value-distinct so nothing can be deduplicated below the client."""
+    value-distinct so nothing can be deduplicated below the client.  The
+    chain is ONE compiled program with a *dynamic* trip count
+    (``lax.while_loop`` indexing a fixed frame stack), so both lengths share
+    a single compile — under a backend that cannot persist executables (the
+    tunnelled axon plugin) the two-``lax.scan`` formulation paid the large
+    fused program's compile twice per process."""
     import jax
     import jax.numpy as jnp
 
@@ -188,65 +195,79 @@ def measure_device_chain_latency(
     from mrs_optic_flow_tpu.models import FftMethod, FftMethodConfig
     from mrs_optic_flow_tpu.ops.preprocess import center_crop, to_grayscale
 
-    ecfg = FftMethodConfig() if mxu_passes is None else FftMethodConfig(
-        mxu_passes=mxu_passes
-    )
+    if config is not None:
+        ecfg = config
+    elif mxu_passes is None:
+        ecfg = FftMethodConfig()
+    else:
+        ecfg = FftMethodConfig(mxu_passes=mxu_passes)
     engine = FftMethod(ecfg)
     frame_size = engine.config.frame_size
     patch = engine.config.sample_point_size
-    cx = 376
+    cx = width // 2
     ul_x = jnp.float32(cx - frame_size // 2)
     cam = jnp.asarray(
-        [[420.0, 0, 376.0], [0, 420.0, 240.0], [0, 0, 1.0]], jnp.float32
+        [[420.0, 0, float(cx)], [0, 420.0, height / 2.0], [0, 0, 1.0]],
+        jnp.float32,
     )
     dist = jnp.zeros((5,), jnp.float32)
     ident = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32)
-    height = jnp.float32(2.0)
+    alt_m = jnp.float32(2.0)  # UAV height above ground
     dtv = jnp.float32(0.02)
 
     @jax.jit
-    def chain(state, frames, keys, bias):
-        def body(st, xs):
-            img, key = xs
+    def chain(state, frames, keys, bias, n):
+        def body(carry):
+            i, st, acc = carry
+            img = jax.lax.dynamic_index_in_dim(frames, i, keepdims=False)
+            key = jax.lax.dynamic_index_in_dim(keys, i, keepdims=False)
             gray = center_crop(to_grayscale(img), frame_size, cx) + bias
             new_state, flow = engine.step(st, gray)
             res = get_rt(
-                flow.shifts, height, dtv, ul_x, cam, dist, ident, ident, key,
+                flow.shifts, alt_m, dtv, ul_x, cam, dist, ident, ident, key,
                 frame_size=frame_size, patch=patch,
             )
             tran_b = quat_rotate(ident, quat_rotate(ident, res.tran))
             ang = jnp.stack(rpy_from_matrix(matrix_from_quat(res.rot)))
-            return new_state, (tran_b, ang, res.ok)
-        st, outs = jax.lax.scan(body, state, (frames, keys))
+            acc = (acc + jnp.nansum(tran_b) + jnp.nansum(ang)
+                   + jnp.sum(res.ok.astype(jnp.float32)))
+            return i + 1, new_state, acc
         # scalar checksum — run() materializes it to the host, which is the
         # only wait that is guaranteed to cover execution (see
         # measure_scan_slope)
-        chk = (jnp.nansum(outs[0]) + jnp.nansum(outs[1])
-               + jnp.sum(outs[2].astype(jnp.float32)))
+        _, st, chk = jax.lax.while_loop(
+            lambda c: c[0] < n, body, (jnp.int32(0), state, jnp.float32(0.0))
+        )
         return st, chk
 
-    @functools.partial(jax.jit, static_argnames=("kk",))
-    def _make_frames(key, kk):
+    @jax.jit
+    def _make_frames(key):
         # distinct uint8 BGR frames generated ON DEVICE: this sandbox's single
         # weak vCPU and slow tunnelled link would otherwise spend minutes
         # synthesizing + uploading the ~100 MB stack (host-side costs that
         # don't belong in a device-program latency number)
-        g = jax.random.bits(key, (kk, 480, 752), jnp.uint8)
+        g = jax.random.bits(key, (k, height, width), jnp.uint8)
         return jnp.repeat(g[..., None], 3, axis=-1)
 
+    frames = _make_frames(jax.random.PRNGKey(1))
+    keys = jax.random.split(jax.random.PRNGKey(0), k)
+
     def build(kk):
-        frames = _make_frames(jax.random.PRNGKey(1), kk)
-        keys = jax.random.split(jax.random.PRNGKey(0), kk)
         holder = {"state": engine.init_state()}
 
         def run(i):
-            st, chk = chain(holder["state"], frames, keys, jnp.float32(i) * 1e-3)
+            st, chk = chain(holder["state"], frames, keys,
+                            jnp.float32(i) * 1e-3, jnp.int32(kk))
             float(chk)
             holder["state"] = st
 
         return run
 
-    slope = measure_scan_slope(build, (max(k // 4, 8), k), reps=reps, warmup=warmup)
+    if k < 2:
+        raise ValueError(f"k must be >= 2 to fit a slope, got {k}")
+    # k_lo stays strictly below k (and within the k-frame stack both chain
+    # lengths share), so the slope denominator can never degenerate
+    slope = measure_scan_slope(build, (max(k // 4, 1), k), reps=reps, warmup=warmup)
     return {
         "k": k,
         "per_frame_ms": slope["per_item_ms"],

@@ -87,6 +87,13 @@ def test_config_normalization():
     assert cfg.sample_point_size == 480  # not a divisor -> one window (:1710-1716)
 
 
+def test_bad_backend_rejected_at_construction():
+    import pytest
+
+    with pytest.raises(ValueError, match="backend"):
+        FftMethod(FftMethodConfig(backend="nope"))
+
+
 def test_pallas_engine_equivalence(rng):
     """use_pallas toggle is the useOCL analogue: both paths agree."""
     f0 = smooth_random_image(rng, 480)

@@ -217,3 +217,40 @@ def test_fleet_scale_rotation_hook(rng):
     bad = ScaleRotationEstimator(ScaleRotationConfig(resolution=48))
     with _pytest.raises(ValueError, match="resolution"):
         FleetServer(_pipeline(), n, scale_rotation=bad)
+
+
+def test_fleet_checkpoint_logpolar_carry_validated(tmp_path, rng):
+    """A checkpoint carrying a log-polar state is refused at load time when
+    the receiving server has no scale/rotation estimator or a different
+    log-polar geometry — instead of crashing deep inside the next tick."""
+    import pytest as _pytest
+
+    from mrs_optic_flow_tpu.models import ScaleRotationConfig, ScaleRotationEstimator
+
+    n = 2
+    base = (smooth_random_image(rng, 64) * 127 + 128).astype(np.uint8)
+    heights = np.full(n, 2.0)
+    sr = ScaleRotationEstimator(ScaleRotationConfig(resolution=64, magnitude=15.0))
+    a = FleetServer(_pipeline(), n, scale_rotation=sr)
+    a.tick(np.stack([base] * n), np.zeros(n), heights)
+    path = str(tmp_path / "fleet_lp.npz")
+    a.save_state(path)
+
+    # same geometry resumes fine
+    b = FleetServer(_pipeline(), n, scale_rotation=sr)
+    b.load_state(path)
+    t = b.tick(np.stack([base] * n), np.full(n, 0.1), heights).materialize()
+    assert t.scale.shape == (n,)
+
+    # no estimator on the receiving server
+    c = FleetServer(_pipeline(), n)
+    with _pytest.raises(ValueError, match="scale_rotation"):
+        c.load_state(path)
+
+    # different log-polar geometry
+    sr_small = ScaleRotationEstimator(
+        ScaleRotationConfig(resolution=64, lp_resolution=32, magnitude=15.0)
+    )
+    d = FleetServer(_pipeline(), n, scale_rotation=sr_small)
+    with _pytest.raises(ValueError, match="log-polar"):
+        d.load_state(path)
