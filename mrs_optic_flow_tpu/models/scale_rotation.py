@@ -72,6 +72,17 @@ class ScaleRotationConfig:
 
 class ScaleRotationEstimator:
     def __init__(self, config: ScaleRotationConfig = ScaleRotationConfig()):
+        # fail at construction, not at the first traced step (the same
+        # strict-load discipline as FftMethodConfig.normalized())
+        if config.backend not in ("dft", "fft"):
+            raise ValueError(
+                f"unknown backend {config.backend!r} (expected 'fft' or 'dft')"
+            )
+        if config.interp not in ("lanczos4", "bilinear"):
+            raise ValueError(
+                f"unknown interp {config.interp!r} "
+                "(expected 'lanczos4' or 'bilinear')"
+            )
         self.config = config
         r = config.lp_res / config.resolution
         #: effective optimM at the log-polar resolution

@@ -45,9 +45,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.lru_cache(maxsize=None)
-def _lanczos4_tap_offsets() -> np.ndarray:
-    return np.arange(-3, 5)  # 8 taps around floor(coord)
+#: the 8 Lanczos-4 taps around floor(coord)
+_LANCZOS4_OFFSETS = np.arange(-3, 5)
 
 
 def _lanczos4_weights(frac: jnp.ndarray) -> jnp.ndarray:
@@ -55,7 +54,7 @@ def _lanczos4_weights(frac: jnp.ndarray) -> jnp.ndarray:
     ``frac`` in [0, 1).  ``L(t) = sinc(t) * sinc(t/4)`` for ``|t| < 4``;
     per-sample normalization to unit sum mirrors OpenCV's
     ``interpolateLanczos4`` coefficient tables."""
-    t = frac[..., None] - jnp.asarray(_lanczos4_tap_offsets(), jnp.float32)
+    t = frac[..., None] - jnp.asarray(_LANCZOS4_OFFSETS, jnp.float32)
     # jnp.sinc is the normalized sinc: sin(pi t)/(pi t), sinc(0) = 1
     w = jnp.sinc(t) * jnp.sinc(t / 4.0)
     return w / jnp.sum(w, axis=-1, keepdims=True)
@@ -184,7 +183,7 @@ def logpolar(
     y = cy + r[None, :] * jnp.sin(phi)[:, None]
     if interp == "lanczos4":
         return _resample_separable(
-            img, y, x, offsets=_lanczos4_tap_offsets(),
+            img, y, x, offsets=_LANCZOS4_OFFSETS,
             weight_fn=_lanczos4_weights, img_exact_bf16=exact,
         )
     if interp == "bilinear":
