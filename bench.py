@@ -112,13 +112,21 @@ def main():
         return (jax.random.bits(kp, shape, jnp.uint8),
                 jax.random.bits(kc, shape, jnp.uint8))
 
-    prev, curr = _make_inputs(jax.random.PRNGKey(0))
-
     record = {
         "metric": "flow_frame_pairs_per_sec",
         "unit": "fps",
         "mxu_passes": passes,
     }
+    try:
+        # first device touch: a wedged pool hangs HERE (inside backend init),
+        # not in the measurement — name the phase so an infra failure can't
+        # be mistaken for a perf regression
+        prev, curr = _make_inputs(jax.random.PRNGKey(0))
+        record["backend"] = jax.default_backend()
+    except Exception as e:  # noqa: BLE001 — init must report, whatever broke
+        record["error"] = f"device init failed: {type(e).__name__}: {e}"
+        print(json.dumps(record))
+        raise SystemExit(1)
     try:
         fps = _measure_fps(passes, prev, curr)
         record["value"] = round(fps, 1)
