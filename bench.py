@@ -25,20 +25,15 @@ Prints ONE JSON line:
 
 import json
 import os
-import signal
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # fail fast instead of hanging the driver if the device link is wedged —
 # with a raising handler so partial results still print as the JSON line
-def _timeout(signum, frame):
-    raise TimeoutError("BENCH_TIMEOUT_S exceeded")
+from bench_guard import install_alarm
 
-
-signal.signal(signal.SIGALRM, _timeout)
-_BUDGET_S = int(os.environ.get("BENCH_TIMEOUT_S", "540"))
-signal.alarm(_BUDGET_S)
+_BUDGET_S = install_alarm(540)
 
 import time
 
@@ -133,6 +128,12 @@ def main():
         record["vs_baseline"] = round(fps / BASELINE_FPS, 3)
     except TimeoutError as e:
         record["error"] = str(e)
+        print(json.dumps(record))
+        raise SystemExit(1)
+    except Exception as e:  # noqa: BLE001 — the one-JSON-line contract
+        # holds for every phase: a transient runtime/RPC failure mid-headline
+        # must still print a parseable record naming the failing phase
+        record["error"] = f"headline failed: {type(e).__name__}: {e}"
         print(json.dumps(record))
         raise SystemExit(1)
     # the optional sections each pay fresh compiles (the tunnelled axon

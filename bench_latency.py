@@ -22,19 +22,15 @@ Prints ONE JSON line with both (milliseconds).  ``BENCH_LATENCY_FRAMES`` /
 
 import json
 import os
-import signal
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # a raising handler (not the default SIGALRM kill) so a wedged device link
 # still yields a JSON error line instead of a silent 142 exit
-def _timeout(signum, frame):
-    raise TimeoutError("BENCH_TIMEOUT_S exceeded")
+from bench_guard import install_alarm
 
-
-signal.signal(signal.SIGALRM, _timeout)
-signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "540")))
+install_alarm(540)
 
 import jax  # noqa: E402
 

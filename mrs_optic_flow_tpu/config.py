@@ -110,6 +110,15 @@ class OpticFlowConfig:
     #: carry imPrev as 8-bit grayscale like the reference's 8U pipeline
     #: (src/optic_flow.cpp:1597, src/FftMethod.cpp:1872); False = float32
     quantize_8bit: bool = True
+    #: log-polar interpolator: lanczos4 (the reference's INTER_LANCZOS4,
+    #: src/scaleRotationEstimator.cpp:113) | bilinear (cheaper; accuracy
+    #: delta quantified in tests/test_logpolar.py)
+    scale_rot_interp: str = "lanczos4"
+    #: log-polar image size; 0 = frame_size (the reference's square
+    #: geometry). Smaller trades decode granularity for speed — decode
+    #: constants rescale so the configured magnitude semantics hold
+    #: (docs/PERFORMANCE.md row)
+    scale_rot_lp_resolution: int = 0
 
     # ---- derived (filled by loader) ----
     sample_point_size_lr: int = 0  # = 2 * sample_point_size (src/optic_flow.cpp:876)
@@ -218,6 +227,9 @@ def load_config(
         scale_rotation=bool(_require(tree, "scale_rotation")),
         scale_rot_magnitude=float(_require(tree, "scale_rot_magnitude")),
         scale_rot_output=str(_require(tree, "scale_rot_output")),
+        # optional (YAML comments document them next to the required trio)
+        scale_rot_interp=str(tree.get("scale_rot_interp", "lanczos4")),
+        scale_rot_lp_resolution=int(tree.get("scale_rot_lp_resolution", 0)),
         store_video=bool(_require(tree, "store_video")),
         video_path=str(_require(tree, "video_path")),
         video_fps=int(_require(tree, "video_fps")),

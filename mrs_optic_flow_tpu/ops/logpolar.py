@@ -143,8 +143,12 @@ def _resample_separable(
             t1 = t1 + ein(img_lo, wx_hi)
         # (8-bit integer frames are exact in bf16, so img_lo == 0 and its
         # pass is dropped — the flow kernel's uint8-exact trick)
-        # out[g, c] = sum_y wy_d[g, c, y] * T1[g, y, c]  (VPU reduce, f32)
-        return jnp.einsum("gcy,gyc->gc", wy_d, t1)
+        # out[g, c] = sum_y wy_d[g, c, y] * T1[g, y, c] — pinned to HIGHEST:
+        # if XLA routes this batched dot to the MXU, default precision would
+        # round both f32 operands to bf16 (~4e-3 relative), silently undoing
+        # the hi/lo split above; as a VPU f32 multiply-reduce the pin is free
+        return jnp.einsum("gcy,gyc->gc", wy_d, t1,
+                          precision=jax.lax.Precision.HIGHEST)
 
     out = jax.lax.map(
         _one, (_chunks(y0i), _chunks(x0i), _chunks(wy), _chunks(wx))

@@ -129,6 +129,8 @@ class OpticFlowNode:
             self.scale_rotation_estimator = ScaleRotationEstimator(
                 ScaleRotationConfig(
                     resolution=c.frame_size, magnitude=c.scale_rot_magnitude,
+                    interp=c.scale_rot_interp,
+                    lp_resolution=c.scale_rot_lp_resolution or None,
                     # the estimator shares the flow engine's fast-path knobs
                     # (the tpu: config block)
                     backend=c.backend, use_pallas=c.use_pallas,

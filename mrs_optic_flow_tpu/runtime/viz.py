@@ -90,6 +90,7 @@ class VideoWriter:
         self.fps = float(fps)
         self._n = 0
         self._index = []  # (offset_in_movi, size) per frame
+        self._movi_bytes = 0  # running chunk-byte total inside 'movi'
         self._f = open(path, "wb")
         self._write_header_placeholder()
 
@@ -171,6 +172,7 @@ class VideoWriter:
         offset = self._f.tell() - (self._movi_list_pos + 8)
         self._f.write(self._fourcc("00db") + self._u32(len(payload)) + payload)
         self._index.append((offset, len(payload)))
+        self._movi_bytes += 8 + len(payload)
         self._n += 1
         # patch the header after EVERY frame so the file is valid even if the
         # process dies without close() — the node records indefinitely and the
@@ -184,8 +186,10 @@ class VideoWriter:
         f.seek(4)
         f.write(self._u32(end - 8))                      # RIFF size
         f.seek(self._movi_list_pos + 4)
-        movi_end = min(end, self._movi_list_pos + 12
-                       + sum(8 + s for _, s in self._index))
+        # running total, not a sum over the index — the header is patched
+        # after EVERY frame and a per-frame O(frames) walk turns a long
+        # recording quadratic
+        movi_end = min(end, self._movi_list_pos + 12 + self._movi_bytes)
         f.write(self._u32(movi_end - (self._movi_list_pos + 8)))  # movi size
         f.seek(32 + 16)                                  # avih dwTotalFrames
         f.write(self._u32(self._n))

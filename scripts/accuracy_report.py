@@ -11,25 +11,14 @@ interpret-mode Pallas on CPU).
 """
 
 import os
-import signal
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# the sandbox pins JAX_PLATFORMS=axon, which plain scripts cannot resolve;
-# clear exactly that (preserving deliberate overrides like "cpu")
-if os.environ.get("JAX_PLATFORMS") == "axon":
-    os.environ["JAX_PLATFORMS"] = ""
+from bench_guard import clear_axon_env, install_alarm
 
-
-def _alarm(_sig, _frm):
-    print("TIMED OUT (TPU claim wait or compiles exceeded the budget) — "
-          "any table above is PARTIAL", flush=True)
-    os._exit(142)
-
-
-signal.signal(signal.SIGALRM, _alarm)
-signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "540")))
+clear_axon_env()
+install_alarm(540)
 
 import jax
 import jax.numpy as jnp
@@ -101,4 +90,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except TimeoutError:
+        # raised by the bench_guard alarm: unwind (releasing the device
+        # claim cleanly — os._exit here would wedge the pool) and mark the
+        # output as incomplete
+        print("TIMED OUT (TPU claim wait or compiles exceeded the budget) — "
+              "any table above is PARTIAL", flush=True)
+        raise SystemExit(142)

@@ -8,26 +8,14 @@ Usage: python scripts/tpu_smoke.py
 """
 
 import os
-import signal
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# the sandbox pins JAX_PLATFORMS=axon, which plain scripts cannot resolve;
-# clear exactly that (preserving deliberate overrides like "cpu")
-if os.environ.get("JAX_PLATFORMS") == "axon":
-    os.environ["JAX_PLATFORMS"] = ""
+from bench_guard import clear_axon_env, install_alarm
 
-
-# a raising handler, NOT the default SIGALRM disposition: the default is a
-# process kill, and a client killed while holding/waiting on the device-pool
-# claim wedges the pool for every later process (verify SKILL.md)
-def _timeout(signum, frame):
-    raise TimeoutError("BENCH_TIMEOUT_S exceeded")
-
-
-signal.signal(signal.SIGALRM, _timeout)
-signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "560")))
+clear_axon_env()
+install_alarm(560)
 
 import numpy as np
 

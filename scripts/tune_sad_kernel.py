@@ -20,24 +20,14 @@ Usage: python scripts/tune_sad_kernel.py   (prints one JSON line per config)
 
 import json
 import os
-import signal
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# the sandbox pins JAX_PLATFORMS=axon, which plain scripts cannot resolve;
-# clear exactly that (preserving deliberate overrides like "cpu")
-if os.environ.get("JAX_PLATFORMS") == "axon":
-    os.environ["JAX_PLATFORMS"] = ""
-def _timeout(signum, frame):
-    # raising (not the default SIGALRM kill) lets python unwind and
-    # release the device claim cleanly — a killed client wedges the
-    # pool for ~25 min
-    raise TimeoutError("BENCH_TIMEOUT_S exceeded")
+from bench_guard import clear_axon_env, install_alarm
 
-
-signal.signal(signal.SIGALRM, _timeout)
-signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "560")))
+clear_axon_env()
+install_alarm(560)
 
 import numpy as np
 

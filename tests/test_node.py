@@ -419,6 +419,28 @@ def test_scale_rotation_through_node():
     assert abs(sr[-1]["yaw_rate"]) < 0.5
 
 
+def test_scale_rotation_yaml_knobs():
+    """scale_rot_interp / scale_rot_lp_resolution reach the estimator from
+    the YAML surface (CLAUDE.md parity-knob convention) and drive end to
+    end."""
+    published = []
+    node = _make_node(
+        published,
+        scale_rotation=True,
+        scale_rot_interp="bilinear",
+        scale_rot_lp_resolution=32,
+    )
+    est = node.scale_rotation_estimator
+    assert est.config.interp == "bilinear"
+    assert est.config.lp_res == 32
+    scene = SyntheticScene(uav_height=HEIGHT, seed=23)
+    stream = FrameStream(node)
+    scene.trajectory_events(stream, velocity=(0.0, 0.0), n_frames=3, dt=DT)
+    stream.run()
+    sr = [m for t, m in published if t == "scale_rotation_out"]
+    assert len(sr) >= 1 and abs(sr[-1]["scale"] - 1.0) < 0.15
+
+
 def test_stream_event_ordering():
     """FrameStream dispatches strictly by stamp regardless of add order."""
     from mrs_optic_flow_tpu.runtime.stream import FrameStream as FS
