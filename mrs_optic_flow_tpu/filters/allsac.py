@@ -93,9 +93,14 @@ def allsac_mean_1d(
     bm = members.reshape(n * n, n)[best]
     w = bm.astype(v.dtype)
     consensus = jnp.sum(v * w) / jnp.maximum(jnp.sum(w), 1.0)
-    fallback = jnp.sum(v * valid) / jnp.maximum(jnp.sum(valid), 1.0)
-    few = jnp.sum(valid) <= 2
-    return jnp.where(few, fallback, consensus), jnp.where(few, jnp.sum(valid), flat[best])
+    # zero valid values => NaN, not a fabricated 0.0 — the reference's
+    # calcMean over an empty vector is 0/0 (src/utilityFunctions.cpp:105-142)
+    n_valid = jnp.sum(valid)
+    fallback = jnp.where(
+        n_valid > 0, jnp.sum(v * valid) / jnp.maximum(n_valid, 1.0), jnp.nan
+    )
+    few = n_valid <= 2
+    return jnp.where(few, fallback, consensus), jnp.where(few, n_valid, flat[best])
 
 
 @functools.partial(jax.jit, static_argnames=("num_of_chosen", "num_of_iterations"))

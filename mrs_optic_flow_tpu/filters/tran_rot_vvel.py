@@ -94,10 +94,13 @@ def estimate_tran_rot_vvel(
     r_valid = jnp.isfinite(r_est)
     s_valid = jnp.isfinite(s_est)
 
-    # yaw rate: mean of r_est / (duration * a)  (:461-466)
+    # yaw rate: mean of r_est / (duration * a)  (:461-466); with zero valid
+    # estimates the reference divides by size()==0 -> NaN (invalid => NaN),
+    # not a fabricated 0 rad/s
     rot = jnp.sum(jnp.where(r_valid, r_est, 0.0)) / (
         jnp.maximum(jnp.sum(r_valid), 1) * duration * a
     )
+    rot = jnp.where(jnp.any(r_valid), rot, jnp.nan)
     # climb rate: mean of s_est * range / (duration * a)  (:469-478)
     vvel = (
         jnp.sum(jnp.where(s_valid, s_est, 0.0))
@@ -105,6 +108,7 @@ def estimate_tran_rot_vvel(
         * range_
         / (duration * a)
     )
+    vvel = jnp.where(jnp.any(s_valid), vvel, jnp.nan)
 
     rot = jnp.where(jnp.abs(rot) > max_yaw_speed, jnp.nan, rot)  # (:483-485)
     vvel = jnp.where(jnp.abs(vvel) > max_vert_speed, jnp.nan, vvel)  # (:487-489)

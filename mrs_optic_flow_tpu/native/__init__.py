@@ -204,10 +204,18 @@ def bgr_to_gray(img: np.ndarray, swap_rb: bool = True) -> np.ndarray:
     return out
 
 
+def _check_crop(size: int, h: int, w: int) -> None:
+    # the C side clamps origins into bounds but cannot satisfy a window
+    # larger than the image — reject it here instead of reading garbage
+    if size > w or size > h:
+        raise ValueError(f"crop size {size} exceeds image {w}x{h}")
+
+
 def crop(img: np.ndarray, cx: int, cy: int, size: int) -> np.ndarray:
     lib = load()
     img = np.ascontiguousarray(img, np.uint8)
     h, w = img.shape
+    _check_crop(size, h, w)
     out = np.empty((size, size), np.uint8)
     lib.ofp_crop(img, h, w, cx, cy, size, out)
     return out
@@ -218,6 +226,7 @@ def gray_crop(img: np.ndarray, cx: int, cy: int, size: int, swap_rb: bool = True
     lib = load()
     img = np.ascontiguousarray(img, np.uint8)
     h, w, _ = img.shape
+    _check_crop(size, h, w)
     out = np.empty((size, size), np.uint8)
     lib.ofp_gray_crop(img, h, w, cx, cy, size, int(swap_rb), out)
     return out

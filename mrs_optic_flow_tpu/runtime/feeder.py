@@ -39,6 +39,18 @@ class NativeFeeder:
         self.height = height
         self.realtime = realtime
         self.swap_rb = swap_rb
+        # the fused native gray+crop has no resize stage: with a scale
+        # factor the node expects a downscaled frame cropped at the SCALED
+        # principal point, and the feeder's full-resolution crop would be
+        # silently accepted by the node's pre-cropped fast path with the
+        # wrong FOV — fail loudly instead (feed raw frames to the node's
+        # own on-device resize path in that configuration)
+        if abs(node.config.scale_factor - 1.0) > 0.01:
+            raise ValueError(
+                "NativeFeeder does not support scale_factor != 1 "
+                f"(got {node.config.scale_factor}); feed raw frames to "
+                "OpticFlowNode.on_image instead"
+            )
         self.queue = native.FrameQueue(capacity, (height, width, 3))
         self.frames_fed = 0
         self.frames_skipped = 0
@@ -60,9 +72,21 @@ class NativeFeeder:
     def _preprocess(self, frame: np.ndarray) -> np.ndarray:
         cam = self.node.camera_matrix
         cx = int(cam[0, 2]) if cam is not None else self.width // 2
+        size = self.node.config.frame_size
+        # the native crop clamps its origin into bounds, but the node's
+        # geometry uses the UNCLAMPED ul_x = cx - size/2: if the window
+        # doesn't fit as-is the two silently disagree and every grid
+        # coordinate is biased — fail loudly like the device path would
+        x0 = cx - size // 2
+        y0 = self.height // 2 - size // 2
+        if x0 < 0 or x0 + size > self.width or y0 < 0 or y0 + size > self.height:
+            raise ValueError(
+                f"frame_size {size} crop at cx={cx} does not fit the "
+                f"{self.width}x{self.height} capture; the clamped native "
+                "crop would disagree with the node's crop geometry"
+            )
         return native.gray_crop(
-            frame, cx=cx, cy=self.height // 2,
-            size=self.node.config.frame_size, swap_rb=self.swap_rb,
+            frame, cx=cx, cy=self.height // 2, size=size, swap_rb=self.swap_rb,
         )
 
     def feed_once(self) -> bool:

@@ -189,12 +189,15 @@ void ofp_bgr_to_gray(const std::uint8_t* src, int h, int w, std::uint8_t* dst,
 // centred crop: size x size window at (cx - size/2, cy - size/2), clamped.
 void ofp_crop(const std::uint8_t* src, int h, int w, int cx, int cy, int size,
               std::uint8_t* dst) {
+  // clamp the window into bounds; the >= 0 clamp comes LAST so a size
+  // larger than the image can never drive the origin negative (an
+  // out-of-bounds read) — the Python wrappers reject size > w/h up front
   int x0 = cx - size / 2;
   int y0 = cy - size / 2;
-  if (x0 < 0) x0 = 0;
-  if (y0 < 0) y0 = 0;
   if (x0 + size > w) x0 = w - size;
   if (y0 + size > h) y0 = h - size;
+  if (x0 < 0) x0 = 0;
+  if (y0 < 0) y0 = 0;
   for (int y = 0; y < size; ++y)
     std::memcpy(dst + static_cast<std::size_t>(y) * size,
                 src + static_cast<std::size_t>(y0 + y) * w + x0, size);
@@ -207,12 +210,15 @@ void ofp_gray_crop(const std::uint8_t* bgr, int h, int w, int cx, int cy,
   const int w0 = swap_rb ? 4899 : 1868;
   const int w1 = 9617;
   const int w2 = swap_rb ? 1868 : 4899;
+  // clamp the window into bounds; the >= 0 clamp comes LAST so a size
+  // larger than the image can never drive the origin negative (an
+  // out-of-bounds read) — the Python wrappers reject size > w/h up front
   int x0 = cx - size / 2;
   int y0 = cy - size / 2;
-  if (x0 < 0) x0 = 0;
-  if (y0 < 0) y0 = 0;
   if (x0 + size > w) x0 = w - size;
   if (y0 + size > h) y0 = h - size;
+  if (x0 < 0) x0 = 0;
+  if (y0 < 0) y0 = 0;
   for (int y = 0; y < size; ++y) {
     const std::uint8_t* row = bgr + 3 * (static_cast<std::size_t>(y0 + y) * w + x0);
     std::uint8_t* out = dst + static_cast<std::size_t>(y) * size;

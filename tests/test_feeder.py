@@ -8,7 +8,7 @@ import pytest
 from mrs_optic_flow_tpu import native
 from mrs_optic_flow_tpu.config import load_config
 from mrs_optic_flow_tpu.runtime import OpticFlowNode, SyntheticScene
-from mrs_optic_flow_tpu.runtime.msgs import Float64Stamped, Imu, Odometry
+from mrs_optic_flow_tpu.runtime.msgs import CameraInfo, Float64Stamped, Imu, Odometry
 
 pytestmark = pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
 
@@ -42,6 +42,34 @@ def test_feeder_end_to_end():
     assert len(twists) >= 3
     vel = np.array([tw.linear[:2] for tw in twists[1:]])
     assert np.abs(vel - np.array(v)).max() < 0.2, vel.mean(0)
+
+
+def test_feeder_rejects_mismatched_geometry():
+    """The fused native crop path has no resize stage and must not silently
+    disagree with the node's crop geometry (scale_factor, edge principal
+    points) — both misconfigurations fail loudly."""
+    import pytest
+
+    from mrs_optic_flow_tpu.runtime.feeder import NativeFeeder
+
+    node = OpticFlowNode(
+        load_config(overrides={"mrs_optic_flow": {"scale_factor": 2.0}}),
+        publish=lambda t, m: None, log=lambda s: None,
+    )
+    with pytest.raises(ValueError, match="scale_factor"):
+        NativeFeeder(node, width=752, height=480)
+
+    node2 = OpticFlowNode(load_config(), publish=lambda t, m: None, log=lambda s: None)
+    node2.set_transforms((0.0, 0.0, 0.0, 1.0))
+    # principal point so close to the edge the 480 px crop cannot fit: the
+    # native clamp and the node's unclamped ul_x would disagree by 140 px
+    node2.on_camera_info(CameraInfo(
+        k=[420.0, 0, 100.0, 0, 420.0, 240.0, 0, 0, 1], d=[0.0] * 5
+    ))
+    feeder = NativeFeeder(node2, width=752, height=480)
+    frame = np.zeros((480, 752, 3), np.uint8)
+    with pytest.raises(ValueError, match="does not fit"):
+        feeder._preprocess(frame)
 
 
 def test_feeder_realtime_drains_to_newest():

@@ -51,6 +51,15 @@ def test_allsac_1d():
     assert abs(float(mean) - np.mean([1.0, 1.05, 0.98, 1.01])) < 1e-6
 
 
+def test_allsac_1d_all_invalid_is_nan():
+    # the reference's calcMean over an empty vector is 0/0 = NaN
+    # (src/utilityFunctions.cpp:105-142); a fabricated 0.0 would pass
+    # downstream bound checks as a confident estimate
+    vals = jnp.asarray(np.full(5, np.nan, np.float32))
+    mean, chosen = allsac_mean_1d(vals, jnp.zeros(5, bool), jnp.float32(0.2))
+    assert np.isnan(float(mean)) and int(chosen) == 0
+
+
 def test_ransac_mean():
     rng = np.random.default_rng(0)
     cluster = rng.normal([2, -1], 0.05, size=(12, 2)).astype(np.float32)
@@ -93,6 +102,22 @@ def test_tran_rot_vvel_pure_translation():
     np.testing.assert_allclose(np.asarray(out.tran), [4.0, -2.0], atol=1e-5)
     np.testing.assert_allclose(float(out.rot), 0.0, atol=1e-6)
     np.testing.assert_allclose(float(out.vvel), 0.0, atol=1e-6)
+
+
+def test_tran_rot_vvel_no_valid_estimates_is_nan():
+    # outer grid all-NaN, centre finite: every r_est/s_est term touches an
+    # outer cell, so rot and vvel have ZERO valid estimates — the reference
+    # divides by size()==0 -> NaN (src/utilityFunctions.cpp:461-478); a
+    # fabricated 0.0 rad/s would pass the bound gates as a real measurement
+    vec = np.full((9, 2), np.nan, np.float32)
+    vec[4] = (1.0, 1.0)  # r5, the centre vector (translation source)
+    out = estimate_tran_rot_vvel(
+        jnp.asarray(vec), jnp.float32(40.0), jnp.float32(400.0), jnp.float32(400.0),
+        jnp.float32(2.0), jnp.float32(100.0), jnp.float32(0.1),
+        jnp.float32(5.0), jnp.float32(5.0),
+    )
+    assert np.isnan(float(out.rot)) and np.isnan(float(out.vvel))
+    assert np.all(np.isfinite(np.asarray(out.tran)))
 
 
 def _pack_column_major(r):

@@ -88,6 +88,20 @@ def test_gray_crop_fused(rng):
     # clamped at the border
     edge = native.gray_crop(img, cx=10, cy=10, size=128)
     np.testing.assert_array_equal(edge, full[0:128, 0:128])
+    # clamped at the FAR border too (the origin clamp must never go
+    # negative: x0 = w - size then re-clamped to >= 0)
+    far = native.gray_crop(img, cx=750, cy=475, size=128)
+    np.testing.assert_array_equal(far, full[480 - 128:480, 752 - 128:752])
+
+
+def test_crop_size_exceeding_image_rejected(rng):
+    import pytest
+
+    img = rng.integers(0, 255, size=(64, 48, 3)).astype(np.uint8)
+    with pytest.raises(ValueError, match="exceeds"):
+        native.gray_crop(img, cx=24, cy=32, size=128)
+    with pytest.raises(ValueError, match="exceeds"):
+        native.crop(img[..., 0].copy(), cx=24, cy=32, size=128)
 
 
 def test_recorder_roundtrip(tmp_path, rng):
