@@ -68,12 +68,18 @@ class BatchPipeline:
                 mxu_passes=mxu_passes,
             )
         )
-        self.frame_size = frame_size
-        self.sample_point_size = sample_point_size
+        # the ENGINE-NORMALIZED geometry, not the raw ctor args: the engine
+        # forces an even frame and patch|frame (FftMethodConfig.normalized,
+        # the reference ctor's behavior) — using the raw values here would
+        # silently desynchronize the patch grid get_rt_batch builds from the
+        # shifts the engine actually produces (e.g. patch=130 collapses to
+        # one window in the engine while geometry expects a 3x3 grid)
+        self.frame_size = self.engine.config.frame_size
+        self.sample_point_size = self.engine.config.sample_point_size
         self.camera_matrix = np.asarray(camera_matrix, np.float32)
         self.dist_coeffs = np.asarray(dist_coeffs, np.float32)
         self.crop_cx = float(crop_cx if crop_cx is not None else camera_matrix[0, 2])
-        self.ul_x = float(int(self.crop_cx) - frame_size // 2)
+        self.ul_x = float(int(self.crop_cx) - self.frame_size // 2)
         self.shifted_pts_thr = shifted_pts_thr
         self.ransac_iterations = ransac_iterations
         self.mesh = mesh
@@ -140,8 +146,10 @@ class BatchPipeline:
                 ransac_iterations=self.ransac_iterations,
             )
             # the one genuine collective of the deployment: fleet statistics
-            # reduced across the sharded batch (rides ICI under a mesh)
-            fleet = jnp.mean(jnp.linalg.norm(res.shifts_raw, axis=-1))
+            # reduced across the sharded batch (rides ICI under a mesh);
+            # nanmean like the long-range step — one dead stream's NaN raw
+            # shifts must not blind the fleet-wide statistic
+            fleet = jnp.nanmean(jnp.linalg.norm(res.shifts_raw, axis=-1))
             return PipelineOutput(
                 ok=rt.ok, tran=rt.tran, rot=rt.rot, shifts=res.shifts,
                 fleet_mean_speed=fleet,
@@ -154,7 +162,13 @@ class BatchPipeline:
         (the takeoff / low-altitude serving path; node-side per-frame
         equivalent is ``OpticFlowNode._frame_program_lr``).  get_2dt is
         small elementwise math, so plain vmap is fine here — no batch-last
-        relayout needed (unlike the homography chain)."""
+        relayout needed (unlike the homography chain).
+
+        ``heights`` must be TILT-CORRECTED by the caller: the reference
+        passes ``uav_height / (cos(pitch) * cos(roll))`` to get2DT
+        (``src/optic_flow.cpp:1780-1781``), as the node path does at its
+        call site and ``FleetServer.tick`` does from its per-stream
+        ``rolls``/``pitches`` arguments."""
         from mrs_optic_flow_tpu.geometry.motion import get_2dt
 
         cam = jnp.asarray(self.camera_matrix)

@@ -176,12 +176,17 @@ class FleetServer:
         mask: Optional[np.ndarray] = None,
         roll_rates: Optional[np.ndarray] = None,
         pitch_rates: Optional[np.ndarray] = None,
+        rolls: Optional[np.ndarray] = None,
+        pitches: Optional[np.ndarray] = None,
     ) -> FleetTick:
         """``frames``: ``[N, H, W]`` (uint8 preferred — streams into the
         kernel uncast) or ``[N, H, W, 3]`` BGR.  ``stamps``/``heights``:
         ``[N]``.  ``mask``: ``[N]`` bool, False = stream produced no frame
         this tick.  ``roll_rates``/``pitch_rates``: ``[N]``, long-range
-        mode's rate feed-forward (default 0)."""
+        mode's rate feed-forward (default 0).  ``rolls``/``pitches``:
+        ``[N]`` attitude angles [rad] — in long-range mode the heights are
+        tilt-corrected ``h / (cos(pitch) * cos(roll))`` before get2DT, the
+        reference's ``src/optic_flow.cpp:1780-1781`` (default: level)."""
         n = self.n
         frames = jnp.asarray(frames)
         if frames.shape[0] != n:
@@ -226,10 +231,15 @@ class FleetServer:
         keys = jax.random.split(sub, n)
         if self.long_range:
             zeros = jnp.zeros((n,), jnp.float32)
+            heights_eff = np.asarray(heights, np.float32)
+            if rolls is not None or pitches is not None:
+                cr = np.cos(np.asarray(rolls, np.float32)) if rolls is not None else 1.0
+                cp = np.cos(np.asarray(pitches, np.float32)) if pitches is not None else 1.0
+                heights_eff = heights_eff / (cr * cp)
             out = self.pipeline.step_long_range_pre(
                 self._prev,
                 frames,
-                jnp.asarray(heights, jnp.float32),
+                jnp.asarray(heights_eff, jnp.float32),
                 jnp.asarray(safe_dts, jnp.float32),
                 zeros if roll_rates is None else jnp.asarray(roll_rates, jnp.float32),
                 zeros if pitch_rates is None else jnp.asarray(pitch_rates, jnp.float32),

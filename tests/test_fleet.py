@@ -113,6 +113,19 @@ def test_fleet_long_range_mode(rng):
         np.testing.assert_allclose(tick.tran[i][0], expect_vx, rtol=0.15)
         assert abs(tick.tran[i][1]) < abs(expect_vx) * 0.15
 
+    # per-stream attitude tilt-corrects the height before get2DT,
+    # h / (cos(pitch) * cos(roll)) — src/optic_flow.cpp:1780-1781
+    fleet2 = FleetServer(pipe, n, long_range=True)
+    fleet2.tick(frames(0), np.zeros(n), heights)
+    ang = np.full(n, 0.4)
+    tilted = fleet2.tick(
+        frames(1), np.full(n, 0.1), heights, rolls=ang, pitches=ang
+    ).materialize()
+    scale = 1.0 / (np.cos(0.4) * np.cos(0.4))
+    np.testing.assert_allclose(
+        tilted.tran[:, 0], tick.tran[:, 0] * scale, rtol=1e-5
+    )
+
 
 def test_fleet_bgr_frames(rng):
     """[N, H, W, 3] BGR frames go through fleet preprocessing (grayscale +
