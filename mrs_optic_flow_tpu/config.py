@@ -200,8 +200,11 @@ def load_config(
             "4 = FFT, 5 = spaced block matching; src/optic_flow.cpp:900-902)"
         )
 
-    calib_both = float(_require(tree, f"{of}/calibration/both_velocity_correction_ratio"))
-    calib = tree[of].get("calibration", {})
+    # defaulted like the reference: loadParam(..., _calibration_coeff_both_,
+    # 1.0) at src/optic_flow.cpp:884 — a YAML without the calibration block
+    # must still load (the reference's own default.yaml ships it commented)
+    calib = tree[of].get("calibration") or {}
+    calib_both = float(calib.get("both_velocity_correction_ratio", 1.0))
 
     filter_method = str(_require(tree, f"{of}/filter_method"))
     ransac = RansacParams(
@@ -209,9 +212,20 @@ def load_config(
         num_of_iter=int(_require(tree, f"{of}/ransac/num_of_iter")),
         threshold_rad=float(_require(tree, f"{of}/ransac/threshold_rad")),
     )
-    # allsac constraint warning path (src/optic_flow.cpp:934-936) made strict
-    if filter_method == "allsac" and ransac.num_of_chosen != 2:
-        raise ConfigError("with allsac filtering, ransac/num_of_chosen must be 2")
+    # the reference's (string-compare-based) condition warns for EVERY
+    # non-ransac filter method with num_of_chosen != 2 (src/optic_flow.cpp:
+    # 933-935); allsac genuinely cannot honor another value, so that case is
+    # strict here (ARCHITECTURE.md deviation 13) while 'average' keeps the
+    # reference's warn-and-run behavior
+    if filter_method != "ransac" and ransac.num_of_chosen != 2:
+        if filter_method == "allsac":
+            raise ConfigError("with allsac filtering, ransac/num_of_chosen must be 2")
+        import warnings
+
+        warnings.warn(
+            "[OpticFlow]: When Allsac is enabled, the ransac/num_of_chosen "
+            "can be only 2.", stacklevel=2,
+        )
 
     scan_radius = int(_require(tree, f"{of}/scan_radius"))
     # optional block; a bare `tpu:` header maps to None in YAML

@@ -521,7 +521,14 @@ class OpticFlowNode:
             tilt_curr = self.odometry_orientation
             diff = np_quat_multiply(np_quat_inverse(self._tilt_prev), tilt_curr)
             self.angle_diff = np.asarray(np_rpy_from_quat(diff))
-            self.angular_rate_quat = np_quat_from_rpy(*self.angle_diff)
+            # get_rt compares a RATE-shaped quaternion (its flow quaternion
+            # carries angle/dt, geometry/motion.py) — the imu/odometry
+            # sources feed setRPY(rates) (:1313), so the per-frame angle
+            # delta must be divided by dt to land in the same units
+            # (ARCHITECTURE.md deviation 12)
+            self.angular_rate_quat = np_quat_from_rpy(
+                *(self.angle_diff / max(self.dt, 1e-6))
+            )
             self._tilt_prev = tilt_curr
 
         # per-frame fault containment: a malformed frame must not take the
@@ -657,6 +664,7 @@ class OpticFlowNode:
             n_inliers = int(summary[7])
             if not np.all(np.isfinite(tran_b)):
                 self.log("[OpticFlow]: NaNs in output, returning.")
+                self._note_result(False)
                 return None
             if np.linalg.norm(tran_b) > 7.0:
                 self.log(f"[OpticFlow]: LARGE SPEED: {tran_b}")
@@ -793,6 +801,12 @@ class OpticFlowNode:
             self.flow_state, self.first_image, self._begin, self.dt,
             self.got_height, self.got_odometry, self.got_imu, self.got_tfs,
             self.uav_height, self.got_active_tracker,
+            # the synthetic zero-frame run must not leak into the live
+            # stream: the log-polar carry, the diagnostics history, the
+            # health counters, and the RANSAC key stream all get restored
+            self.scale_rot_state, list(self._speed_history),
+            self._frames_processed,
+            getattr(self, "_consecutive_failures", 0), self._key,
         )
         pub = self.publish
         self.publish = lambda *a: None
@@ -829,6 +843,8 @@ class OpticFlowNode:
                 self.flow_state, self.first_image, self._begin, self.dt,
                 self.got_height, self.got_odometry, self.got_imu, self.got_tfs,
                 self.uav_height, self.got_active_tracker,
+                self.scale_rot_state, self._speed_history,
+                self._frames_processed, self._consecutive_failures, self._key,
             ) = saved
         return _time.perf_counter() - t0
 
@@ -860,6 +876,8 @@ class OpticFlowNode:
             cam_yaw=np.asarray(self.cam_yaw),
             camera_matrix=self.camera_matrix if self.camera_matrix is not None else np.zeros(0),
             dist_coeffs=self.dist_coeffs if self.dist_coeffs is not None else np.zeros(0),
+            got_height=np.asarray(self.got_height),
+            got_tfs=np.asarray(self.got_tfs),
         )
 
     def load_state(self, path: str):
@@ -893,6 +911,15 @@ class OpticFlowNode:
             self.camera_matrix = z["camera_matrix"]
             self.dist_coeffs = z["dist_coeffs"]
             self.got_camera_info = True
+        # readiness flags restore from what the checkpoint actually saw —
+        # inferring them from camera presence let a pre-height checkpoint
+        # skip the 'waiting for uav height' gate (src/optic_flow.cpp:
+        # 1559-1562) and publish height=0 twists after resume. Older
+        # checkpoints without the flags keep the legacy inference.
+        if "got_height" in z:
+            self.got_height = bool(z["got_height"])
+            self.got_tfs = bool(z["got_tfs"])
+        elif z["camera_matrix"].size:
             self.got_height = self.got_tfs = True
 
     @property
