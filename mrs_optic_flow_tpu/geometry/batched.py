@@ -287,7 +287,14 @@ def _decompose_b(h):
     ``homography.decompose_homography`` (float32 path)."""
     gamma = _sv_middle_b(h)
     hn = h / gamma[None, None]
-    hn = hn * _signd(hn[2, 2])[None, None]
+    # normalize to det(Hn) > 0 like OpenCV's HomographyDecomp — sign(h22)
+    # mis-handles det < 0 fits (see homography.decompose_homography)
+    det = (
+        hn[0, 0] * (hn[1, 1] * hn[2, 2] - hn[1, 2] * hn[2, 1])
+        - hn[0, 1] * (hn[1, 0] * hn[2, 2] - hn[1, 2] * hn[2, 0])
+        + hn[0, 2] * (hn[1, 0] * hn[2, 1] - hn[1, 1] * hn[2, 0])
+    )
+    hn = hn * _signd(det)[None, None]
 
     eye = jnp.asarray(np.eye(3, dtype=np.float32))[..., None]
     s = jnp.sum(hn[:, :, None, :] * hn[:, None, :, :], axis=0) - eye

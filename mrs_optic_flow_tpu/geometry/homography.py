@@ -285,6 +285,16 @@ def _signd(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x >= 0.0, 1.0, -1.0)
 
 
+def _det3x3(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form determinant of ``[..., 3, 3]`` (no batched LU —
+    docs/PERFORMANCE.md rule 4)."""
+    return (
+        m[..., 0, 0] * (m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1])
+        - m[..., 0, 1] * (m[..., 1, 0] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 0])
+        + m[..., 0, 2] * (m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0])
+    )
+
+
 def _sv_middle_3x3(h: jnp.ndarray) -> jnp.ndarray:
     """Middle singular value of a 3x3 via the closed-form (trigonometric)
     eigenvalues of the symmetric ``H^T H`` — replaces ``jnp.linalg.svd``
@@ -333,9 +343,14 @@ def decompose_homography(h: jnp.ndarray) -> HomographyDecomposition:
     # points in front of the camera map with positive depth
     gamma = _sv_middle_3x3(h)
     hn = h / gamma[..., None, None]
-    # OpenCV flips the sign so that the decomposition exists: require
-    # x2^T * Hn * x1 > 0 for visible points; use the (0,0,1) ray.
-    hn = hn * _signd(hn[..., 2, 2])[..., None, None]
+    # OpenCV flips the sign so that the decomposition exists: its
+    # HomographyDecomp normalizes to det(Hn) > 0 (a reflection admits no
+    # R/t/n factoring into proper rotations). sign(h22) is NOT equivalent:
+    # det(H) < 0 with h22 > 0 yields four det(R) = -1 solutions (verified
+    # against cv2 on random homographies). In-pipeline findHomography fixes
+    # h22 = 1, so this only matters for degenerate/junk fits — exactly the
+    # case that must not fabricate a plausible rotation.
+    hn = hn * _signd(_det3x3(hn))[..., None, None]
 
     s = jnp.matmul(hn.swapaxes(-1, -2), hn, precision=_HI) - jnp.eye(3, dtype=hn.dtype)
     rotation_only = jnp.max(jnp.abs(s), axis=(-2, -1)) < 1e-3  # per-batch

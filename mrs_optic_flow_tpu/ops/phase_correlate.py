@@ -10,8 +10,18 @@ chain, per patch (reference citations in parentheses):
    + FLT_EPSILON)`` — epsilon semantics from ``cmulnormf``
    (``cl/FftMethod.cl:976-982``), conjugation order from the ``MUL_CONJ``
    branch (``cl/FftMethod.cl:1043``, options set in
-   ``src/FftMethod.cpp:326``),
-3. inverse 2-D real FFT with ``1/N^2`` scaling (``cl/FftMethod.cl:733``),
+   ``src/FftMethod.cpp:326``).  Every bin is treated uniformly; the OCL
+   kernel's CCS packing special-cases the four real bins (DC/Nyquist) as
+   ``1/(F1*F2)`` (``cl/FftMethod.cl:1020-1033``), a format artifact worth
+   ~1e-3 px against the 0.1 px conformance budget (ARCHITECTURE.md
+   deviation 15),
+3. inverse 2-D real FFT with ``1/N^2`` scaling — the CPU path's
+   ``cv::idft(DFT_SCALE)`` convention; the live OCL field kernel's
+   ``SCALE_VAL`` is identity (its build options never define ``DFT_SCALE``,
+   ``src/FftMethod.cpp:305-332``), so its internal maxval runs ``N^2``
+   larger.  Shifts are scale-invariant; the unit-normalized ``response``
+   matches ``cv::phaseCorrelate``'s published convention
+   (ARCHITECTURE.md deviation 15),
 4. fftshift + zeroing of shifts beyond ``SEARCH_RADIUS`` on both axes
    (``cl/FftMethod.cl:737-747``, ``:821-830``; radius 55 hard-coded at
    ``src/FftMethod.cpp:819-822``),

@@ -172,6 +172,30 @@ def test_decompose_vs_opencv(rng):
         assert min(errs) < 1e-4
 
 
+def test_decompose_negative_det_yields_proper_rotations(rng):
+    """OpenCV's HomographyDecomp normalizes to det(Hn) > 0; a sign(h22) flip
+    is NOT equivalent — with det(H) < 0 and h22 > 0 it produced four
+    improper rotations (det(R) = -1). Such H never comes from the in-
+    pipeline findHomography (h22 = 1) but can come from a junk fit."""
+    for trial in range(8):
+        h = rng.standard_normal((3, 3))
+        if np.linalg.det(h) > 0:
+            h[0] = -h[0]
+        if h[2, 2] < 0:
+            h = h * np.sign(np.linalg.det(h))  # make h22's sign disagree
+        if h[2, 2] < 0:
+            continue  # both negative: not the failure shape
+        dec = decompose_homography(jnp.asarray(h, jnp.float64))
+        for i in range(int(dec.n_solutions)):
+            d = np.linalg.det(np.asarray(dec.rotations[i]))
+            assert d > 0.5, (trial, i, d)
+        # and cv2 agrees on the solution set
+        nsol, rs_cv, _, _ = cv2.decomposeHomographyMat(h, np.eye(3))
+        ours = [np.asarray(dec.rotations[i]) for i in range(int(dec.n_solutions))]
+        for rc in rs_cv[: int(dec.n_solutions)]:
+            assert min(np.abs(ro - rc).max() for ro in ours) < 1e-4
+
+
 def test_decompose_pure_rotation(rng):
     r = _rot(rng)
     dec = decompose_homography(jnp.asarray(r, jnp.float64))
