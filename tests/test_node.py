@@ -387,10 +387,14 @@ def test_odometry_diff_ang_rate_source():
     node = _make_node(published, ang_rate_source="odometry_diff")
     scene = SyntheticScene(uav_height=HEIGHT, seed=22)
     node.on_camera_info(scene.camera_info())
+    yaw_rate = 0.2  # [rad/s] — slow enough not to disturb the flow scene
     # no IMU required in this mode; odometry carries orientation
     for i in range(5):
         t = 100.0 + i * DT
-        node.on_odometry(Odometry(stamp=t, orientation=(0, 0, 0, 1)))
+        yaw = yaw_rate * i * DT
+        node.on_odometry(Odometry(
+            stamp=t, orientation=(0.0, 0.0, np.sin(yaw / 2), np.cos(yaw / 2))
+        ))
         node.on_height(Float64Stamped(stamp=t, value=HEIGHT))
         pos = (0.5 * i * DT, 0.0)
         node.on_image(ImageMsg(stamp=t, data=scene.render(pos)))
@@ -398,6 +402,13 @@ def test_odometry_diff_ang_rate_source():
     assert len(twists) >= 2
     v = np.array([tw.linear[0] for tw in twists[1:]])
     assert np.abs(v - 0.5).max() < 0.15, v
+    # the comparison quaternion must be in RATE units (angle/dt, the units
+    # get_rt compares against) — the per-frame delta is yaw_rate * DT, so a
+    # missing /dt would read 0.01 rad instead of 0.2 rad/s
+    from mrs_optic_flow_tpu.utils.quat_np import np_rpy_from_quat
+
+    rate_yaw = np_rpy_from_quat(np.asarray(node.angular_rate_quat))[2]
+    np.testing.assert_allclose(rate_yaw, yaw_rate, rtol=1e-3)
 
 
 def test_scale_rotation_through_node():
