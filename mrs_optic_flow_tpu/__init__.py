@@ -32,15 +32,15 @@ parallel/scaling      :mod:`mrs_optic_flow_tpu.parallel`
 
 __version__ = "0.1.0"
 
-from mrs_optic_flow_tpu.ops.phase_correlate import (  # noqa: F401
-    phase_correlate_field,
-    correlation_surface,
-    peak_refine,
-)
-
 
 def __getattr__(name):
-    """Lazy top-level conveniences (keep `import mrs_optic_flow_tpu` light)."""
+    """Lazy top-level conveniences (keep `import mrs_optic_flow_tpu` light —
+    importing the package must not pull jax in; `--help` and config-only
+    callers never pay the multi-second device-stack import)."""
+    if name in ("phase_correlate_field", "correlation_surface", "peak_refine"):
+        import mrs_optic_flow_tpu.ops.phase_correlate as pc
+
+        return getattr(pc, name)
     if name in ("FftMethod", "FftMethodConfig", "BlockMethod", "FastSpacedBM",
                 "ScaleRotationEstimator", "OpticFlowCalc", "make_engine"):
         import mrs_optic_flow_tpu.models as m

@@ -82,6 +82,10 @@ def main(argv=None):
             camera_matrix=ci.matrix(), dist_coeffs=ci.dist(),
         )
         fleet = FleetServer(pipe, n)
+        say = (lambda *a: None) if args.quiet else print
+        if args.profile:
+            say("[fleet] --profile has no effect in fleet mode "
+                "(the profiler belongs to OpticFlowNode)")
         # each stream flies at its own velocity (scaled off the base)
         scales = [0.5 + i / max(n - 1, 1) for i in range(n)]
         heights = np.full(n, args.height)
@@ -96,12 +100,13 @@ def main(argv=None):
                 done = prev_tick.materialize()
                 ok = int(done.ok.sum())
                 mean_v = np.nanmean(done.tran[done.ok, :2], axis=0) if ok else (np.nan,) * 2
-                print(f"[tick {t - 1:3d}] {ok}/{n} streams ok, "
-                      f"fleet mean v = {mean_v[0]:+.3f} {mean_v[1]:+.3f} m/s "
-                      f"(true mean {v[0] * np.mean(scales):+.3f} {v[1] * np.mean(scales):+.3f})")
+                say(f"[tick {t - 1:3d}] {ok}/{n} streams ok, "
+                    f"fleet mean v = {mean_v[0]:+.3f} {mean_v[1]:+.3f} m/s "
+                    f"(true mean {v[0] * np.mean(scales):+.3f} {v[1] * np.mean(scales):+.3f})")
             prev_tick = tick
-        done = prev_tick.materialize()
-        print(f"[tick {args.frames - 1:3d}] {int(done.ok.sum())}/{n} streams ok")
+        if prev_tick is not None:
+            done = prev_tick.materialize()
+            print(f"[tick {args.frames - 1:3d}] {int(done.ok.sum())}/{n} streams ok")
         return 0
 
     published = []
@@ -121,7 +126,11 @@ def main(argv=None):
                 for i in range(args.frames):
                     t = 100.0 + i * dt
                     pos = (v[0] * i * dt, v[1] * i * dt)
-                    rec.write(t, scene.render(pos).astype(np.uint8))
+                    # ROUND like the engine's quantize_u8 (a truncating cast
+                    # would make --replay of this file diverge by 1 LSB on
+                    # ~half the pixels from the run it records)
+                    rec.write(t, np.clip(np.round(scene.render(pos)), 0, 255)
+                              .astype(np.uint8))
         stream.run()
         truth = f" (true {v[0]:+.3f} {v[1]:+.3f})"
     else:

@@ -157,13 +157,14 @@ def rpy_from_matrix(m: jnp.ndarray) -> tuple:
     sp = -m[..., 2, 0]
     sp = jnp.clip(sp, -1.0, 1.0)
     pitch = jnp.arcsin(sp)
+    # at the exact gimbal singularity (|pitch| == pi/2, measure-zero and far
+    # outside a downward-camera UAV's envelope) roll and yaw are reported 0;
+    # tf2's getRPY folds the combined angle into roll there
+    # (ARCHITECTURE.md deviation 16)
     gimbal = jnp.abs(sp) >= 1.0 - 1e-9
-    roll = jnp.where(
-        gimbal,
-        jnp.arctan2(m[..., 0, 1] * jnp.sign(sp), m[..., 0, 2] * jnp.sign(sp)) * 0.0,
-        jnp.arctan2(m[..., 2, 1], m[..., 2, 2]),
-    )
-    yaw = jnp.where(gimbal, jnp.arctan2(-m[..., 0, 1], m[..., 1, 1]) * 0.0, jnp.arctan2(m[..., 1, 0], m[..., 0, 0]))
+    zero = jnp.zeros_like(pitch)
+    roll = jnp.where(gimbal, zero, jnp.arctan2(m[..., 2, 1], m[..., 2, 2]))
+    yaw = jnp.where(gimbal, zero, jnp.arctan2(m[..., 1, 0], m[..., 0, 0]))
     return roll, pitch, yaw
 
 

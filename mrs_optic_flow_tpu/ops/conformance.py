@@ -51,8 +51,22 @@ def check(curr, prev, *, tolerance_px: float = 0.05) -> Dict[str, float]:
     names = list(outs)
     for i, a in enumerate(names):
         for b in names[i + 1 :]:
-            d = float(np.nanmax(np.abs(outs[a] - outs[b])))
-            report[f"{a}|{b}"] = d
+            diff = np.abs(outs[a] - outs[b])
+            # NaN must FAIL, not mask: the engines' gating produces NaN only
+            # downstream of this raw-shift contract, so a NaN here is a
+            # backend regression — and a NaN `worst` would compare False
+            # against the tolerance, silently passing everything
+            if np.isnan(diff).any():
+                # both-NaN in the same window is agreement (e.g. a gated
+                # variant under test); one-sided NaN is a divergence
+                one_sided = np.isnan(outs[a]) != np.isnan(outs[b])
+                if one_sided.any():
+                    raise AssertionError(
+                        f"backend pair {a}|{b}: one-sided NaN shifts "
+                        f"({int(one_sided.sum())} windows)"
+                    )
+                diff = np.where(np.isnan(diff), 0.0, diff)
+            report[f"{a}|{b}"] = float(np.max(diff))
     worst = max(report.values())
     if worst > tolerance_px:
         bad = {k: v for k, v in report.items() if v > tolerance_px}

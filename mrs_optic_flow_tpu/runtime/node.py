@@ -709,7 +709,12 @@ class OpticFlowNode:
         if c.raw_output:
             self.publish("points_raw_out", np.asarray(flow.shifts_raw))
         if c.store_video or c.gui:
-            self._record_overlay(msg.stamp, gray, flow)
+            # long-range shifts are measured on the ratio-downsampled image;
+            # scale into full-res pixels so the overlay matches the
+            # reference GUI's relative vector length (FftMethod.cpp:1931-1989
+            # draws on the downsampled imView)
+            self._record_overlay(msg.stamp, gray, flow,
+                                 scale=float(c.long_range_ratio))
 
         # ONE readback: [ok, tran_b(3), diff_b(3)]
         summary = np.asarray(summary_dev)
@@ -943,7 +948,7 @@ class OpticFlowNode:
                 "without a valid motion estimate",
             )
 
-    def _record_overlay(self, stamp, gray, flow):
+    def _record_overlay(self, stamp, gray, flow, scale: float = 1.0):
         """``gui`` / ``store_video`` outputs, one overlay render for both.
 
         ``store_video`` (``src/FftMethod.cpp:1695-1704``, ``:1895-1897``):
@@ -964,7 +969,8 @@ class OpticFlowNode:
         overlay = None
         if c.gui and not getattr(self, "_gui_failed", False):
             overlay = flow_overlay(
-                np.asarray(gray), np.asarray(flow.shifts), c.sample_point_size
+                np.asarray(gray), np.asarray(flow.shifts), c.sample_point_size,
+                scale=scale,
             )
             try:
                 import cv2
@@ -999,7 +1005,8 @@ class OpticFlowNode:
         if self._recorder is not None:
             if overlay is None:
                 overlay = flow_overlay(
-                    np.asarray(gray), np.asarray(flow.shifts), c.sample_point_size
+                    np.asarray(gray), np.asarray(flow.shifts), c.sample_point_size,
+                    scale=scale,
                 )
             if isinstance(self._recorder, VideoWriter):
                 self._recorder.write(overlay)  # AVI frames carry no stamp

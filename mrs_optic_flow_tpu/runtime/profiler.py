@@ -66,6 +66,9 @@ class Profiler:
                     json.dumps({"t": time.time(), "routine": routine_name, "dur_s": dt})
                     + "\n"
                 )
+                # post-mortem value requires the tail to survive a crash —
+                # don't let the last events sit in the stdio buffer
+                self._event_log.flush()
 
     def stats(self) -> Dict[str, dict]:
         out = {}

@@ -38,19 +38,26 @@ def flow_overlay(
     patch: int,
     *,
     exaggeration: float = 5.0,
+    scale: float = 1.0,
     value: int = 255,
 ) -> np.ndarray:
     """Draw per-window flow vectors from each window centre, 5x exaggerated
     like the reference GUI (``src/FftMethod.cpp:1859-1864``).  Invalid (NaN)
     windows are skipped (the reference draws them thin; skipping reads
-    better in a still image)."""
+    better in a still image).  ``scale`` converts the shifts into this
+    frame's pixels first — the long-range path measures shifts on the
+    ratio-downsampled image (the reference draws on that smaller image, so
+    its vectors are ratio-times longer relative to frame size)."""
     img = np.asarray(frame, np.float32).copy()
     img = np.clip(img, 0, 255).astype(np.uint8)
-    shifts = np.asarray(shifts).reshape(-1, 2)
+    shifts = np.asarray(shifts).reshape(-1, 2) * scale
     # grid side from the shift count (block-matching engines emit a single
-    # aggregated vector; the FFT engine a qxq grid)
+    # aggregated vector; the FFT engine a qxq grid); the passed patch is
+    # honored when it tiles this frame exactly, else derived — a single
+    # aggregated vector draws from the frame centre either way
     q = max(int(round(len(shifts) ** 0.5)), 1)
-    patch = frame.shape[0] // q
+    if patch is None or q * patch != frame.shape[0]:
+        patch = frame.shape[0] // q
     for j in range(q):
         for i in range(q):
             s = shifts[i + q * j]
