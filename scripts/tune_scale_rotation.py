@@ -26,7 +26,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench_guard import clear_axon_env, install_alarm
 
 clear_axon_env()
-install_alarm(560)
+_BUDGET_S = install_alarm(560)
+
+import time
+
+_T0 = time.monotonic()
+
+
+def _remaining() -> float:
+    """Seconds left before the alarm fires."""
+    return _BUDGET_S - (time.monotonic() - _T0)
+
 
 import numpy as np
 
@@ -133,14 +143,25 @@ def main():
     ):
         if only and tag not in only.split(","):
             continue
-        eng = ScaleRotationEstimator(cfg)
         row = {
             "metric": f"scale_rotation_{tag}_ms_per_frame",
             "unit": "ms",
             "backend": backend,
-            "step": round(measure_step_scan(eng), 4),
-            "batch_carried": round(measure_batch_carried(eng), 4),
         }
+        # each measurement pays a fresh compile through the tunnelled link
+        # (~60-90 s observed per section at 480^2); gate every section on
+        # the time actually left so a tight budget yields partial rows with
+        # skip notes instead of a TimeoutError traceback (bench.py's rule)
+        if _remaining() < 200:
+            row["skipped"] = "budget"
+            print(json.dumps(row), flush=True)
+            continue
+        eng = ScaleRotationEstimator(cfg)
+        row["step"] = round(measure_step_scan(eng), 4)
+        if _remaining() > 200:
+            row["batch_carried"] = round(measure_batch_carried(eng), 4)
+        else:
+            row["batch_carried_skipped"] = "budget"
         print(json.dumps(row), flush=True)
 
 
