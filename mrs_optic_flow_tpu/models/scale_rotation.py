@@ -92,8 +92,9 @@ class ScaleRotationEstimator:
 
     def init_state(self) -> ScaleRotState:
         n = self.config.lp_res
+        dt = jnp.uint8 if self.config.quantize_8bit else jnp.float32
         return ScaleRotState(
-            prev_logpolar=jnp.zeros((n, n), jnp.float32), first=jnp.asarray(True)
+            prev_logpolar=jnp.zeros((n, n), dt), first=jnp.asarray(True)
         )
 
     # -- internals -----------------------------------------------------------
@@ -112,12 +113,23 @@ class ScaleRotationEstimator:
         c = self.config
         # uint8 frames are exact in bf16, letting the resample drop one of
         # its three MXU passes (ops/logpolar.py)
-        return logpolar(
+        lp = logpolar(
             self._ingest(frame),
             jnp.float32(self.m_eff),
             resolution=c.lp_res,
             interp=c.interp,
         )
+        if not c.quantize_8bit:
+            return lp
+        # the reference's cv::logPolar writes an 8-bit image (tempIm is
+        # CV_8UC1 because imCurr is) and converts to CV_32F only for
+        # cv::phaseCorrelate (src/scaleRotationEstimator.cpp:108-117), so
+        # the correlated data — and the carried previous image — is
+        # round-and-saturated to 8 bits.  Also 4x less HBM for the fleet's
+        # per-stream carry, and the correlation inputs become 8-bit-exact.
+        from mrs_optic_flow_tpu.ops.preprocess import quantize_u8
+
+        return quantize_u8(lp)
 
     def _correlate(self, lp_c: jnp.ndarray, lp_p: jnp.ndarray):
         """Phase-correlate log-polar images ``[..., N, N]`` on the MXU path;

@@ -883,6 +883,19 @@ class OpticFlowNode:
             dist_coeffs=self.dist_coeffs if self.dist_coeffs is not None else np.zeros(0),
             got_height=np.asarray(self.got_height),
             got_tfs=np.asarray(self.got_tfs),
+            # scale/rotation carry (like the FleetServer checkpoint's
+            # prev_lp): without it a resume re-inits the estimator and the
+            # first post-resume frame reports the no-estimate (1, 0)
+            sr_lp=(
+                np.asarray(self.scale_rot_state.prev_logpolar)
+                if self.scale_rot_state is not None
+                else np.zeros(0)
+            ),
+            sr_first=np.asarray(
+                bool(self.scale_rot_state.first)
+                if self.scale_rot_state is not None
+                else True
+            ),
         )
 
     def load_state(self, path: str):
@@ -926,6 +939,34 @@ class OpticFlowNode:
             self.got_tfs = bool(z["got_tfs"])
         elif z["camera_matrix"].size:
             self.got_height = self.got_tfs = True
+        if (
+            self.scale_rotation_estimator is not None
+            and "sr_lp" in z
+            and z["sr_lp"].size
+        ):
+            from mrs_optic_flow_tpu.models.scale_rotation import ScaleRotState
+
+            lp = self.scale_rotation_estimator.config.lp_res
+            if z["sr_lp"].shape != (lp, lp):
+                raise ValueError(
+                    f"checkpoint log-polar carry {z['sr_lp'].shape} does not "
+                    f"match this node's ({lp}, {lp})"
+                )
+            carry = jnp.asarray(z["sr_lp"])
+            proto = self.scale_rotation_estimator.init_state().prev_logpolar
+            if carry.dtype != proto.dtype:
+                # float32-carry checkpoint resumed into the 8-bit-carry
+                # estimator (quantize_8bit) or vice versa — same adaptation
+                # as the flow-state prev above
+                if proto.dtype == jnp.uint8:
+                    from mrs_optic_flow_tpu.ops.preprocess import quantize_u8
+
+                    carry = quantize_u8(carry)
+                else:
+                    carry = carry.astype(proto.dtype)
+            self.scale_rot_state = ScaleRotState(
+                prev_logpolar=carry, first=jnp.asarray(bool(z["sr_first"]))
+            )
 
     @property
     def health(self) -> dict:

@@ -99,6 +99,34 @@ def test_scale_rotation_quantize_ingest(rng):
     assert np.abs(np.asarray(lp_nq) - np.asarray(lp_f)).max() > 0  # not rounded
 
 
+def test_scale_rotation_quantized_lp_carry(rng):
+    """With ``quantize_8bit`` the log-polar image itself is round-and-
+    saturated to 8 bits before correlation and carried as uint8 — the
+    reference's ``tempIm`` is CV_8UC1 and is converted to CV_32F only for
+    ``cv::phaseCorrelate`` (``src/scaleRotationEstimator.cpp:108-117``)."""
+    from mrs_optic_flow_tpu.models import ScaleRotationConfig, ScaleRotationEstimator
+
+    n = 64
+    f = rng.uniform(0, 255, size=(n, n)).astype(np.float32)
+    eng = ScaleRotationEstimator(ScaleRotationConfig(resolution=n, magnitude=12.0))
+    lp = eng._logpolar(jnp.asarray(f))
+    assert lp.dtype == jnp.uint8
+    # the quantized image is exactly the rounded/saturated float resample
+    eng_nq = ScaleRotationEstimator(
+        ScaleRotationConfig(resolution=n, magnitude=12.0, quantize_8bit=False)
+    )
+    lp_f = np.asarray(eng_nq._logpolar(jnp.asarray(np.rint(f).clip(0, 255))))
+    np.testing.assert_array_equal(
+        np.asarray(lp), np.clip(np.round(lp_f), 0, 255).astype(np.uint8)
+    )
+    # the carried state matches: init zeros and step outputs are uint8
+    st = eng.init_state()
+    assert st.prev_logpolar.dtype == jnp.uint8
+    st2, res = eng.step(st, jnp.asarray(f))
+    assert st2.prev_logpolar.dtype == jnp.uint8
+    assert float(res.scale) == 1.0 and float(res.rotation) == 0.0  # first frame
+
+
 def test_logpolar_bad_interp():
     with pytest.raises(ValueError, match="interp"):
         logpolar(jnp.zeros((16, 16)), jnp.float32(5.0), interp="nearest")

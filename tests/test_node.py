@@ -452,6 +452,49 @@ def test_scale_rotation_yaml_knobs():
     assert len(sr) >= 1 and abs(sr[-1]["scale"] - 1.0) < 0.15
 
 
+def test_checkpoint_resume_scale_rotation(tmp_path):
+    """The node checkpoint carries the scale/rotation log-polar state (like
+    the FleetServer's prev_lp), so a resume keeps estimating instead of
+    re-emitting the first-frame no-estimate (1, 0)."""
+    published = []
+    node = _make_node(
+        published, scale_rotation=True, scale_rot_lp_resolution=32
+    )
+    scene = SyntheticScene(uav_height=HEIGHT, seed=23)
+    stream = FrameStream(node)
+    scene.trajectory_events(stream, velocity=(0.0, 0.0), n_frames=3, dt=DT)
+    stream.run()
+    assert not bool(node.scale_rot_state.first)
+    path = str(tmp_path / "state_sr.npz")
+    node.save_state(path)
+
+    published2 = []
+    node2 = _make_node(
+        published2, scale_rotation=True, scale_rot_lp_resolution=32
+    )
+    node2.load_state(path)
+    assert not bool(node2.scale_rot_state.first)
+    np.testing.assert_array_equal(
+        np.asarray(node2.scale_rot_state.prev_logpolar),
+        np.asarray(node.scale_rot_state.prev_logpolar),
+    )
+    node2.got_odometry = node2.got_imu = True
+    t = 100.0 + 3 * DT
+    node2.on_imu(Imu(stamp=t, angular_velocity=(0, 0, 0), orientation=(0, 0, 0, 1)))
+    node2.on_odometry(Odometry(stamp=t, orientation=(0, 0, 0, 1)))
+    node2.on_height(Float64Stamped(stamp=t, value=HEIGHT))
+    node2._begin = t - DT
+    node2.on_image(ImageMsg(stamp=t, data=scene.render((0.0, 0.0))))
+    sr = [m for tp, m in published2 if tp == "scale_rotation_out"]
+    assert len(sr) == 1  # a real estimate on the very first post-resume frame
+    assert abs(sr[0]["scale"] - 1.0) < 0.15
+
+    # a geometry-mismatched carry is rejected at load time
+    node3 = _make_node([], scale_rotation=True, scale_rot_lp_resolution=64)
+    with pytest.raises(ValueError, match="log-polar carry"):
+        node3.load_state(path)
+
+
 def test_stream_event_ordering():
     """FrameStream dispatches strictly by stamp regardless of add order."""
     from mrs_optic_flow_tpu.runtime.stream import FrameStream as FS
