@@ -307,8 +307,8 @@ def _phase_correlate_frames_impl(
     bf16x3: int = 3,
     half_spectrum: bool = True,
     bands_per_step: int | None = None,
-    pairs_per_step: int = 1,
-    band_stack: int = 1,
+    pairs_per_step: int | None = None,
+    band_stack: int | None = None,
     exact_inputs: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """``bands_per_step``: row bands processed per grid step.  More bands per
@@ -318,8 +318,12 @@ def _phase_correlate_frames_impl(
     of the grid height whose two input blocks stay under a VMEM budget.
     ``pairs_per_step``: frame pairs per grid step — more per-step work,
     bounded by VMEM.  ``band_stack``: how many of the step's bands share
-    each matmul stream (M-stacked); 1 keeps per-band streams whose VPU peak
-    stages overlap the next band's MXU work — measured fastest on v5e.
+    each matmul stream (M-stacked).  Defaults (``None``) auto-select the
+    measured-fastest pair: ``(2, 2)`` for even batches (+3.7% over
+    ``(1, 1)`` at the 4096-frame bench point, 58.3k vs 56.2k fps on v5e;
+    full sweep in scripts/tune_frames_kernel.py), ``(1, 1)`` for odd
+    batches — which keeps the b=1 single-frame latency path at per-band
+    streams, the fastest shape measured for one pair per step.
     ``bf16x3``: MXU passes per f32 matmul (0 = Precision.HIGHEST).
     """
     interpret = _auto_interpret(interpret)
@@ -331,6 +335,10 @@ def _phase_correlate_frames_impl(
         raise ValueError(f"expected a square patch grid, got {qy}x{qx}")
     q = qx
     n = patch
+    if pairs_per_step is None:
+        pairs_per_step = 2 if b % 2 == 0 else 1
+    if band_stack is None:
+        band_stack = 2 if pairs_per_step >= 2 else 1
     m = pairs_per_step
     if b % m:
         raise ValueError(f"pairs_per_step {m} must divide the batch {b}")

@@ -17,11 +17,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench_guard import clear_axon_env, install_alarm
 
 clear_axon_env()
-install_alarm(560)
+_BUDGET_S = install_alarm(560)
+
+import time
+
+_T0 = time.monotonic()
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.monotonic() - _T0)
+
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from mrs_optic_flow_tpu.ops.pallas_kernels import phase_correlate_frames_pallas
 from mrs_optic_flow_tpu.utils.benchlib import make_chained, measure_chained
@@ -33,10 +41,18 @@ BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
 ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 
 
+@jax.jit
+def _make_inputs(key):
+    # generated ON DEVICE: the host RNG + upload for a 2x460 MB uint8 batch
+    # would dominate the alarm budget (docs/PERFORMANCE.md rule 9)
+    kp, kc = jax.random.split(key)
+    shape = (BATCH, 480, 480)
+    return (jax.random.bits(kp, shape, jnp.uint8),
+            jax.random.bits(kc, shape, jnp.uint8))
+
+
 def measure(band_stack: int, pairs_per_step: int) -> float:
-    rng = np.random.default_rng(0)
-    prev = jnp.asarray(rng.integers(0, 255, size=(BATCH, 480, 480)), jnp.uint8)
-    curr = jnp.asarray(rng.integers(0, 255, size=(BATCH, 480, 480)), jnp.uint8)
+    prev, curr = _make_inputs(jax.random.PRNGKey(0))
 
     def step(prev, curr):
         sh, mv = phase_correlate_frames_pallas(
@@ -55,6 +71,11 @@ def main():
     for m in (1, 2, 4):
         for stack in (1, 2, 4):
             if stack > 4 * m:
+                continue
+            # each config pays a fresh compile through the tunnelled link;
+            # stop cleanly instead of dying in a mid-measure TimeoutError
+            if _remaining() < 120:
+                print(f"pairs_per_step={m} band_stack={stack}: SKIPPED (budget)")
                 continue
             try:
                 fps = measure(stack, m)
