@@ -103,6 +103,11 @@ class OpticFlowConfig:
     backend: str = "dft"  # dft (MXU matmul) | fft (XLA FFT)
     mxu_passes: int = 3  # docs/PERFORMANCE.md: 1 = fast mode (0.02 px)
     half_spectrum: bool = True
+    #: frames-kernel step packing (docs/PERFORMANCE.md): frame pairs per
+    #: Pallas grid step / bands per M-stacked matmul stream; None auto-picks
+    #: the measured-fastest pair ((2, 2) even batches, (1, 1) odd/b=1)
+    pairs_per_step: int | None = None
+    band_stack: int | None = None
     #: long-range downsample ratio — the reference's compile-time
     #: ``LONG_RANGE_RATIO`` (src/FftMethod.cpp:3, default 4); ratio 2
     #: switches get2DT to the inlier-vote policy (src/optic_flow.cpp:414-421)
@@ -288,6 +293,14 @@ def load_config(
             else int(tpu_block.get("mxu_passes", 3))
         ),
         half_spectrum=bool(tpu_block.get("half_spectrum", True)),
+        pairs_per_step=(
+            None if tpu_block.get("pairs_per_step") is None
+            else int(tpu_block["pairs_per_step"])
+        ),
+        band_stack=(
+            None if tpu_block.get("band_stack") is None
+            else int(tpu_block["band_stack"])
+        ),
         long_range_ratio=int(tpu_block.get("long_range_ratio", 4)),
         quantize_8bit=bool(tpu_block.get("quantize_8bit", True)),
         sample_point_size_lr=2 * sample_point_size,

@@ -57,6 +57,11 @@ class FftMethodConfig:
     half_spectrum: bool = True
     #: row bands per Pallas grid step for the frames kernel; None auto-picks
     bands_per_step: int | None = None
+    #: frame pairs per Pallas grid step / bands sharing each M-stacked matmul
+    #: stream; None auto-picks the measured-fastest pair per batch parity
+    #: ((2, 2) even, (1, 1) odd/b=1 — docs/PERFORMANCE.md)
+    pairs_per_step: int | None = None
+    band_stack: int | None = None
     #: MXU passes per f32 matmul in the Pallas kernels: True/3 = bf16x3
     #: (0.0005 px error), 1 trades ~0.02 px for ~+37% throughput at deep
     #: pipelining (2 sits between), False = Precision.HIGHEST
@@ -233,6 +238,9 @@ class FftMethod(FlowEngine):
                 centroid_radius=c.centroid_radius,
                 half_spectrum=c.half_spectrum,
                 bands_per_step=c.bands_per_step,
+                # single-frame batch (b=1): pairs_per_step stays auto (1);
+                # a configured value only applies to the batch modes
+                band_stack=c.band_stack,
                 bf16x3=c.mxu_passes,
                 exact_inputs=c.quantize_8bit,
             )
@@ -305,6 +313,13 @@ class FftMethod(FlowEngine):
                 centroid_radius=c.centroid_radius,
                 half_spectrum=c.half_spectrum,
                 bands_per_step=c.bands_per_step,
+                # honor configured step packing only when it divides the batch
+                pairs_per_step=(
+                    c.pairs_per_step
+                    if c.pairs_per_step and curr_frames.shape[0] % c.pairs_per_step == 0
+                    else None
+                ),
+                band_stack=c.band_stack,
                 bf16x3=c.mxu_passes,
                 exact_inputs=exact,
             )
@@ -352,6 +367,12 @@ class FftMethod(FlowEngine):
                 centroid_radius=c.centroid_radius,
                 half_spectrum=c.half_spectrum,
                 bands_per_step=g,
+                pairs_per_step=(
+                    c.pairs_per_step
+                    if c.pairs_per_step and curr_d.shape[0] % c.pairs_per_step == 0
+                    else None
+                ),
+                band_stack=c.band_stack,
                 bf16x3=c.mxu_passes,
             )
         else:

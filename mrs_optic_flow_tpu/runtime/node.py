@@ -109,6 +109,7 @@ class OpticFlowNode:
                 # surface for the reference's useOCL, src/optic_flow.cpp:853)
                 use_pallas=c.use_pallas, backend=c.backend,
                 mxu_passes=c.mxu_passes, half_spectrum=c.half_spectrum,
+                pairs_per_step=c.pairs_per_step, band_stack=c.band_stack,
                 long_range_ratio=c.long_range_ratio,
                 quantize_8bit=c.quantize_8bit,
             )

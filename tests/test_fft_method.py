@@ -257,3 +257,36 @@ def test_quantized_state_carry(rng):
     # set_im_prev honors the carry dtype
     st = q.set_im_prev(q.init_state(), jnp.asarray(g0))
     assert st.prev.dtype == jnp.uint8
+
+
+def test_step_packing_knobs_from_config(rng):
+    """pairs_per_step / band_stack flow YAML -> OpticFlowConfig -> engine and
+    regroup the frames-kernel matmul streams without changing results; a
+    configured pairs_per_step that does not divide the batch falls back to
+    auto instead of raising (kernel scheduling knob — no reference analogue,
+    the OCL path at cl/FftMethod.cl:1381 is per-window)."""
+    import jax.numpy as jnp
+    from mrs_optic_flow_tpu.config import load_config
+    from mrs_optic_flow_tpu.models import FftMethod, FftMethodConfig
+    from mrs_optic_flow_tpu.runtime.node import OpticFlowNode
+    from oracle import smooth_random_image
+
+    cfg = load_config(overrides={"tpu": {"pairs_per_step": 2, "band_stack": 2}})
+    assert cfg.pairs_per_step == 2 and cfg.band_stack == 2
+    node = OpticFlowNode(cfg, publish=lambda *_: None)
+    assert node.engine.config.pairs_per_step == 2
+    assert node.engine.config.band_stack == 2
+
+    base = FftMethodConfig(frame_size=64, sample_point_size=16)
+    packed = FftMethodConfig(frame_size=64, sample_point_size=16,
+                             pairs_per_step=2, band_stack=2)
+    prev = np.stack([smooth_random_image(rng, 64) for _ in range(4)])
+    curr = np.stack([np.roll(prev[i], (2, -(i + 1)), (0, 1)) for i in range(4)])
+    r0 = FftMethod(base).step_batch(jnp.asarray(prev), jnp.asarray(curr))
+    r1 = FftMethod(packed).step_batch(jnp.asarray(prev), jnp.asarray(curr))
+    np.testing.assert_array_equal(np.asarray(r0.shifts), np.asarray(r1.shifts))
+
+    # odd batch: configured pairs_per_step=2 cannot divide 3 -> auto fallback
+    r2 = FftMethod(packed).step_batch(jnp.asarray(prev[:3]), jnp.asarray(curr[:3]))
+    np.testing.assert_array_equal(
+        np.asarray(r0.shifts[:3]), np.asarray(r2.shifts))
