@@ -10,6 +10,9 @@ transport-agnostic node:
 - :mod:`.stream` — rosbag-replay-style harness: timestamped event streams
   (frames, IMU, odometry, height) driven through the node, plus a synthetic
   scene generator for end-to-end tests;
+- :mod:`.ros_bridge` — optional ROS1 shim (:class:`RosBridge`): the
+  reference's nodelet transport surface (same topic names/types) around the
+  transport-agnostic node; imports ``rospy`` lazily;
 - :mod:`.profiler` — the ``mrs_lib::Profiler``/``Routine`` equivalent;
 - :mod:`.viz` — flow-overlay rendering replacing the GUI window / video
   writer (``src/FftMethod.cpp:1859-1897``).
@@ -25,4 +28,5 @@ from mrs_optic_flow_tpu.runtime.fleet import FleetServer, FleetTick  # noqa: F40
 from mrs_optic_flow_tpu.runtime.fleet_feeder import FleetFeeder  # noqa: F401
 from mrs_optic_flow_tpu.runtime.node import OpticFlowNode  # noqa: F401
 from mrs_optic_flow_tpu.runtime.profiler import Profiler  # noqa: F401
+from mrs_optic_flow_tpu.runtime.ros_bridge import RosBridge  # noqa: F401
 from mrs_optic_flow_tpu.runtime.stream import FrameStream, SyntheticScene  # noqa: F401
