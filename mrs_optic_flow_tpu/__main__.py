@@ -37,6 +37,32 @@ def _parse_overrides(pairs):
     return tree
 
 
+def _run_ros(args, cfg):
+    """``--ros``: bring the node up on a live ROS1 graph — the deployment
+    shape of the reference nodelet (``launch/optic_flow.launch:29``), minus
+    the nodelet manager (the device work is out-of-process on the TPU, so
+    zero-copy nodelet transport buys nothing).  ``rospy.init_node`` happens
+    here; topic remapping is roslaunch's, via ``launch/optic_flow_tpu.launch``.
+    """
+    import rospy  # noqa: PLC0415 — only a ROS1 environment has this
+
+    from mrs_optic_flow_tpu.runtime.ros_bridge import RosBridge
+
+    rospy.init_node("optic_flow")
+    bridge = RosBridge(
+        cfg,
+        camera_frame=args.camera_frame,
+        uav_frame=args.uav_frame,
+        uav_untilted_frame=args.uav_untilted_frame,
+    )
+    if not args.no_warmup:
+        rospy.loginfo("[OpticFlow]: warming up device programs")
+        bridge.warmup()
+        rospy.loginfo("[OpticFlow]: warm; streaming")
+    bridge.spin()
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="mrs_optic_flow_tpu")
     ap.add_argument("--config", help="YAML config path (default: packaged default.yaml)")
@@ -48,6 +74,16 @@ def main(argv=None):
     src.add_argument("--fleet", type=int, metavar="N",
                      help="synthetic fleet-serving demo: N camera streams, "
                           "one batched device dispatch per tick")
+    src.add_argument("--ros", action="store_true",
+                     help="run as a ROS1 node (runtime.RosBridge; needs rospy)")
+    ap.add_argument("--camera-frame", default="camera",
+                    help="--ros: tf2 camera frame id")
+    ap.add_argument("--uav-frame", default="fcu",
+                    help="--ros: tf2 body frame id")
+    ap.add_argument("--uav-untilted-frame", default="fcu_untilted",
+                    help="--ros: published twist frame id")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="--ros: skip the pre-stream device-program compile")
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--fps", type=float, default=20.0)
     ap.add_argument("--velocity", default="1.0,-0.3", help="synthetic vx,vy [m/s]")
@@ -66,6 +102,9 @@ def main(argv=None):
 
     cfg = load_config(args.config, overrides=_parse_overrides(args.overrides))
     dt = 1.0 / args.fps
+
+    if args.ros:
+        return _run_ros(args, cfg)
 
     if args.fleet is not None:
         from mrs_optic_flow_tpu.parallel import BatchPipeline

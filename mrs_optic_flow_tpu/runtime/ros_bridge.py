@@ -288,8 +288,10 @@ def _import_default_types() -> Dict[str, Any]:
 class RosBridge:
     """Run an :class:`OpticFlowNode` on a live ROS1 graph.
 
-    Subscribes the reference's six input topics (same pre-remap names,
-    ``src/optic_flow.cpp:1049-1063``; remap with ROS's standard machinery),
+    Subscribes the reference's six input topics (same pre-remap names under
+    the node's private namespace — the reference uses its private nodelet
+    handle — ``src/optic_flow.cpp:1049-1063``; remap with ROS's standard
+    machinery, e.g. ``launch/optic_flow_tpu.launch``),
     converts to the transport-agnostic dataclasses, and republishes the
     node's outputs as the reference's message types.  The IMU topic is only
     subscribed when ``ang_rate_source == "imu"`` and ``points_raw_out`` is
@@ -362,8 +364,12 @@ class RosBridge:
                 continue  # advertised only when raw output is enabled (:1043)
             if spec.type_key not in self.types:
                 continue
+            # "~" = the node's private namespace: the reference advertises
+            # and subscribes on its private nodelet handle, so its topics
+            # live under ~ and the stock launch remaps target ~names
+            # (launch/optic_flow.launch:45-58)
             self._pubs[topic] = self.rospy.Publisher(
-                topic, self.types[spec.type_key], queue_size=queue_size
+                "~" + topic, self.types[spec.type_key], queue_size=queue_size
             )
 
         self._subs = []
@@ -390,7 +396,7 @@ class RosBridge:
                 )
             self._subs.append(
                 self.rospy.Subscriber(
-                    topic, self.types[key], cb, queue_size=queue_size,
+                    "~" + topic, self.types[key], cb, queue_size=queue_size,
                     tcp_nodelay=True,
                 )
             )
@@ -414,7 +420,7 @@ class RosBridge:
         """
         if not self.node.got_camera_info:
             msg = self.rospy.wait_for_message(
-                "camera_info_in",
+                "~camera_info_in",
                 self.types["CameraInfo"],
                 timeout=camera_info_timeout_s,
             )

@@ -48,3 +48,48 @@ def test_cli_fleet(capsys):
     m = re.findall(r"fleet mean v = ([+-]\d+\.\d+) ([+-]\d+\.\d+)", out)
     vx, vy = float(m[-1][0]), float(m[-1][1])
     assert abs(vx - 0.5 * 1.0) < 0.1 and abs(vy + 0.2) < 0.1, (vx, vy)
+
+
+def test_cli_ros_wiring(monkeypatch):
+    """--ros: init_node, bridge construction with the frame args, warmup,
+    spin — the roslaunch deployment path (launch/optic_flow_tpu.launch)
+    without a ROS installation."""
+    import sys
+    import types as _types
+
+    calls = {}
+    fake_rospy = _types.SimpleNamespace(
+        init_node=lambda name: calls.setdefault("node", name),
+        loginfo=lambda *a: None,
+    )
+    monkeypatch.setitem(sys.modules, "rospy", fake_rospy)
+
+    class FakeBridge:
+        def __init__(self, cfg, *, camera_frame, uav_frame, uav_untilted_frame):
+            calls["frames"] = (camera_frame, uav_frame, uav_untilted_frame)
+            calls["cfg_frame_size"] = cfg.frame_size
+
+        def warmup(self):
+            calls["warmup"] = True
+
+        def spin(self):
+            calls["spin"] = True
+
+    import mrs_optic_flow_tpu.runtime.ros_bridge as rb
+
+    monkeypatch.setattr(rb, "RosBridge", FakeBridge)
+    rc = main(["--ros", "--camera-frame", "uav7/cam",
+               "--uav-frame", "uav7/fcu"])
+    assert rc == 0
+    assert calls == {
+        "node": "optic_flow",
+        "frames": ("uav7/cam", "uav7/fcu", "fcu_untilted"),
+        "cfg_frame_size": 480,
+        "warmup": True,
+        "spin": True,
+    }
+
+    # --no-warmup skips the pre-stream compile
+    calls.clear()
+    rc = main(["--ros", "--no-warmup"])
+    assert rc == 0 and "warmup" not in calls and calls["spin"]

@@ -246,28 +246,30 @@ def make_bridge(fail_tf=0, **overrides):
 
 
 def test_topic_surface_matches_reference():
-    """Subscribed/advertised names match src/optic_flow.cpp:1036-1063,
-    including the conditional imu subscription and raw advertisement."""
+    """Subscribed/advertised names match src/optic_flow.cpp:1036-1063 —
+    under the node's private namespace ("~", the reference's private nodelet
+    handle) — including the conditional imu subscription and raw
+    advertisement."""
     bridge, rospy, _ = make_bridge()
     sub_topics = {s.topic for s in rospy._subs}
     assert sub_topics == {
-        "active_tracker_in", "camera_info_in", "camera_in",
-        "uav_height_in", "odometry_in", "imu_in",
+        "~active_tracker_in", "~camera_info_in", "~camera_in",
+        "~uav_height_in", "~odometry_in", "~imu_in",
     }
     pub_topics = {p.topic for p in rospy._pubs}
     assert {
-        "velocity_out", "velocity_out_longrange", "velocity_out_longrange_diff",
-        "velocity_stddev_out", "max_velocity_out", "allsac_chosen_out",
-        "points_raw_out",
+        "~velocity_out", "~velocity_out_longrange",
+        "~velocity_out_longrange_diff", "~velocity_stddev_out",
+        "~max_velocity_out", "~allsac_chosen_out", "~points_raw_out",
     } <= pub_topics
 
     # ang_rate_source != imu -> no imu subscription (:1060-1063)
     bridge2, rospy2, _ = make_bridge(ang_rate_source="odometry")
-    assert "imu_in" not in {s.topic for s in rospy2._subs}
+    assert "~imu_in" not in {s.topic for s in rospy2._subs}
 
     # raw_output false -> points_raw_out not advertised (:1043-1046)
     bridge3, rospy3, _ = make_bridge(raw_output=False)
-    assert "points_raw_out" not in {p.topic for p in rospy3._pubs}
+    assert "~points_raw_out" not in {p.topic for p in rospy3._pubs}
 
 
 # ------------------------------------------------------------------ #
@@ -358,7 +360,7 @@ def test_warmup_waits_for_camera_info():
     rospy.wait_for_message = wait_for_message
     assert not bridge.node.got_camera_info
     bridge.warmup((128, 128))
-    assert waited["args"] == ("camera_info_in", FakeCameraInfo, 15.0)
+    assert waited["args"] == ("~camera_info_in", FakeCameraInfo, 15.0)
     assert bridge.node.got_camera_info
 
 
@@ -368,11 +370,11 @@ def test_warmup_waits_for_camera_info():
 
 
 def _cb(rospy, topic):
-    return next(s.cb for s in rospy._subs if s.topic == topic)
+    return next(s.cb for s in rospy._subs if s.topic == "~" + topic)
 
 
 def _pub(rospy, topic):
-    return next(p for p in rospy._pubs if p.topic == topic)
+    return next(p for p in rospy._pubs if p.topic == "~" + topic)
 
 
 def test_e2e_ros_flight():
