@@ -37,6 +37,14 @@ def _parse_overrides(pairs):
     return tree
 
 
+def filter_ros_remap_args(argv):
+    """Drop roslaunch-injected remap arguments (``__name:=...``,
+    ``__log:=...``, topic ``from:=to`` pairs) so argparse only sees real
+    flags — what roslaunch appends to every node's command line.  Used by
+    ``scripts/optic_flow_tpu_node``."""
+    return [a for a in argv if ":=" not in a]
+
+
 def _run_ros(args, cfg):
     """``--ros``: bring the node up on a live ROS1 graph — the deployment
     shape of the reference nodelet (``launch/optic_flow.launch:29``), minus
