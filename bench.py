@@ -176,6 +176,18 @@ def main():
                 latency_p50_ms=round(e2e["p50_ms"], 3),
                 latency_p99_ms=round(e2e["p99_ms"], 3),
             )
+            if _remaining() > 150:
+                # tpu.host_preprocess: the native fused gray+crop uploads
+                # the 480² gray window instead of the full 1.08 MB BGR
+                # frame — the win scales with how bandwidth-bound the
+                # host->device link is (docs/PERFORMANCE.md)
+                hp = measure_node_latency(
+                    int(os.environ.get("BENCH_LATENCY_FRAMES", "300")),
+                    overrides={"tpu": {"host_preprocess": True}},
+                )
+                record["latency_p50_hostpre_ms"] = round(hp["p50_ms"], 3)
+            else:
+                record["latency_hostpre_skipped"] = "budget"
         except TimeoutError as e:  # see above — never swallow the one alarm
             record["latency_error"] = str(e)
             print(json.dumps(record))

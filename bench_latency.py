@@ -50,6 +50,13 @@ def main():
     try:
         dev = measure_device_chain_latency(k)
         e2e = measure_node_latency(n_frames)
+        # tpu.host_preprocess: native fused gray+crop on the host — the
+        # dispatch uploads the 480² gray window instead of the full 1.08 MB
+        # BGR frame (4.7x fewer bytes; the win scales with how
+        # bandwidth-bound the host->device link is)
+        hp = measure_node_latency(
+            n_frames, overrides={"tpu": {"host_preprocess": True}}
+        )
     except TimeoutError as e:
         print(json.dumps({"metric": "frame_latency_p50_ms", "error": str(e)}))
         raise SystemExit(1)
@@ -68,6 +75,8 @@ def main():
                 "e2e_p99_ms": round(e2e["p99_ms"], 3),
                 "e2e_mean_ms": round(e2e["mean_ms"], 3),
                 "e2e_frames": e2e["n"],
+                "e2e_hostpre_p50_ms": round(hp["p50_ms"], 3),
+                "e2e_hostpre_p99_ms": round(hp["p99_ms"], 3),
                 "backend": jax.default_backend(),
             }
         )

@@ -115,6 +115,16 @@ class OpticFlowConfig:
     #: carry imPrev as 8-bit grayscale like the reference's 8U pipeline
     #: (src/optic_flow.cpp:1597, src/FftMethod.cpp:1872); False = float32
     quantize_8bit: bool = True
+    #: run the native fused uint8 grayscale+crop on the HOST before the
+    #: device dispatch (the reference preprocesses on host too,
+    #: src/optic_flow.cpp:1602-1622) — uploads the frame_size² gray window
+    #: instead of the full BGR frame (4.7x fewer bytes at the default
+    #: 752x480x3 -> 480² geometry).  A win whenever the host->device link is
+    #: bandwidth-bound; roughly neutral on-host over PCIe
+    #: (docs/PERFORMANCE.md).  Falls back to device preprocessing when the
+    #: native library, geometry (scale_factor != 1, crop at the image edge),
+    #: or input format doesn't allow it.
+    host_preprocess: bool = False
     #: log-polar interpolator: lanczos4 (the reference's INTER_LANCZOS4,
     #: src/scaleRotationEstimator.cpp:113) | bilinear (cheaper; accuracy
     #: delta quantified in tests/test_logpolar.py)
@@ -303,6 +313,7 @@ def load_config(
         ),
         long_range_ratio=int(tpu_block.get("long_range_ratio", 4)),
         quantize_8bit=bool(tpu_block.get("quantize_8bit", True)),
+        host_preprocess=bool(tpu_block.get("host_preprocess", False)),
         sample_point_size_lr=2 * sample_point_size,
         sample_point_count_sqrt=frame_size // sample_point_size,
         scan_diameter=2 * scan_radius + 1,

@@ -22,11 +22,14 @@ def to_grayscale(img: jnp.ndarray, *, swap_rb: bool = True) -> jnp.ndarray:
     ``swap_rb=True`` reproduces the reference's behaviour exactly: it decodes
     the ROS message as BGR8 (``src/optic_flow.cpp:1465``) and then applies
     ``CV_RGB2GRAY`` to that BGR buffer (``src/optic_flow.cpp:1622``), so the
-    0.299 weight effectively lands on the *blue* channel.  Set ``False`` for
-    the colorimetrically-correct conversion of an RGB input.
+    0.299 weight effectively lands on the *blue* channel — i.e. the RGB-order
+    weights applied to the BGR channels AS-IS.  Set ``False`` for the
+    colorimetrically-correct conversion of a BGR input (0.299 on channel 2).
+    Matches ``native.bgr_to_gray`` mode-for-mode (conformance-tested against
+    ``cv2.cvtColor`` in tests/test_native.py::test_gray_matches_opencv).
     """
     w = jnp.asarray(_GRAY_WEIGHTS, dtype=jnp.float32)
-    if swap_rb:
+    if not swap_rb:
         w = w[::-1]
     return jnp.tensordot(img.astype(jnp.float32), w, axes=([-1], [0]))
 

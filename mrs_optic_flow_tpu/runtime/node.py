@@ -32,7 +32,7 @@ from __future__ import annotations
 import functools
 import threading
 import time
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -173,6 +173,9 @@ class OpticFlowNode:
         self.dt = 0.0
         self._mutex = threading.Lock()  # mutex_process_ (src/optic_flow.cpp:1683)
         self._key = jax.random.PRNGKey(0)
+        #: tpu.host_preprocess native binding — resolved lazily on first
+        #: frame (None = unresolved, False = unavailable, else the module)
+        self._host_pre: Any = None
         self._frames_processed = 0
         #: rolling (flow, odometry) speed pairs for a-posteriori precision
         #: stats over the analyze_duration window (config/default.yaml:52)
@@ -552,6 +555,59 @@ class OpticFlowNode:
             except Exception:  # noqa: BLE001
                 pass
 
+    def _maybe_host_preprocess(self, img, channels: int, cx_eff: int):
+        """``tpu.host_preprocess``: the native fused uint8 grayscale+crop
+        (``native.gray_crop``) runs on the HOST so the device dispatch
+        uploads the ``frame_size``² gray window instead of the full BGR
+        frame (4.7x fewer bytes at the default 752x480x3 -> 480² geometry —
+        the reference also preprocesses on host, src/optic_flow.cpp:
+        1602-1622).  Mirrors the device preprocessing exactly: crop corner
+        ``(cx_eff - fs/2, H/2 - fs/2)`` (ops/preprocess.py::center_crop) and
+        OpenCV's fixed-point gray weights (the reference's CV_8UC1 contract;
+        the device float mix can differ by at most 1 uint8 LSB).  Inputs the
+        native path cannot honor (non-uint8, scale_factor != 1, crop
+        touching the image edge where device/native clamp semantics would
+        diverge) fall back to device preprocessing with a throttled log."""
+        c = self.config
+        if self._host_pre is None:  # resolve the native binding once
+            try:
+                from mrs_optic_flow_tpu import native  # noqa: PLC0415
+
+                native.load()
+                self._host_pre = native
+            except Exception as e:  # noqa: BLE001 — build/load can fail many ways
+                self._host_pre = False
+                self.log(
+                    f"[OpticFlow]: host_preprocess unavailable "
+                    f"({type(e).__name__}: {e}); preprocessing on device"
+                )
+        if self._host_pre is False:
+            return img, channels
+        fs = c.frame_size
+        h, w = int(img.shape[0]), int(img.shape[1])
+        xi, yi = cx_eff - fs // 2, h // 2 - fs // 2
+        eligible = (
+            channels in (1, 3)
+            and img.dtype == np.uint8
+            and abs(c.scale_factor - 1.0) <= 0.01
+            and 0 <= xi
+            and xi + fs <= w
+            and 0 <= yi
+            and yi + fs <= h
+            and not (channels == 1 and (h, w) == (fs, fs))  # already cropped
+        )
+        if not eligible:
+            self.log_throttled(
+                "hostpre",
+                "[OpticFlow]: host_preprocess cannot honor this input "
+                "(format/scale_factor/edge crop); preprocessing on device",
+            )
+            return img, channels
+        arr = np.asarray(img)
+        if channels == 3:
+            return self._host_pre.gray_crop(arr, cx_eff, h // 2, fs), 1
+        return self._host_pre.crop(arr, cx_eff, h // 2, fs), 1
+
     def _process_image(self, msg: ImageMsg) -> Optional[TwistWithCovarianceStamped]:
         if self.first_image:
             self.first_image = False
@@ -571,6 +627,8 @@ class OpticFlowNode:
         channels = img.shape[2] if img.ndim == 3 else 1
         cx = float(self.camera_matrix[0, 2])
         cx_eff = int(cx / c.scale_factor) if abs(c.scale_factor - 1.0) > 0.01 else int(cx)
+        if c.host_preprocess:
+            img, channels = self._maybe_host_preprocess(img, channels, cx_eff)
         pre_cropped = channels == 1 and img.shape[:2] == (c.frame_size, c.frame_size)
         # ulCorner of the crop in scaled-image pixels (src/optic_flow.cpp:1613)
         ul_x = cx_eff - c.frame_size // 2

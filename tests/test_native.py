@@ -121,3 +121,26 @@ def test_recorder_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(frame, frames[3])
     with pytest.raises(OSError):
         native.Replay(str(tmp_path / "missing.ofrec"))
+
+
+def test_jax_grayscale_matches_native_and_opencv(rng):
+    """ops.preprocess.to_grayscale agrees mode-for-mode with the native
+    fixed-point kernel and cv2: swap_rb=True is the reference's
+    CV_RGB2GRAY-on-BGR quirk (0.299 on channel 0, src/optic_flow.cpp:1622),
+    False the colorimetric BGR conversion."""
+    import jax.numpy as jnp
+
+    from mrs_optic_flow_tpu.ops.preprocess import quantize_u8, to_grayscale
+
+    bgr = rng.integers(0, 255, size=(48, 64, 3)).astype(np.uint8)
+    for swap_rb in (True, False):
+        ours = np.asarray(
+            quantize_u8(to_grayscale(jnp.asarray(bgr), swap_rb=swap_rb))
+        )
+        theirs = native.bgr_to_gray(bgr, swap_rb=swap_rb)
+        assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 1
+
+    cv2 = pytest.importorskip("cv2")
+    quirk = np.asarray(quantize_u8(to_grayscale(jnp.asarray(bgr))))
+    ref_q = cv2.cvtColor(bgr, cv2.COLOR_RGB2GRAY)
+    assert np.abs(quirk.astype(int) - ref_q.astype(int)).max() <= 1

@@ -693,3 +693,118 @@ def test_checkpoint_cross_carry_dtype(tmp_path):
         np.asarray(u8_node.flow_state.prev),
         np.clip(np.round(frame), 0, 255).astype(np.uint8),
     )
+
+
+# ------------------------------------------------------------------ #
+# tpu.host_preprocess — native fused gray+crop before the dispatch    #
+# ------------------------------------------------------------------ #
+
+
+def _as_bgr_u8(frame_f32: np.ndarray) -> np.ndarray:
+    q = np.clip(np.round(frame_f32), 0, 255).astype(np.uint8)
+    return np.repeat(q[:, :, None], 3, axis=2)
+
+
+class _NativeSpy:
+    """Counting proxy for the node's resolved native binding."""
+
+    def __init__(self):
+        from mrs_optic_flow_tpu import native
+
+        self._native = native
+        self.gray_crops = 0
+        self.crops = 0
+
+    def gray_crop(self, *a, **kw):
+        self.gray_crops += 1
+        return self._native.gray_crop(*a, **kw)
+
+    def crop(self, *a, **kw):
+        self.crops += 1
+        return self._native.crop(*a, **kw)
+
+
+def _run_host_pre_stream(published, *, bgr: bool, host_preprocess: bool):
+    node = _make_node(
+        published, tpu={"host_preprocess": host_preprocess} if host_preprocess else {}
+    )
+    spy = _NativeSpy()
+    node._host_pre = spy  # skip lazy resolution; count native calls
+    scene = SyntheticScene(uav_height=HEIGHT, seed=4)
+    stream = FrameStream(node)
+    scene.trajectory_events(stream, velocity=V_TRUE, n_frames=6, dt=DT)
+    if bgr:
+        for ev in stream._events:
+            if ev.kind == "image":
+                ev.msg.data = _as_bgr_u8(ev.msg.data)
+    stream.run()
+    return node, spy
+
+
+def test_host_preprocess_matches_device_path():
+    """tpu.host_preprocess: the native fused uint8 gray+crop feeds the
+    pre-cropped device program and the twists match the on-device
+    preprocessing (same crop corner, ops/preprocess.py::center_crop; same
+    fixed-point 8U gray contract, src/optic_flow.cpp:1602-1622)."""
+    pub_host, pub_dev = [], []
+    node_h, spy_h = _run_host_pre_stream(pub_host, bgr=True, host_preprocess=True)
+    _node_d, spy_d = _run_host_pre_stream(pub_dev, bgr=True, host_preprocess=False)
+
+    assert spy_h.gray_crops >= 5, "host path must run the native kernel"
+    assert spy_d.gray_crops == 0 and spy_d.crops == 0
+
+    tw_h = [m for t, m in pub_host if t == "velocity_out"]
+    tw_d = [m for t, m in pub_dev if t == "velocity_out"]
+    assert len(tw_h) == len(tw_d) >= 3
+    v_h = np.array([tw.linear[:2] for tw in tw_h])
+    v_d = np.array([tw.linear[:2] for tw in tw_d])
+    np.testing.assert_allclose(v_h, v_d, atol=1e-3)
+    assert np.abs(v_h[1:] - np.array(V_TRUE)).max() < 0.15
+
+
+def test_host_preprocess_fallbacks():
+    """Ineligible inputs (float32 frames) fall back to device preprocessing;
+    an unavailable native library disables the path without breaking the
+    stream."""
+    published = []
+    _node, spy = _run_host_pre_stream(published, bgr=False, host_preprocess=True)
+    assert spy.gray_crops == 0 and spy.crops == 0  # float32 -> ineligible
+    tw = [m for t, m in published if t == "velocity_out"]
+    assert len(tw) >= 3
+    assert np.abs(np.array(tw[-1].linear[:2]) - np.array(V_TRUE)).max() < 0.15
+
+    published2 = []
+    node = _make_node(published2, tpu={"host_preprocess": True})
+    node._host_pre = False  # the lazy resolution's "unavailable" terminal state
+    scene = SyntheticScene(uav_height=HEIGHT, seed=4)
+    stream = FrameStream(node)
+    scene.trajectory_events(stream, velocity=V_TRUE, n_frames=4, dt=DT)
+    for ev in stream._events:
+        if ev.kind == "image":
+            ev.msg.data = _as_bgr_u8(ev.msg.data)
+    stream.run()
+    assert len([m for t, m in published2 if t == "velocity_out"]) >= 2
+
+
+def test_host_preprocess_gray_contract():
+    """The native gray+crop equals the device preprocess chain (grayscale ->
+    crop -> 8U quantize) within 1 LSB: the device float mix vs OpenCV's
+    fixed-point weights (native/src/of_runtime.cpp::ofp_gray_crop)."""
+    import jax.numpy as jnp
+
+    from mrs_optic_flow_tpu import native
+    from mrs_optic_flow_tpu.ops.preprocess import (
+        center_crop,
+        quantize_u8,
+        to_grayscale,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(480, 752, 3), dtype=np.uint8)
+    cx = 376
+    host = native.gray_crop(img, cx, 240, 480)
+    dev = np.asarray(
+        quantize_u8(center_crop(to_grayscale(jnp.asarray(img)), 480, cx))
+    )
+    assert host.shape == dev.shape == (480, 480)
+    assert np.abs(host.astype(int) - dev.astype(int)).max() <= 1
