@@ -1,7 +1,8 @@
 """CLI runner — the launch-file analog (``launch/optic_flow.launch``).
 
-Drives :class:`OpticFlowNode` from the command line over either a recorded
-stream (``--replay file.ofrec``, the native Recorder format) or a synthetic
+Drives :class:`OpticFlowNode` from the command line over a recorded stream
+(``--replay file.ofrec``, the native Recorder format, or ``--replay
+flight.bag``, an offline ROS1 rosbag — no ROS needed) or a synthetic
 constant-velocity scene (``--synthetic``), printing published twists and the
 profiler report.  Config overrides take ``key=value`` dotted paths like
 launch-file substitutions.
@@ -77,7 +78,9 @@ def main(argv=None):
     ap.add_argument("--set", dest="overrides", action="append", metavar="KEY=VALUE",
                     help="config override (dotted path), repeatable")
     src = ap.add_mutually_exclusive_group(required=True)
-    src.add_argument("--replay", metavar="FILE.ofrec", help="replay a recorded stream")
+    src.add_argument("--replay", metavar="FILE",
+                     help="replay a recorded stream (.ofrec native Recorder "
+                          "format, or a ROS1 .bag — no ROS needed)")
     src.add_argument("--synthetic", action="store_true", help="synthetic scene run")
     src.add_argument("--fleet", type=int, metavar="N",
                      help="synthetic fleet-serving demo: N camera streams, "
@@ -180,6 +183,13 @@ def main(argv=None):
                               .astype(np.uint8))
         stream.run()
         truth = f" (true {v[0]:+.3f} {v[1]:+.3f})"
+    elif args.replay.endswith(".bag"):
+        # offline ROS1 rosbag replay (runtime/rosbag.py): topics auto-detected
+        # by type; level-flight defaults fill roles the bag doesn't carry
+        from mrs_optic_flow_tpu.runtime.rosbag import replay_bag
+
+        n_frames = replay_bag(node, args.replay, default_height=args.height)
+        truth = ""
     else:
         from mrs_optic_flow_tpu import native
 

@@ -13,6 +13,9 @@ transport-agnostic node:
 - :mod:`.ros_bridge` — optional ROS1 shim (:class:`RosBridge`): the
   reference's nodelet transport surface (same topic names/types) around the
   transport-agnostic node; imports ``rospy`` lazily;
+- :mod:`.rosbag` — offline ROS1 rosbag (2.0) replay: parses the bag
+  container and the node's input message types without a ROS install;
+
 - :mod:`.profiler` — the ``mrs_lib::Profiler``/``Routine`` equivalent;
 - :mod:`.viz` — flow-overlay rendering replacing the GUI window / video
   writer (``src/FftMethod.cpp:1859-1897``).
@@ -29,4 +32,5 @@ from mrs_optic_flow_tpu.runtime.fleet_feeder import FleetFeeder  # noqa: F401
 from mrs_optic_flow_tpu.runtime.node import OpticFlowNode  # noqa: F401
 from mrs_optic_flow_tpu.runtime.profiler import Profiler  # noqa: F401
 from mrs_optic_flow_tpu.runtime.ros_bridge import RosBridge  # noqa: F401
+from mrs_optic_flow_tpu.runtime.rosbag import BagReader, replay_bag  # noqa: F401
 from mrs_optic_flow_tpu.runtime.stream import FrameStream, SyntheticScene  # noqa: F401

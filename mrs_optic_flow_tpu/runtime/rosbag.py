@@ -1,0 +1,446 @@
+"""Offline ROS1 rosbag replay — no ROS installation required.
+
+A reference user's flight data lives in rosbags (the reference is driven
+from recorded ``bluefox_optflow/image_raw`` + odometry topics on a live
+graph, ``src/optic_flow.cpp:1049-1063``; rosbag is the stock way those
+flights are archived).  This module replays such bags straight into
+:class:`~mrs_optic_flow_tpu.runtime.node.OpticFlowNode` without ROS:
+
+- :class:`BagReader` parses the rosbag **2.0** container format
+  (`#ROSBAG V2.0`): record framing, connection records, and chunks with
+  ``none``/``bz2`` compression (``lz4`` when the optional ``lz4.frame``
+  module exists).  Index records are skipped — the reader streams the
+  chunks, which rosbag writes in record order.
+- Message payloads are decoded with small struct cursors for exactly the
+  types the node consumes (little-endian ROS1 serialization):
+  ``sensor_msgs/Image`` + ``CompressedImage`` (the latter via cv2),
+  ``sensor_msgs/CameraInfo``, ``sensor_msgs/Imu``, ``nav_msgs/Odometry``,
+  and ``mrs_msgs/Float64Stamped`` (the height topic).  Decoders build
+  duck-typed message objects and reuse the conformance-tested converters
+  in :mod:`.ros_bridge` (``decode_image``, ``from_camera_info``, ...).
+- :func:`replay_bag` maps topics to node callbacks (auto-detected by type,
+  overridable), dispatches in record order, and synthesizes level-flight
+  IMU/odometry/height defaults for roles the bag does not carry — the same
+  convention as the ``.ofrec`` replay path (``__main__.py``).
+
+The CLI accepts it directly: ``python -m mrs_optic_flow_tpu --replay
+flight.bag``.
+"""
+
+from __future__ import annotations
+
+import bz2
+import struct
+from types import SimpleNamespace
+from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
+
+from mrs_optic_flow_tpu.runtime import ros_bridge as _rb
+from mrs_optic_flow_tpu.runtime.msgs import Float64Stamped
+
+_MAGIC = b"#ROSBAG V2.0\n"
+
+# record opcodes (rosbag 2.0)
+_OP_MSG = 0x02
+_OP_BAGHDR = 0x03
+_OP_INDEX = 0x04
+_OP_CHUNK = 0x05
+_OP_CHUNKINFO = 0x06
+_OP_CONNECTION = 0x07
+
+
+class BagFormatError(ValueError):
+    """The file is not a parseable rosbag 2.0 stream."""
+
+
+# ------------------------------------------------------------------ #
+# container parsing                                                   #
+# ------------------------------------------------------------------ #
+
+
+def _parse_header(buf: bytes) -> Dict[str, bytes]:
+    """A rosbag record header: ``u32 len | name=value`` fields."""
+    fields: Dict[str, bytes] = {}
+    off = 0
+    while off < len(buf):
+        if off + 4 > len(buf):
+            raise BagFormatError("truncated header field length")
+        (flen,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        field = buf[off : off + flen]
+        if len(field) != flen:
+            raise BagFormatError("truncated header field")
+        off += flen
+        name, sep, value = field.partition(b"=")
+        if not sep:
+            raise BagFormatError(f"malformed header field {field[:40]!r}")
+        fields[name.decode("latin-1")] = value
+    return fields
+
+
+def _iter_records(buf: bytes, off: int = 0) -> Iterator[Tuple[Dict[str, bytes], bytes]]:
+    """Yield ``(header_fields, data)`` records from ``buf[off:]``."""
+    n = len(buf)
+    while off < n:
+        if off + 4 > n:
+            raise BagFormatError("truncated record (header length)")
+        (hlen,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        header = _parse_header(buf[off : off + hlen])
+        off += hlen
+        if off + 4 > n:
+            raise BagFormatError("truncated record (data length)")
+        (dlen,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        data = buf[off : off + dlen]
+        if len(data) != dlen:
+            raise BagFormatError("truncated record data")
+        off += dlen
+        yield header, data
+
+
+def _decompress(compression: bytes, data: bytes) -> bytes:
+    if compression in (b"none", b""):
+        return data
+    if compression == b"bz2":
+        return bz2.decompress(data)
+    if compression == b"lz4":
+        try:
+            import lz4.frame  # noqa: PLC0415 — optional
+        except ImportError as e:
+            raise BagFormatError(
+                "bag uses lz4 chunk compression and the lz4 module is not "
+                "available; re-record with --bz2 or install lz4"
+            ) from e
+        return lz4.frame.decompress(data)
+    raise BagFormatError(f"unknown chunk compression {compression!r}")
+
+
+class BagReader:
+    """Stream ``(time_s, topic, type_name, raw_message_bytes)`` from a
+    rosbag 2.0 file.  Connections are resolved as they appear (rosbag
+    writes each connection record before the first message that uses it,
+    both inside and outside chunks)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as fh:
+            magic = fh.read(len(_MAGIC))
+            if magic != _MAGIC:
+                raise BagFormatError(
+                    f"{path}: not a rosbag 2.0 file (magic {magic!r}; v1 "
+                    "bags need `rosbag fix` first)"
+                )
+            self._buf = fh.read()
+        #: conn id -> (topic, type name)
+        self.connections: Dict[int, Tuple[str, str]] = {}
+
+    def _note_connection(self, header: Dict[str, bytes], data: bytes) -> None:
+        (conn,) = struct.unpack("<I", header["conn"])
+        conn_hdr = _parse_header(data)
+        topic = header.get("topic", conn_hdr.get("topic", b"")).decode()
+        type_name = conn_hdr.get("type", b"").decode()
+        self.connections[conn] = (topic, type_name)
+
+    def messages(self) -> Iterator[Tuple[float, str, str, bytes]]:
+        for header, data in _iter_records(self._buf):
+            op = header.get("op", b"\x00")[0]
+            if op == _OP_CONNECTION:
+                self._note_connection(header, data)
+            elif op == _OP_CHUNK:
+                chunk = _decompress(header.get("compression", b"none"), data)
+                for chdr, cdata in _iter_records(chunk):
+                    cop = chdr.get("op", b"\x00")[0]
+                    if cop == _OP_CONNECTION:
+                        self._note_connection(chdr, cdata)
+                    elif cop == _OP_MSG:
+                        yield self._msg(chdr, cdata)
+            elif op == _OP_MSG:
+                yield self._msg(header, data)
+            # _OP_BAGHDR / _OP_INDEX / _OP_CHUNKINFO: skipped (index-free scan)
+
+    def _msg(self, header: Dict[str, bytes], data: bytes):
+        (conn,) = struct.unpack("<I", header["conn"])
+        secs, nsecs = struct.unpack("<II", header["time"])
+        if conn not in self.connections:
+            raise BagFormatError(f"message for unknown connection {conn}")
+        topic, type_name = self.connections[conn]
+        return secs + nsecs * 1e-9, topic, type_name, data
+
+    def topics_by_type(self) -> Dict[str, List[str]]:
+        """``type name -> [topic, ...]`` — requires one full scan if no
+        message has been read yet (connections resolve lazily)."""
+        if not self.connections:
+            for _ in self.messages():
+                pass
+        out: Dict[str, List[str]] = {}
+        for topic, type_name in self.connections.values():
+            out.setdefault(type_name, [])
+            if topic not in out[type_name]:
+                out[type_name].append(topic)
+        return out
+
+
+# ------------------------------------------------------------------ #
+# ROS1 message deserialization (little-endian)                        #
+# ------------------------------------------------------------------ #
+
+
+class _Cur:
+    """Struct cursor over a serialized ROS1 message."""
+
+    __slots__ = ("buf", "off")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.off = 0
+
+    def u8(self) -> int:
+        v = self.buf[self.off]
+        self.off += 1
+        return v
+
+    def u32(self) -> int:
+        (v,) = struct.unpack_from("<I", self.buf, self.off)
+        self.off += 4
+        return v
+
+    def f64(self) -> float:
+        (v,) = struct.unpack_from("<d", self.buf, self.off)
+        self.off += 8
+        return v
+
+    def f64s(self, n: int) -> Tuple[float, ...]:
+        v = struct.unpack_from(f"<{n}d", self.buf, self.off)
+        self.off += 8 * n
+        return v
+
+    def string(self) -> str:
+        n = self.u32()
+        v = self.buf[self.off : self.off + n]
+        self.off += n
+        return v.decode("utf-8", "replace")
+
+    def raw(self, n: int) -> bytes:
+        v = self.buf[self.off : self.off + n]
+        self.off += n
+        return v
+
+    def header(self) -> float:
+        """std_msgs/Header -> stamp in seconds (seq/frame_id skipped)."""
+        self.u32()  # seq
+        secs, nsecs = self.u32(), self.u32()
+        self.string()  # frame_id
+        return secs + nsecs * 1e-9
+
+    def xyz(self) -> SimpleNamespace:
+        return SimpleNamespace(x=self.f64(), y=self.f64(), z=self.f64())
+
+    def quat(self) -> SimpleNamespace:
+        return SimpleNamespace(x=self.f64(), y=self.f64(), z=self.f64(), w=self.f64())
+
+
+def _hdr_ns(stamp: float) -> SimpleNamespace:
+    return SimpleNamespace(stamp=stamp)
+
+
+def decode_image_msg(buf: bytes):
+    """sensor_msgs/Image -> :class:`ImageMsg` (via the bridge's stride- and
+    encoding-aware ``decode_image``)."""
+    c = _Cur(buf)
+    stamp = c.header()
+    height, width = c.u32(), c.u32()
+    encoding = c.string()
+    c.u8()  # is_bigendian (ROS1 serialization itself is always LE)
+    step = c.u32()
+    data = c.raw(c.u32())
+    return _rb.decode_image(
+        SimpleNamespace(
+            header=_hdr_ns(stamp), height=height, width=width,
+            encoding=encoding, step=step, data=data,
+        )
+    )
+
+
+def decode_compressed_image_msg(buf: bytes):
+    """sensor_msgs/CompressedImage -> :class:`ImageMsg` — jpeg/png decode
+    needs cv2 (present in OpenCV-equipped environments; the reference
+    pipeline assumes OpenCV anyway)."""
+    c = _Cur(buf)
+    stamp = c.header()
+    fmt = c.string()
+    data = c.raw(c.u32())
+    try:
+        import cv2  # noqa: PLC0415 — optional
+        import numpy as np  # noqa: PLC0415
+    except ImportError as e:
+        raise BagFormatError(
+            f"CompressedImage ({fmt!r}) in the bag needs cv2 to decode"
+        ) from e
+    img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise BagFormatError(f"cv2 could not decode CompressedImage ({fmt!r})")
+    from mrs_optic_flow_tpu.runtime.msgs import ImageMsg  # noqa: PLC0415
+
+    return ImageMsg(stamp=stamp, data=img[..., :3] if img.ndim == 3 else img)
+
+
+def decode_camera_info_msg(buf: bytes):
+    """sensor_msgs/CameraInfo -> :class:`CameraInfo`."""
+    c = _Cur(buf)
+    stamp = c.header()
+    c.u32(), c.u32()  # height, width
+    c.string()  # distortion_model
+    d = list(c.f64s(c.u32()))
+    k = list(c.f64s(9))
+    c.f64s(9)  # R
+    c.f64s(12)  # P
+    binning_x = c.u32()
+    return _rb.from_camera_info(
+        SimpleNamespace(header=_hdr_ns(stamp), K=k, D=d, binning_x=binning_x)
+    )
+
+
+def decode_imu_msg(buf: bytes):
+    """sensor_msgs/Imu -> :class:`Imu`."""
+    c = _Cur(buf)
+    stamp = c.header()
+    orientation = c.quat()
+    c.f64s(9)
+    angular_velocity = c.xyz()
+    # covariance + linear acceleration: not consumed by the node
+    return _rb.from_imu(
+        SimpleNamespace(
+            header=_hdr_ns(stamp),
+            orientation=orientation,
+            angular_velocity=angular_velocity,
+        )
+    )
+
+
+def decode_odometry_msg(buf: bytes):
+    """nav_msgs/Odometry -> :class:`Odometry`."""
+    c = _Cur(buf)
+    stamp = c.header()
+    c.string()  # child_frame_id
+    c.xyz()  # pose.pose.position
+    orientation = c.quat()
+    c.f64s(36)
+    linear = c.xyz()
+    angular = c.xyz()
+    return _rb.from_odometry(
+        SimpleNamespace(
+            header=_hdr_ns(stamp),
+            pose=SimpleNamespace(pose=SimpleNamespace(orientation=orientation)),
+            twist=SimpleNamespace(
+                twist=SimpleNamespace(linear=linear, angular=angular)
+            ),
+        )
+    )
+
+
+def decode_float64_stamped_msg(buf: bytes) -> Float64Stamped:
+    """mrs_msgs/Float64Stamped (the height topic,
+    ``src/optic_flow.cpp:1274-1301``)."""
+    c = _Cur(buf)
+    stamp = c.header()
+    return Float64Stamped(stamp=stamp, value=c.f64())
+
+
+#: role -> (ROS type names, node callback name, decoder)
+_ROLES: Dict[str, Tuple[Tuple[str, ...], str, Callable[[bytes], Any]]] = {
+    "image": (("sensor_msgs/Image",), "on_image", decode_image_msg),
+    "compressed_image": (
+        ("sensor_msgs/CompressedImage",), "on_image", decode_compressed_image_msg,
+    ),
+    "camera_info": (
+        ("sensor_msgs/CameraInfo",), "on_camera_info", decode_camera_info_msg,
+    ),
+    "imu": (("sensor_msgs/Imu",), "on_imu", decode_imu_msg),
+    "odometry": (("nav_msgs/Odometry",), "on_odometry", decode_odometry_msg),
+    "height": (
+        ("mrs_msgs/Float64Stamped",), "on_height", decode_float64_stamped_msg,
+    ),
+}
+
+
+def resolve_topics(
+    reader: BagReader, topics: Optional[Dict[str, str]] = None
+) -> Dict[str, Tuple[str, Callable[[bytes], Any]]]:
+    """``topic -> (callback name, decoder)`` for one bag.
+
+    ``topics`` optionally pins ``role -> topic name`` (roles: ``image``,
+    ``compressed_image``, ``camera_info``, ``imu``, ``odometry``,
+    ``height``).  Unpinned roles auto-resolve when exactly ONE topic of the
+    matching type exists; an ambiguous role raises with the candidates so
+    the caller can pin it.
+    """
+    topics = dict(topics or {})
+    by_type = reader.topics_by_type()
+    out: Dict[str, Tuple[str, Callable[[bytes], Any]]] = {}
+    for role, (type_names, cb, decoder) in _ROLES.items():
+        if role in topics:
+            out[topics.pop(role)] = (cb, decoder)
+            continue
+        candidates = [t for tn in type_names for t in by_type.get(tn, [])]
+        if len(candidates) > 1:
+            raise BagFormatError(
+                f"bag has several {type_names[0]} topics {candidates}; pin "
+                f"one with topics={{{role!r}: <topic>}}"
+            )
+        if candidates:
+            out[candidates[0]] = (cb, decoder)
+    if topics:
+        raise BagFormatError(f"unknown replay roles {sorted(topics)}")
+    return out
+
+
+def replay_bag(
+    node,
+    path: str,
+    topics: Optional[Dict[str, str]] = None,
+    *,
+    default_height: float = 2.0,
+    limit: Optional[int] = None,
+) -> int:
+    """Drive ``node`` with a recorded flight: dispatch the bag's messages
+    to the node callbacks in record order.  Roles the bag does not carry
+    get level-flight defaults per image (identity IMU/odometry,
+    ``default_height``) — the same convention as the ``.ofrec`` replay
+    path.  Returns the number of image frames dispatched."""
+    from mrs_optic_flow_tpu.runtime.msgs import (  # noqa: PLC0415
+        CameraInfo,
+        Imu,
+        Odometry,
+    )
+
+    reader = BagReader(path)
+    routing = resolve_topics(reader, topics)
+    have_cbs = {cb for cb, _ in routing.values()}
+    frames = 0
+    for t, topic, _type_name, raw in reader.messages():
+        route = routing.get(topic)
+        if route is None:
+            continue
+        cb, decoder = route
+        msg = decoder(raw)
+        if cb == "on_image":
+            # synthesize the missing readiness inputs the way --replay
+            # file.ofrec does, so image-only bags still produce twists
+            if "on_camera_info" not in have_cbs and not node.got_camera_info:
+                h, w = msg.data.shape[:2]
+                node.on_camera_info(CameraInfo(
+                    k=[420.0, 0, w / 2, 0, 420.0, h / 2, 0, 0, 1],
+                    d=[0.0] * 5,
+                ))
+            if "on_imu" not in have_cbs:
+                node.on_imu(Imu(stamp=t, angular_velocity=(0.0, 0.0, 0.0),
+                                orientation=(0.0, 0.0, 0.0, 1.0)))
+            if "on_odometry" not in have_cbs:
+                node.on_odometry(Odometry(stamp=t, orientation=(0.0, 0.0, 0.0, 1.0)))
+            if "on_height" not in have_cbs:
+                node.on_height(Float64Stamped(stamp=t, value=default_height))
+            frames += 1
+        getattr(node, cb)(msg)
+        if limit is not None and frames >= limit:
+            break
+    return frames
