@@ -336,3 +336,41 @@ def test_cli_replay_bag(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "twists from replay frames" in out or "twists" in out
+
+
+def test_truncated_bag_raises(tmp_path):
+    """Corrupt/truncated containers surface BagFormatError, never a raw
+    struct/index crash."""
+    img = np.zeros((4, 4), np.uint8)
+    records = [
+        conn_record(0, "/cam/image_raw", "sensor_msgs/Image"),
+        msg_record(0, 10.0, ser_image(10.0, img)),
+    ]
+    path = write_bag(tmp_path / "whole.bag", records)
+    whole = open(path, "rb").read()
+    for cut in (len(whole) - 7, len(MAGIC) + 2, len(whole) // 2):
+        p = tmp_path / f"cut{cut}.bag"
+        p.write_bytes(whole[:cut])
+        with pytest.raises(BagFormatError):
+            list(BagReader(str(p)).messages())
+
+
+def test_lz4_without_module_raises(tmp_path):
+    """An lz4-compressed bag on a host without the lz4 module fails with
+    the actionable message, not an ImportError traceback."""
+    try:
+        import lz4  # noqa: F401
+
+        pytest.skip("lz4 present; the error path is for hosts without it")
+    except ImportError:
+        pass
+    records = [conn_record(0, "/cam/image_raw", "sensor_msgs/Image")]
+    chunk = b"".join(records + [msg_record(0, 1.0, ser_image(1.0, np.zeros((2, 2), np.uint8)))])
+    out = MAGIC + _record(
+        {"op": b"\x05", "compression": b"lz4", "size": struct.pack("<I", len(chunk))},
+        b"\x00" * 16,
+    )
+    p = tmp_path / "lz4.bag"
+    p.write_bytes(out)
+    with pytest.raises(BagFormatError, match="lz4"):
+        list(BagReader(str(p)).messages())
