@@ -81,6 +81,12 @@ def main(argv=None):
     src.add_argument("--replay", metavar="FILE",
                      help="replay a recorded stream (.ofrec native Recorder "
                           "format, or a ROS1 .bag — no ROS needed)")
+    ap.add_argument("--bag-topic", action="append", default=[],
+                    metavar="ROLE=TOPIC",
+                    help="pin a .bag replay role to a topic (roles: image, "
+                         "compressed_image, camera_info, imu, odometry, "
+                         "height); repeatable — needed when the bag has "
+                         "several topics of one type")
     src.add_argument("--synthetic", action="store_true", help="synthetic scene run")
     src.add_argument("--fleet", type=int, metavar="N",
                      help="synthetic fleet-serving demo: N camera streams, "
@@ -188,7 +194,9 @@ def main(argv=None):
         # by type; level-flight defaults fill roles the bag doesn't carry
         from mrs_optic_flow_tpu.runtime.rosbag import replay_bag
 
-        n_frames = replay_bag(node, args.replay, default_height=args.height)
+        topics = dict(s.split("=", 1) for s in args.bag_topic)
+        n_frames = replay_bag(node, args.replay, topics or None,
+                              default_height=args.height)
         truth = ""
     else:
         from mrs_optic_flow_tpu import native

@@ -374,3 +374,67 @@ def test_lz4_without_module_raises(tmp_path):
     p.write_bytes(out)
     with pytest.raises(BagFormatError, match="lz4"):
         list(BagReader(str(p)).messages())
+
+
+def test_decode_compressed_image(tmp_path):
+    """sensor_msgs/CompressedImage: png-encoded frames decode through cv2
+    and replay like raw Image topics."""
+    cv2 = pytest.importorskip("cv2")
+    from mrs_optic_flow_tpu.runtime.rosbag import decode_compressed_image_msg
+
+    img = np.arange(32 * 48, dtype=np.uint8).reshape(32, 48)
+    ok, enc = cv2.imencode(".png", img)
+    assert ok
+    payload = (
+        _header(5.5) + _string("png")
+        + struct.pack("<I", len(enc)) + enc.tobytes()
+    )
+    msg = decode_compressed_image_msg(payload)
+    assert msg.stamp == pytest.approx(5.5)
+    np.testing.assert_array_equal(msg.data, img)
+
+    # a compressed-camera bag end-to-end: same flight, png frames
+    scene = SyntheticScene(uav_height=HEIGHT, seed=2)
+    records = [conn_record(0, "/uav1/bluefox_optflow/image_raw/compressed",
+                           "sensor_msgs/CompressedImage")]
+    for i in range(4):
+        t = 100.0 + i * DT
+        pos = (V_TRUE[0] * i * DT, V_TRUE[1] * i * DT)
+        frame = np.clip(np.round(scene.render(pos)), 0, 255).astype(np.uint8)
+        ok, enc = cv2.imencode(".png", frame)
+        records.append(msg_record(0, t, _header(t) + _string("png")
+                                  + struct.pack("<I", len(enc)) + enc.tobytes()))
+    path = write_bag(tmp_path / "compressed.bag", records)
+    frames, twists = _replay(path, default_height=HEIGHT)
+    assert frames == 4 and len(twists) >= 2
+    v = np.array([tw.linear[:2] for tw in twists[1:]])
+    assert np.abs(v - np.array(V_TRUE)).max() < 0.15, v
+
+
+def test_cli_bag_topic_pins_role(tmp_path, capsys):
+    """--bag-topic image=... resolves an ambiguous two-camera bag."""
+    from mrs_optic_flow_tpu.__main__ import main
+
+    scene = SyntheticScene(uav_height=HEIGHT, seed=2)
+    records = [
+        conn_record(0, "/uav1/front/image_raw", "sensor_msgs/Image"),
+        conn_record(1, "/uav1/down/image_raw", "sensor_msgs/Image"),
+    ]
+    for i in range(4):
+        t = 100.0 + i * DT
+        pos = (V_TRUE[0] * i * DT, V_TRUE[1] * i * DT)
+        frame = np.clip(np.round(scene.render(pos)), 0, 255).astype(np.uint8)
+        records.append(msg_record(1, t, ser_image(t, frame)))
+        # the distractor camera publishes black frames
+        records.append(msg_record(0, t, ser_image(
+            t, np.zeros((8, 8), np.uint8))))
+    path = write_bag(tmp_path / "two_cams.bag", records)
+
+    with pytest.raises(BagFormatError, match="several sensor_msgs/Image"):
+        main(["--replay", path, "--height", str(HEIGHT)])
+
+    rc = main(["--replay", path, "--height", str(HEIGHT),
+               "--bag-topic", "image=/uav1/down/image_raw"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "4 twists" in out or "twists from replay" in out
