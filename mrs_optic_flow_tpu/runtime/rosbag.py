@@ -66,7 +66,7 @@ def _parse_header(buf: bytes) -> Dict[str, bytes]:
             raise BagFormatError("truncated header field length")
         (flen,) = struct.unpack_from("<I", buf, off)
         off += 4
-        field = buf[off : off + flen]
+        field = bytes(buf[off : off + flen])  # bytes() also accepts memoryview
         if len(field) != flen:
             raise BagFormatError("truncated header field")
         off += flen
@@ -123,14 +123,24 @@ class BagReader:
 
     def __init__(self, path: str):
         self.path = path
-        with open(path, "rb") as fh:
-            magic = fh.read(len(_MAGIC))
-            if magic != _MAGIC:
-                raise BagFormatError(
-                    f"{path}: not a rosbag 2.0 file (magic {magic!r}; v1 "
-                    "bags need `rosbag fix` first)"
-                )
-            self._buf = fh.read()
+        self._fh = open(path, "rb")  # noqa: SIM115 — backs the mmap below
+        magic = self._fh.read(len(_MAGIC))
+        if magic != _MAGIC:
+            self._fh.close()
+            raise BagFormatError(
+                f"{path}: not a rosbag 2.0 file (magic {magic!r}; v1 "
+                "bags need `rosbag fix` first)"
+            )
+        # mmap, not read(): flight bags are GBs and replay touches each
+        # chunk once — no reason to hold the whole file resident
+        import mmap  # noqa: PLC0415
+
+        try:
+            whole = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
+            self._buf: Any = memoryview(whole)[len(_MAGIC):]
+        except (ValueError, OSError):  # empty file / exotic fs: plain bytes
+            self._fh.seek(len(_MAGIC))
+            self._buf = self._fh.read()
         #: conn id -> (topic, type name)
         self.connections: Dict[int, Tuple[str, str]] = {}
 
@@ -164,13 +174,22 @@ class BagReader:
         if conn not in self.connections:
             raise BagFormatError(f"message for unknown connection {conn}")
         topic, type_name = self.connections[conn]
-        return secs + nsecs * 1e-9, topic, type_name, data
+        return secs + nsecs * 1e-9, topic, type_name, bytes(data)
 
     def topics_by_type(self) -> Dict[str, List[str]]:
-        """``type name -> [topic, ...]`` — requires one full scan if no
-        message has been read yet (connections resolve lazily)."""
+        """``type name -> [topic, ...]``.
+
+        rosbag repeats every connection record at top level after the last
+        chunk (the index section), so the normal case never decompresses a
+        chunk here; bags missing that section (e.g. unindexed/crashed
+        recordings) fall back to the full scan.
+        """
         if not self.connections:
-            for _ in self.messages():
+            for header, data in _iter_records(self._buf):
+                if header.get("op", b"\x00")[0] == _OP_CONNECTION:
+                    self._note_connection(header, data)
+        if not self.connections:
+            for _ in self.messages():  # deep scan (decompresses chunks)
                 pass
         out: Dict[str, List[str]] = {}
         for topic, type_name in self.connections.values():
@@ -178,6 +197,20 @@ class BagReader:
             if topic not in out[type_name]:
                 out[type_name].append(topic)
         return out
+
+    def close(self) -> None:
+        buf, self._buf = self._buf, b""
+        if isinstance(buf, memoryview):
+            mm = buf.obj
+            buf.release()
+            mm.close()
+        self._fh.close()
+
+    def __enter__(self) -> "BagReader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 # ------------------------------------------------------------------ #
@@ -407,13 +440,17 @@ def replay_bag(
     get level-flight defaults per image (identity IMU/odometry,
     ``default_height``) — the same convention as the ``.ofrec`` replay
     path.  Returns the number of image frames dispatched."""
+    with BagReader(path) as reader:
+        return _replay_from(reader, node, topics, default_height, limit)
+
+
+def _replay_from(reader, node, topics, default_height, limit) -> int:
     from mrs_optic_flow_tpu.runtime.msgs import (  # noqa: PLC0415
         CameraInfo,
         Imu,
         Odometry,
     )
 
-    reader = BagReader(path)
     routing = resolve_topics(reader, topics)
     have_cbs = {cb for cb, _ in routing.values()}
     frames = 0

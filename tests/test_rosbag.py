@@ -438,3 +438,34 @@ def test_cli_bag_topic_pins_role(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "4 twists" in out or "twists from replay" in out
+
+
+def test_topics_scan_skips_chunks(tmp_path):
+    """Real rosbags repeat every connection record at top level after the
+    chunks (the index section); topics_by_type must resolve from those
+    without decompressing a chunk.  Proven with a bag whose chunk blob is
+    corrupt: topic resolution succeeds, message iteration raises."""
+    import os
+
+    conns = [
+        conn_record(0, "/cam/image_raw", "sensor_msgs/Image"),
+        conn_record(1, "/odom", "nav_msgs/Odometry"),
+    ]
+    out = MAGIC
+    out += _record(
+        {"op": b"\x05", "compression": b"bz2",
+         "size": struct.pack("<I", 64)},
+        b"\x13\x37" * 8,  # not bz2
+    )
+    out += b"".join(conns)  # the post-chunk connection section
+    p = tmp_path / "fastpath.bag"
+    p.write_bytes(out)
+
+    reader = BagReader(str(p))
+    by_type = reader.topics_by_type()
+    assert by_type["sensor_msgs/Image"] == ["/cam/image_raw"]
+    assert by_type["nav_msgs/Odometry"] == ["/odom"]
+    with pytest.raises(Exception):  # noqa: B017 — bz2 garbage
+        list(reader.messages())
+    reader.close()
+    assert os.path.exists(p)  # close released the mmap without unlinking
