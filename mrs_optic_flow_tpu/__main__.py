@@ -194,7 +194,12 @@ def main(argv=None):
         # by type; level-flight defaults fill roles the bag doesn't carry
         from mrs_optic_flow_tpu.runtime.rosbag import replay_bag
 
-        topics = dict(s.split("=", 1) for s in args.bag_topic)
+        topics = {}
+        for pin in args.bag_topic:
+            role, sep, topic = pin.partition("=")
+            if not sep or not role or not topic:
+                ap.error(f"--bag-topic needs ROLE=TOPIC, got {pin!r}")
+            topics[role] = topic
         n_frames = replay_bag(node, args.replay, topics or None,
                               default_height=args.height)
         truth = ""
@@ -206,7 +211,9 @@ def main(argv=None):
             from mrs_optic_flow_tpu.runtime.msgs import CameraInfo
 
             node.on_camera_info(CameraInfo(k=ci_k, d=[0.0] * 5))
+            n_frames = 0
             for stamp, frame in rep:
+                n_frames += 1
                 node.on_imu(Imu(stamp=stamp, angular_velocity=(0, 0, 0),
                                 orientation=(0, 0, 0, 1)))
                 node.on_odometry(Odometry(stamp=stamp, orientation=(0, 0, 0, 1)))
@@ -221,7 +228,9 @@ def main(argv=None):
             f"v = {tw.linear[0]:+.3f} {tw.linear[1]:+.3f} {tw.linear[2]:+.3f} m/s"
             + truth
         )
-    print(f"{len(twists)} twists from {args.frames if args.synthetic else 'replay'} frames; "
+    n_frames = args.frames if args.synthetic else n_frames
+    print(f"{len(twists)} twists from {n_frames}"
+          f"{' synthetic' if args.synthetic else ' replay'} frames; "
           f"health: {node.health}")
     if args.profile:
         print(node.profiler.report())

@@ -585,6 +585,8 @@ class OpticFlowNode:
             return img, channels
         fs = c.frame_size
         h, w = int(img.shape[0]), int(img.shape[1])
+        if channels == 1 and (h, w) == (fs, fs):
+            return img, channels  # already the pre-cropped contract; no-op
         xi, yi = cx_eff - fs // 2, h // 2 - fs // 2
         eligible = (
             channels in (1, 3)
@@ -594,7 +596,6 @@ class OpticFlowNode:
             and xi + fs <= w
             and 0 <= yi
             and yi + fs <= h
-            and not (channels == 1 and (h, w) == (fs, fs))  # already cropped
         )
         if not eligible:
             self.log_throttled(

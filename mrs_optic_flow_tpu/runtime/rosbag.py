@@ -203,7 +203,13 @@ class BagReader:
         if isinstance(buf, memoryview):
             mm = buf.obj
             buf.release()
-            mm.close()
+            try:
+                mm.close()
+            except BufferError:
+                # an exception unwinding through messages() can keep
+                # memoryview slices alive in traceback frames; the map is
+                # released when they are GC'd — never mask the real error
+                pass
         self._fh.close()
 
     def __enter__(self) -> "BagReader":
@@ -405,14 +411,26 @@ def resolve_topics(
     ``compressed_image``, ``camera_info``, ``imu``, ``odometry``,
     ``height``).  Unpinned roles auto-resolve when exactly ONE topic of the
     matching type exists; an ambiguous role raises with the candidates so
-    the caller can pin it.
+    the caller can pin it.  ``image``/``compressed_image`` are one camera
+    family: when a bag carries both (the stock image_transport recording
+    layout), the raw stream wins unless the compressed one is explicitly
+    pinned — dispatching both would double every physical frame.
     """
     topics = dict(topics or {})
     by_type = reader.topics_by_type()
+    all_topics = {t for ts in by_type.values() for t in ts}
     out: Dict[str, Tuple[str, Callable[[bytes], Any]]] = {}
+    auto: Dict[str, str] = {}
+    pinned_roles = set(topics)
     for role, (type_names, cb, decoder) in _ROLES.items():
         if role in topics:
-            out[topics.pop(role)] = (cb, decoder)
+            topic = topics.pop(role)
+            if topic not in all_topics:
+                raise BagFormatError(
+                    f"pinned {role} topic {topic!r} is not in the bag "
+                    f"(topics: {sorted(all_topics)})"
+                )
+            out[topic] = (cb, decoder)
             continue
         candidates = [t for tn in type_names for t in by_type.get(tn, [])]
         if len(candidates) > 1:
@@ -422,8 +440,17 @@ def resolve_topics(
             )
         if candidates:
             out[candidates[0]] = (cb, decoder)
+            auto[role] = candidates[0]
     if topics:
         raise BagFormatError(f"unknown replay roles {sorted(topics)}")
+    # one camera per replay: among auto-resolved streams raw beats
+    # compressed; an explicit compressed pin beats an auto raw stream
+    if "compressed_image" in auto and (
+        "image" in auto or "image" in pinned_roles
+    ):
+        out.pop(auto["compressed_image"])
+    elif "compressed_image" in pinned_roles and "image" in auto:
+        out.pop(auto["image"])
     return out
 
 

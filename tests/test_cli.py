@@ -32,7 +32,7 @@ def test_cli_record_and_replay(tmp_path, capsys):
     rc = main(["--replay", rec, "--quiet"])
     assert rc == 0
     out = capsys.readouterr().out
-    assert "twists from replay" in out
+    assert "twists from 5 replay frames" in out
 
 
 def test_cli_fleet(capsys):

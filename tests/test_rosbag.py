@@ -335,7 +335,7 @@ def test_cli_replay_bag(tmp_path, capsys):
     rc = main(["--replay", path, "--height", str(HEIGHT)])
     assert rc == 0
     out = capsys.readouterr().out
-    assert "twists from replay frames" in out or "twists" in out
+    assert "twists from 6 replay frames" in out
 
 
 def test_truncated_bag_raises(tmp_path):
@@ -437,7 +437,7 @@ def test_cli_bag_topic_pins_role(tmp_path, capsys):
                "--bag-topic", "image=/uav1/down/image_raw"])
     assert rc == 0
     out = capsys.readouterr().out
-    assert "4 twists" in out or "twists from replay" in out
+    assert "twists from 4 replay frames" in out
 
 
 def test_topics_scan_skips_chunks(tmp_path):
@@ -469,3 +469,72 @@ def test_topics_scan_skips_chunks(tmp_path):
         list(reader.messages())
     reader.close()
     assert os.path.exists(p)  # close released the mmap without unlinking
+
+
+def test_raw_beats_compressed_auto(tmp_path):
+    """image_transport records raw + compressed side by side; replay must
+    pick ONE camera stream (raw wins on auto-resolve; an explicit
+    compressed pin flips it) instead of double-dispatching every frame."""
+    cv2 = pytest.importorskip("cv2")
+    img = np.full((8, 8), 9, np.uint8)
+    ok, enc = cv2.imencode(".png", img)
+    records = [
+        conn_record(0, "/cam/image_raw", "sensor_msgs/Image"),
+        conn_record(1, "/cam/image_raw/compressed", "sensor_msgs/CompressedImage"),
+    ]
+    for i in range(3):
+        t = 100.0 + i * DT
+        records.append(msg_record(0, t, ser_image(t, img)))
+        records.append(msg_record(1, t, _header(t) + _string("png")
+                                  + struct.pack("<I", len(enc)) + enc.tobytes()))
+    path = write_bag(tmp_path / "both.bag", records)
+
+    routing = resolve_topics(BagReader(path))
+    assert set(routing) == {"/cam/image_raw"}
+
+    routing = resolve_topics(
+        BagReader(path), {"compressed_image": "/cam/image_raw/compressed"}
+    )
+    assert set(routing) == {"/cam/image_raw/compressed"}
+
+    frames, _ = _replay(path, default_height=HEIGHT)
+    assert frames == 3  # one dispatch per physical frame, not two
+
+
+def test_pinned_topic_must_exist(tmp_path):
+    records = [conn_record(0, "/cam/image_raw", "sensor_msgs/Image")]
+    path = write_bag(tmp_path / "one.bag", records)
+    with pytest.raises(BagFormatError, match="not in the bag"):
+        resolve_topics(BagReader(path), {"image": "/cam/image_row"})  # typo
+
+
+def test_replay_truncated_raises_bagformat(tmp_path):
+    """A truncation surfacing mid-replay must raise the actionable
+    BagFormatError, not a BufferError from the mmap close."""
+    img = np.zeros((8, 8), np.uint8)
+    records = [
+        conn_record(0, "/cam/image_raw", "sensor_msgs/Image"),
+        msg_record(0, 100.0, ser_image(100.0, img)),
+        msg_record(0, 100.05, ser_image(100.05, img)),
+    ]
+    path = _p = write_bag(tmp_path / "whole.bag", records)
+    whole = open(path, "rb").read()
+    cut = tmp_path / "cut.bag"
+    cut.write_bytes(whole[: len(whole) - 9])
+    from mrs_optic_flow_tpu.runtime import OpticFlowNode
+
+    node = OpticFlowNode(load_config(), publish=lambda t, m: None,
+                         log=lambda s: None)
+    node.set_transforms((0.0, 0.0, 0.0, 1.0))
+    with pytest.raises(BagFormatError):
+        replay_bag(node, str(cut), default_height=HEIGHT)
+
+
+def test_cli_bag_topic_malformed_errors(tmp_path, capsys):
+    from mrs_optic_flow_tpu.__main__ import main
+
+    records = [conn_record(0, "/cam/image_raw", "sensor_msgs/Image")]
+    path = write_bag(tmp_path / "one.bag", records)
+    with pytest.raises(SystemExit):
+        main(["--replay", path, "--bag-topic", "image"])
+    assert "ROLE=TOPIC" in capsys.readouterr().err
