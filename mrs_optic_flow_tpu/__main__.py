@@ -46,6 +46,29 @@ def filter_ros_remap_args(argv):
     return [a for a in argv if ":=" not in a]
 
 
+def _run_bag_info(path):
+    """``--bag-info``: topics/types/counts/duration of a ROS1 bag — the
+    ``rosbag info`` analog, without ROS (runtime/rosbag.py)."""
+    from mrs_optic_flow_tpu.runtime.rosbag import BagReader
+
+    with BagReader(path) as reader:
+        counts: dict = {}
+        t0 = t1 = None
+        for t, topic, _type_name, _raw in reader.messages():
+            counts[topic] = counts.get(topic, 0) + 1
+            t0 = t if t0 is None else min(t0, t)
+            t1 = t if t1 is None else max(t1, t)
+        types = {topic: tn for topic, tn in reader.connections.values()}
+        for topic in types:
+            counts.setdefault(topic, 0)
+        duration = (t1 - t0) if t1 is not None else 0.0
+        print(f"{path}: {sum(counts.values())} messages, {duration:.2f} s")
+        width = max((len(t) for t in counts), default=0)
+        for topic in sorted(counts):
+            print(f"  {topic:<{width}}  {counts[topic]:>7}  {types.get(topic, '?')}")
+    return 0
+
+
 def _run_ros(args, cfg):
     """``--ros``: bring the node up on a live ROS1 graph — the deployment
     shape of the reference nodelet (``launch/optic_flow.launch:29``), minus
@@ -87,6 +110,9 @@ def main(argv=None):
                          "compressed_image, camera_info, imu, odometry, "
                          "height); repeatable — needed when the bag has "
                          "several topics of one type")
+    src.add_argument("--bag-info", metavar="FILE.bag",
+                     help="print a ROS1 bag's topics/types/counts "
+                          "(the `rosbag info` analog, ROS-free) and exit")
     src.add_argument("--synthetic", action="store_true", help="synthetic scene run")
     src.add_argument("--fleet", type=int, metavar="N",
                      help="synthetic fleet-serving demo: N camera streams, "
@@ -116,6 +142,9 @@ def main(argv=None):
     from mrs_optic_flow_tpu.config import load_config
     from mrs_optic_flow_tpu.runtime import FrameStream, OpticFlowNode, SyntheticScene
     from mrs_optic_flow_tpu.runtime.msgs import Float64Stamped, ImageMsg, Imu, Odometry
+
+    if args.bag_info:
+        return _run_bag_info(args.bag_info)
 
     cfg = load_config(args.config, overrides=_parse_overrides(args.overrides))
     dt = 1.0 / args.fps

@@ -538,3 +538,24 @@ def test_cli_bag_topic_malformed_errors(tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["--replay", path, "--bag-topic", "image"])
     assert "ROLE=TOPIC" in capsys.readouterr().err
+
+
+def test_cli_bag_info(tmp_path, capsys):
+    from mrs_optic_flow_tpu.__main__ import main
+
+    img = np.zeros((4, 4), np.uint8)
+    records = [
+        conn_record(0, "/uav1/bluefox_optflow/image_raw", "sensor_msgs/Image"),
+        conn_record(1, "/uav1/odometry/height", "mrs_msgs/Float64Stamped"),
+        conn_record(2, "/uav1/silent", "std_msgs/Empty"),  # no messages
+        msg_record(0, 10.0, ser_image(10.0, img)),
+        msg_record(0, 10.5, ser_image(10.5, img)),
+        msg_record(1, 12.0, ser_height(12.0, 2.0)),
+    ]
+    path = write_bag(tmp_path / "info.bag", records, "bz2")
+    rc = main(["--bag-info", path])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "3 messages, 2.00 s" in out
+    assert "/uav1/bluefox_optflow/image_raw" in out and "sensor_msgs/Image" in out
+    assert "/uav1/silent" in out and "      0" in out
