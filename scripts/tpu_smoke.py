@@ -97,6 +97,26 @@ def main():
     assert abs(vlr[0] - 0.8) < 0.3 and abs(vlr[1] + 0.3) < 0.3, vlr
     print(f"node short-range v={v[:2]} long-range v={vlr[:2]} OK", flush=True)
 
+    # --- tpu.host_preprocess: native gray+crop feeds the pre-cropped
+    # device program; same twists as device preprocessing ------------------
+    published_hp = []
+    node = OpticFlowNode(
+        load_config(overrides={"tpu": {"host_preprocess": True}}),
+        publish=lambda t, m: published_hp.append((t, m)), log=lambda s: None,
+    )
+    node.set_transforms((0.0, 0.0, 0.0, 1.0))
+    scene = SyntheticScene(uav_height=2.0)
+    stream = FrameStream(node)
+    scene.trajectory_events(stream, velocity=(0.8, -0.3), n_frames=6, dt=0.05)
+    for ev in stream._events:
+        if ev.kind == "image":  # host path needs uint8 BGR frames
+            q = np.clip(np.round(ev.msg.data), 0, 255).astype(np.uint8)
+            ev.msg.data = np.repeat(q[:, :, None], 3, axis=2)
+    stream.run()
+    vhp = [m for t, m in published_hp if t == "velocity_out"][-1].linear
+    assert abs(vhp[0] - 0.8) < 0.15 and abs(vhp[1] + 0.3) < 0.15, vhp
+    print(f"host_preprocess v={vhp[:2]} OK", flush=True)
+
     # --- frames-kernel geometry sweep (Mosaic edge cases only show on
     # real hardware; all verified on v5e) ---------------------------------
     from mrs_optic_flow_tpu.ops.pallas_kernels import phase_correlate_frames_pallas
