@@ -83,8 +83,8 @@ def _run_ros(args, cfg):
     rospy.init_node("optic_flow")
     bridge = RosBridge(
         cfg,
-        camera_frame=args.camera_frame,
-        uav_frame=args.uav_frame,
+        camera_frame=args.camera_frame or "camera",
+        uav_frame=args.uav_frame or "fcu",
         uav_untilted_frame=args.uav_untilted_frame,
     )
     if not args.no_warmup:
@@ -119,10 +119,12 @@ def main(argv=None):
                           "one batched device dispatch per tick")
     src.add_argument("--ros", action="store_true",
                      help="run as a ROS1 node (runtime.RosBridge; needs rospy)")
-    ap.add_argument("--camera-frame", default="camera",
-                    help="--ros: tf2 camera frame id")
-    ap.add_argument("--uav-frame", default="fcu",
-                    help="--ros: tf2 body frame id")
+    ap.add_argument("--camera-frame", default=None,
+                    help="tf2 camera frame id (--ros live lookups; with "
+                         "--replay file.bag, resolve camera->body from the "
+                         "bag's /tf_static//tf instead of identity)")
+    ap.add_argument("--uav-frame", default=None,
+                    help="tf2 body frame id (see --camera-frame)")
     ap.add_argument("--uav-untilted-frame", default="fcu_untilted",
                     help="--ros: published twist frame id")
     ap.add_argument("--no-warmup", action="store_true",
@@ -197,7 +199,11 @@ def main(argv=None):
     published = []
     log = (lambda s: None) if args.quiet else print
     node = OpticFlowNode(cfg, publish=lambda t, m: published.append((t, m)), log=log)
-    node.set_transforms((0.0, 0.0, 0.0, 1.0))
+    bag_tf = (args.replay or "").endswith(".bag") and bool(
+        args.camera_frame and args.uav_frame
+    )
+    if not bag_tf:  # bag tf mode resolves camera->body from /tf_static
+        node.set_transforms((0.0, 0.0, 0.0, 1.0))
     if args.synthetic:
         v = tuple(float(x) for x in args.velocity.split(","))
         scene = SyntheticScene(uav_height=args.height)
@@ -230,7 +236,9 @@ def main(argv=None):
                 ap.error(f"--bag-topic needs ROLE=TOPIC, got {pin!r}")
             topics[role] = topic
         n_frames = replay_bag(node, args.replay, topics or None,
-                              default_height=args.height)
+                              default_height=args.height,
+                              camera_frame=args.camera_frame,
+                              uav_frame=args.uav_frame)
         truth = ""
     else:
         from mrs_optic_flow_tpu import native

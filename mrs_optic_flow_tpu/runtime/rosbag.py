@@ -385,6 +385,75 @@ def decode_float64_stamped_msg(buf: bytes) -> Float64Stamped:
     return Float64Stamped(stamp=stamp, value=c.f64())
 
 
+def decode_tf_message(buf: bytes) -> List[Tuple[str, str, Tuple[float, ...]]]:
+    """tf2_msgs/TFMessage -> ``[(parent_frame, child_frame, quat xyzw), ...]``
+    (translations skipped — the node consumes rotation only,
+    ``set_transforms``; ``src/optic_flow.cpp:1176``)."""
+    c = _Cur(buf)
+    out = []
+    for _ in range(c.u32()):
+        # geometry_msgs/TransformStamped, field by field (the Header's
+        # frame_id is the PARENT frame here, so c.header() — which discards
+        # it — cannot be used)
+        c.u32()  # header.seq
+        c.u32(), c.u32()  # header.stamp
+        parent = c.string()
+        child = c.string()
+        c.f64s(3)  # translation
+        out.append((parent, child, c.f64s(4)))
+    return out
+
+
+class TfTree:
+    """Rotation-only transform graph — the sliver of a tf2 buffer the node
+    needs: accumulate ``(parent, child, quat)`` edges, compose the rotation
+    along the frame chain (``lookup(target, source)`` = the quaternion
+    rotating source-frame vectors into the target frame, like tf2's
+    ``lookupTransform(target, source).rotation``)."""
+
+    def __init__(self):
+        import numpy as np  # noqa: PLC0415
+
+        self._np = np
+        #: frame -> [(neighbor, quat child->parent as stored, is_parent_edge)]
+        self._edges: Dict[str, list] = {}
+
+    def add(self, parent: str, child: str, quat) -> None:
+        q = self._np.asarray(quat, float)
+        self._edges.setdefault(parent, []).append((child, q, True))
+        self._edges.setdefault(child, []).append((parent, q, False))
+
+    def lookup(self, target: str, source: str):
+        """Quaternion (xyzw) rotating source-frame vectors into the target
+        frame, or None while either frame is unconnected."""
+        from mrs_optic_flow_tpu.utils import (  # noqa: PLC0415
+            np_quat_inverse,
+            np_quat_multiply,
+        )
+
+        np = self._np
+        if source == target:
+            return np.array([0.0, 0.0, 0.0, 1.0])
+        if source not in self._edges or target not in self._edges:
+            return None
+        # BFS from source; q_acc maps source-frame vectors into the
+        # visited frame.  Edge (parent, child, q): v_parent = R(q) v_child.
+        seen = {source}
+        frontier = [(source, np.array([0.0, 0.0, 0.0, 1.0]))]
+        while frontier:
+            frame, q_acc = frontier.pop(0)
+            for neighbor, q, toward_child in self._edges[frame]:
+                if neighbor in seen:
+                    continue
+                q_step = np_quat_inverse(q) if toward_child else q
+                q_next = np_quat_multiply(q_step, q_acc)
+                if neighbor == target:
+                    return q_next
+                seen.add(neighbor)
+                frontier.append((neighbor, q_next))
+        return None
+
+
 #: role -> (ROS type names, node callback name, decoder)
 _ROLES: Dict[str, Tuple[Tuple[str, ...], str, Callable[[bytes], Any]]] = {
     "image": (("sensor_msgs/Image",), "on_image", decode_image_msg),
@@ -461,17 +530,26 @@ def replay_bag(
     *,
     default_height: float = 2.0,
     limit: Optional[int] = None,
+    camera_frame: Optional[str] = None,
+    uav_frame: Optional[str] = None,
 ) -> int:
     """Drive ``node`` with a recorded flight: dispatch the bag's messages
     to the node callbacks in record order.  Roles the bag does not carry
     get level-flight defaults per image (identity IMU/odometry,
     ``default_height``) — the same convention as the ``.ofrec`` replay
-    path.  Returns the number of image frames dispatched."""
+    path.  When ``camera_frame`` and ``uav_frame`` are given, the camera→
+    body rotation is resolved from the bag's ``/tf``/``/tf_static``
+    messages (frame-chain composition via :class:`TfTree`), reproducing
+    the reference's ``timerTf`` lookup offline
+    (``src/optic_flow.cpp:1165-1243``).  Returns the number of image
+    frames dispatched."""
     with BagReader(path) as reader:
-        return _replay_from(reader, node, topics, default_height, limit)
+        return _replay_from(reader, node, topics, default_height, limit,
+                            camera_frame, uav_frame)
 
 
-def _replay_from(reader, node, topics, default_height, limit) -> int:
+def _replay_from(reader, node, topics, default_height, limit,
+                 camera_frame=None, uav_frame=None) -> int:
     from mrs_optic_flow_tpu.runtime.msgs import (  # noqa: PLC0415
         CameraInfo,
         Imu,
@@ -480,8 +558,20 @@ def _replay_from(reader, node, topics, default_height, limit) -> int:
 
     routing = resolve_topics(reader, topics)
     have_cbs = {cb for cb, _ in routing.values()}
+    tf_tree = TfTree() if (camera_frame and uav_frame) else None
     frames = 0
-    for t, topic, _type_name, raw in reader.messages():
+    for t, topic, type_name, raw in reader.messages():
+        if tf_tree is not None and type_name == "tf2_msgs/TFMessage":
+            for parent, child, quat in decode_tf_message(raw):
+                tf_tree.add(parent, child, quat)
+            if not node.got_tfs:
+                c2b = tf_tree.lookup(uav_frame, camera_frame)
+                if c2b is not None:
+                    # set_transforms' default cam_yaw IS the timerTf
+                    # convention: yaw(inverse(c2b)) + pi/2
+                    # (src/optic_flow.cpp:1203-1208)
+                    node.set_transforms(c2b)
+            continue
         route = routing.get(topic)
         if route is None:
             continue

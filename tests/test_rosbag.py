@@ -559,3 +559,97 @@ def test_cli_bag_info(tmp_path, capsys):
     assert "3 messages, 2.00 s" in out
     assert "/uav1/bluefox_optflow/image_raw" in out and "sensor_msgs/Image" in out
     assert "/uav1/silent" in out and "      0" in out
+
+
+# ------------------------------------------------------------------ #
+# tf from the bag (/tf_static) — the offline timerTf                  #
+# ------------------------------------------------------------------ #
+
+
+def ser_tf(transforms):
+    """tf2_msgs/TFMessage: [(parent, child, quat xyzw)] -> wire bytes."""
+    out = struct.pack("<I", len(transforms))
+    for parent, child, q in transforms:
+        out += struct.pack("<III", 0, 100, 0)  # header: seq + stamp
+        out += _string(parent) + _string(child)
+        out += struct.pack("<3d", 0.0, 0.0, 0.0)  # translation (unused)
+        out += struct.pack("<4d", *q)
+    return out
+
+
+def test_decode_tf_message():
+    from mrs_optic_flow_tpu.runtime.rosbag import decode_tf_message
+
+    q1, q2 = (0.0, 0.0, 0.3826834, 0.9238795), (0.1, 0.2, 0.3, 0.9273618)
+    got = decode_tf_message(ser_tf([("uav1/fcu", "uav1/cam_link", q1),
+                                    ("uav1/cam_link", "uav1/cam", q2)]))
+    assert got[0][0] == "uav1/fcu" and got[0][1] == "uav1/cam_link"
+    assert got[0][2] == pytest.approx(q1)
+    assert got[1][2] == pytest.approx(q2)
+
+
+def test_tf_tree_composes_chains():
+    """lookup(target, source) composes rotations along the frame chain in
+    either edge direction, like tf2's lookupTransform."""
+    from mrs_optic_flow_tpu.runtime.rosbag import TfTree
+    from mrs_optic_flow_tpu.utils import np_quat_inverse, np_quat_multiply
+
+    rng = np.random.default_rng(11)
+    def rand_q():
+        q = rng.standard_normal(4)
+        return q / np.linalg.norm(q)
+
+    q1, q2 = rand_q(), rand_q()
+    tree = TfTree()
+    tree.add("fcu", "link", q1)     # v_fcu  = R(q1) v_link
+    tree.add("link", "cam", q2)     # v_link = R(q2) v_cam
+    got = tree.lookup("fcu", "cam")  # v_fcu = R(q1 q2) v_cam
+    want = np_quat_multiply(np.asarray(q1), np.asarray(q2))
+    assert np.abs(got - want).max() < 1e-12 or np.abs(got + want).max() < 1e-12
+
+    inv = tree.lookup("cam", "fcu")
+    winv = np_quat_inverse(want)
+    assert np.abs(inv - winv).max() < 1e-12 or np.abs(inv + winv).max() < 1e-12
+
+    assert tree.lookup("fcu", "fcu") == pytest.approx([0, 0, 0, 1])
+    assert tree.lookup("fcu", "nowhere") is None
+
+
+def test_replay_tf_from_bag(tmp_path):
+    """camera->body resolves from /tf_static via a two-hop chain; without
+    the frames the node stays gated on transforms (nothing publishes)."""
+    scene = SyntheticScene(uav_height=HEIGHT, seed=2)
+    ident = (0.0, 0.0, 0.0, 1.0)
+    records = [
+        conn_record(0, "/uav1/bluefox_optflow/image_raw", "sensor_msgs/Image"),
+        conn_record(5, "/tf_static", "tf2_msgs/TFMessage"),
+        msg_record(5, 99.0, ser_tf([("uav1/fcu", "uav1/cam_link", ident),
+                                    ("uav1/cam_link", "uav1/cam", ident)])),
+    ]
+    for i in range(5):
+        t = 100.0 + i * DT
+        pos = (V_TRUE[0] * i * DT, V_TRUE[1] * i * DT)
+        frame = np.clip(np.round(scene.render(pos)), 0, 255).astype(np.uint8)
+        records.append(msg_record(0, t, ser_image(t, frame)))
+    path = write_bag(tmp_path / "tf_flight.bag", records)
+
+    published = []
+    node = OpticFlowNode(load_config(), publish=lambda t, m: published.append((t, m)),
+                         log=lambda s: None)
+    # NOTE: no set_transforms here — the bag provides them
+    frames = replay_bag(node, path, default_height=HEIGHT,
+                        camera_frame="uav1/cam", uav_frame="uav1/fcu")
+    assert node.got_tfs and frames == 5
+    np.testing.assert_allclose(node.c2b_quat, ident, atol=1e-12)
+    twists = [m for t, m in published if t == "velocity_out"]
+    assert len(twists) >= 3
+    v = np.array([tw.linear[:2] for tw in twists[1:]])
+    assert np.abs(v - np.array(V_TRUE)).max() < 0.15, v
+
+    # frames that never resolve -> the node stays gated, publishes nothing
+    published2 = []
+    node2 = OpticFlowNode(load_config(), publish=lambda t, m: published2.append((t, m)),
+                          log=lambda s: None)
+    replay_bag(node2, path, default_height=HEIGHT,
+               camera_frame="uav1/elsewhere", uav_frame="uav1/fcu")
+    assert not node2.got_tfs and not published2
