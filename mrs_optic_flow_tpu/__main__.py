@@ -1,8 +1,9 @@
 """CLI runner — the launch-file analog (``launch/optic_flow.launch``).
 
 Drives :class:`OpticFlowNode` from the command line over a recorded stream
-(``--replay file.ofrec``, the native Recorder format, or ``--replay
-flight.bag``, an offline ROS1 rosbag — no ROS needed) or a synthetic
+(``--replay file.ofrec``, the native Recorder format; ``--replay
+flight.bag``, an offline ROS1 rosbag; or ``--replay flight_dir/`` /
+``flight.db3``, a ROS2 rosbag2 — no ROS needed either way) or a synthetic
 constant-velocity scene (``--synthetic``), printing published twists and the
 profiler report.  Config overrides take ``key=value`` dotted paths like
 launch-file substitutions.
@@ -47,18 +48,32 @@ def filter_ros_remap_args(argv):
 
 
 def _run_bag_info(path):
-    """``--bag-info``: topics/types/counts/duration of a ROS1 bag — the
-    ``rosbag info`` analog, without ROS (runtime/rosbag.py)."""
-    from mrs_optic_flow_tpu.runtime.rosbag import BagReader
+    """``--bag-info``: topics/types/counts/duration of a ROS1 ``.bag`` or a
+    ROS2 rosbag2 (``.db3`` file / bag directory) — the ``rosbag info`` /
+    ``ros2 bag info`` analog, without ROS (runtime/rosbag{,2}.py)."""
+    from mrs_optic_flow_tpu.runtime.rosbag2 import Bag2Reader, is_rosbag2
 
-    with BagReader(path) as reader:
+    if is_rosbag2(path):
+        reader_ctx = Bag2Reader(path)
+
+        def _types(r):
+            return dict(r.topic_types)
+    else:
+        from mrs_optic_flow_tpu.runtime.rosbag import BagReader
+
+        reader_ctx = BagReader(path)
+
+        def _types(r):
+            return {topic: tn for topic, tn in r.connections.values()}
+
+    with reader_ctx as reader:
         counts: dict = {}
         t0 = t1 = None
         for t, topic, _type_name, _raw in reader.messages():
             counts[topic] = counts.get(topic, 0) + 1
             t0 = t if t0 is None else min(t0, t)
             t1 = t if t1 is None else max(t1, t)
-        types = {topic: tn for topic, tn in reader.connections.values()}
+        types = _types(reader)
         for topic in types:
             counts.setdefault(topic, 0)
         duration = (t1 - t0) if t1 is not None else 0.0
@@ -103,16 +118,18 @@ def main(argv=None):
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--replay", metavar="FILE",
                      help="replay a recorded stream (.ofrec native Recorder "
-                          "format, or a ROS1 .bag — no ROS needed)")
+                          "format, a ROS1 .bag, or a ROS2 rosbag2 .db3 file "
+                          "/ bag directory — no ROS needed)")
     ap.add_argument("--bag-topic", action="append", default=[],
                     metavar="ROLE=TOPIC",
-                    help="pin a .bag replay role to a topic (roles: image, "
+                    help="pin a bag replay role to a topic (roles: image, "
                          "compressed_image, camera_info, imu, odometry, "
                          "height); repeatable — needed when the bag has "
                          "several topics of one type")
-    src.add_argument("--bag-info", metavar="FILE.bag",
-                     help="print a ROS1 bag's topics/types/counts "
-                          "(the `rosbag info` analog, ROS-free) and exit")
+    src.add_argument("--bag-info", metavar="BAG",
+                     help="print a bag's topics/types/counts (ROS1 .bag or "
+                          "rosbag2 .db3/directory; the `rosbag info` / "
+                          "`ros2 bag info` analog, ROS-free) and exit")
     src.add_argument("--synthetic", action="store_true", help="synthetic scene run")
     src.add_argument("--fleet", type=int, metavar="N",
                      help="synthetic fleet-serving demo: N camera streams, "
@@ -121,8 +138,8 @@ def main(argv=None):
                      help="run as a ROS1 node (runtime.RosBridge; needs rospy)")
     ap.add_argument("--camera-frame", default=None,
                     help="tf2 camera frame id (--ros live lookups; with "
-                         "--replay file.bag, resolve camera->body from the "
-                         "bag's /tf_static//tf instead of identity)")
+                         "--replay of a ROS1/ROS2 bag, resolve camera->body "
+                         "from the bag's /tf_static//tf instead of identity)")
     ap.add_argument("--uav-frame", default=None,
                     help="tf2 body frame id (see --camera-frame)")
     ap.add_argument("--uav-untilted-frame", default="fcu_untilted",
@@ -199,9 +216,15 @@ def main(argv=None):
     published = []
     log = (lambda s: None) if args.quiet else print
     node = OpticFlowNode(cfg, publish=lambda t, m: published.append((t, m)), log=log)
-    bag_tf = (args.replay or "").endswith(".bag") and bool(
-        args.camera_frame and args.uav_frame
-    )
+    if args.replay and not args.synthetic:
+        from mrs_optic_flow_tpu.runtime.rosbag2 import is_rosbag2
+
+        replay_rosbag2 = is_rosbag2(args.replay)
+    else:
+        replay_rosbag2 = False
+    bag_tf = (
+        replay_rosbag2 or (args.replay or "").endswith(".bag")
+    ) and bool(args.camera_frame and args.uav_frame)
     if not bag_tf:  # bag tf mode resolves camera->body from /tf_static
         node.set_transforms((0.0, 0.0, 0.0, 1.0))
     if args.synthetic:
@@ -224,10 +247,16 @@ def main(argv=None):
                               .astype(np.uint8))
         stream.run()
         truth = f" (true {v[0]:+.3f} {v[1]:+.3f})"
-    elif args.replay.endswith(".bag"):
-        # offline ROS1 rosbag replay (runtime/rosbag.py): topics auto-detected
-        # by type; level-flight defaults fill roles the bag doesn't carry
-        from mrs_optic_flow_tpu.runtime.rosbag import replay_bag
+    elif replay_rosbag2 or args.replay.endswith(".bag"):
+        # offline rosbag replay — ROS1 .bag (runtime/rosbag.py) or ROS2
+        # .db3/bag-directory (runtime/rosbag2.py): topics auto-detected by
+        # type; level-flight defaults fill roles the bag doesn't carry
+        if replay_rosbag2:
+            from mrs_optic_flow_tpu.runtime.rosbag2 import (
+                replay_bag2 as _replay,
+            )
+        else:
+            from mrs_optic_flow_tpu.runtime.rosbag import replay_bag as _replay
 
         topics = {}
         for pin in args.bag_topic:
@@ -235,10 +264,10 @@ def main(argv=None):
             if not sep or not role or not topic:
                 ap.error(f"--bag-topic needs ROLE=TOPIC, got {pin!r}")
             topics[role] = topic
-        n_frames = replay_bag(node, args.replay, topics or None,
-                              default_height=args.height,
-                              camera_frame=args.camera_frame,
-                              uav_frame=args.uav_frame)
+        n_frames = _replay(node, args.replay, topics or None,
+                           default_height=args.height,
+                           camera_frame=args.camera_frame,
+                           uav_frame=args.uav_frame)
         truth = ""
     else:
         from mrs_optic_flow_tpu import native

@@ -15,6 +15,9 @@ transport-agnostic node:
   transport-agnostic node; imports ``rospy`` lazily;
 - :mod:`.rosbag` — offline ROS1 rosbag (2.0) replay: parses the bag
   container and the node's input message types without a ROS install;
+- :mod:`.rosbag2` — offline ROS2 rosbag2 replay: reads the sqlite3
+  (``.db3``) storage and decodes the CDR message payloads, same
+  role-resolution/replay semantics as the ROS1 path;
 
 - :mod:`.profiler` — the ``mrs_lib::Profiler``/``Routine`` equivalent;
 - :mod:`.viz` — flow-overlay rendering replacing the GUI window / video
@@ -33,4 +36,5 @@ from mrs_optic_flow_tpu.runtime.node import OpticFlowNode  # noqa: F401
 from mrs_optic_flow_tpu.runtime.profiler import Profiler  # noqa: F401
 from mrs_optic_flow_tpu.runtime.ros_bridge import RosBridge  # noqa: F401
 from mrs_optic_flow_tpu.runtime.rosbag import BagReader, replay_bag  # noqa: F401
+from mrs_optic_flow_tpu.runtime.rosbag2 import Bag2Reader, replay_bag2  # noqa: F401
 from mrs_optic_flow_tpu.runtime.stream import FrameStream, SyntheticScene  # noqa: F401

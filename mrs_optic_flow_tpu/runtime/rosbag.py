@@ -472,7 +472,9 @@ _ROLES: Dict[str, Tuple[Tuple[str, ...], str, Callable[[bytes], Any]]] = {
 
 
 def resolve_topics(
-    reader: BagReader, topics: Optional[Dict[str, str]] = None
+    reader,
+    topics: Optional[Dict[str, str]] = None,
+    roles: Optional[Dict[str, Tuple[Tuple[str, ...], str, Callable]]] = None,
 ) -> Dict[str, Tuple[str, Callable[[bytes], Any]]]:
     """``topic -> (callback name, decoder)`` for one bag.
 
@@ -484,14 +486,19 @@ def resolve_topics(
     family: when a bag carries both (the stock image_transport recording
     layout), the raw stream wins unless the compressed one is explicitly
     pinned — dispatching both would double every physical frame.
+
+    ``reader`` is any object with ``topics_by_type()``; ``roles`` swaps the
+    role table (``runtime/rosbag2.py`` passes the ROS2 type names).
     """
     topics = dict(topics or {})
+    if roles is None:
+        roles = _ROLES
     by_type = reader.topics_by_type()
     all_topics = {t for ts in by_type.values() for t in ts}
     out: Dict[str, Tuple[str, Callable[[bytes], Any]]] = {}
     auto: Dict[str, str] = {}
     pinned_roles = set(topics)
-    for role, (type_names, cb, decoder) in _ROLES.items():
+    for role, (type_names, cb, decoder) in roles.items():
         if role in topics:
             topic = topics.pop(role)
             if topic not in all_topics:
@@ -549,20 +556,22 @@ def replay_bag(
 
 
 def _replay_from(reader, node, topics, default_height, limit,
-                 camera_frame=None, uav_frame=None) -> int:
+                 camera_frame=None, uav_frame=None, *,
+                 roles=None, tf_types=("tf2_msgs/TFMessage",),
+                 tf_decode=decode_tf_message) -> int:
     from mrs_optic_flow_tpu.runtime.msgs import (  # noqa: PLC0415
         CameraInfo,
         Imu,
         Odometry,
     )
 
-    routing = resolve_topics(reader, topics)
+    routing = resolve_topics(reader, topics, roles)
     have_cbs = {cb for cb, _ in routing.values()}
     tf_tree = TfTree() if (camera_frame and uav_frame) else None
     frames = 0
     for t, topic, type_name, raw in reader.messages():
-        if tf_tree is not None and type_name == "tf2_msgs/TFMessage":
-            for parent, child, quat in decode_tf_message(raw):
+        if tf_tree is not None and type_name in tf_types:
+            for parent, child, quat in tf_decode(raw):
                 tf_tree.add(parent, child, quat)
             if not node.got_tfs:
                 c2b = tf_tree.lookup(uav_frame, camera_frame)

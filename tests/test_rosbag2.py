@@ -1,0 +1,500 @@
+"""ROS2 rosbag2 replay (runtime/rosbag2.py): sqlite3 storage parsing, CDR
+message decoding, role resolution, and end-to-end node replay.
+
+The serializers here are an independent test-side CDR implementation
+(explicit alignment bookkeeping) so a decoder bug cannot cancel against a
+mirrored encoder bug.
+"""
+
+import sqlite3
+import struct
+
+import numpy as np
+import pytest
+
+from mrs_optic_flow_tpu.config import load_config
+from mrs_optic_flow_tpu.runtime.node import OpticFlowNode
+from mrs_optic_flow_tpu.runtime.rosbag2 import (
+    Bag2FormatError,
+    Bag2Reader,
+    decode_camera_info_msg,
+    decode_float64_stamped_msg,
+    decode_image_msg,
+    decode_imu_msg,
+    decode_odometry_msg,
+    decode_tf_message,
+    is_rosbag2,
+    replay_bag2,
+)
+from mrs_optic_flow_tpu.runtime.stream import SyntheticScene
+
+# ------------------------------------------------------------------ #
+# test-side CDR serializer                                            #
+# ------------------------------------------------------------------ #
+
+
+class _W:
+    """CDR writer: encapsulation header + size-aligned primitives."""
+
+    def __init__(self, endian="<"):
+        self.e = endian
+        self.b = bytearray(b"\x00\x01\x00\x00" if endian == "<"
+                           else b"\x00\x00\x00\x00")
+
+    def align(self, n):
+        self.b += b"\x00" * ((-(len(self.b) - 4)) % n)
+
+    def u8(self, v):
+        self.b += struct.pack(self.e + "B", v)
+
+    def u32(self, v):
+        self.align(4)
+        self.b += struct.pack(self.e + "I", v)
+
+    def i32(self, v):
+        self.align(4)
+        self.b += struct.pack(self.e + "i", v)
+
+    def f64(self, v):
+        self.align(8)
+        self.b += struct.pack(self.e + "d", v)
+
+    def f64s(self, vs):
+        self.align(8)
+        self.b += struct.pack(f"{self.e}{len(vs)}d", *vs)
+
+    def string(self, s):
+        data = s.encode() + b"\x00"
+        self.u32(len(data))
+        self.b += data
+
+    def bytes_seq(self, data):
+        self.u32(len(data))
+        self.b += bytes(data)
+
+    def time(self, t):
+        sec = int(t)
+        self.i32(sec)
+        self.u32(int(round((t - sec) * 1e9)))
+
+    def header(self, stamp, frame=""):
+        self.time(stamp)
+        self.string(frame)
+
+    def done(self):
+        return bytes(self.b)
+
+
+def ser_image(stamp, img, step_pad=0, endian="<"):
+    w = _W(endian)
+    w.header(stamp, "cam")
+    h, wd = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    step = wd * ch + step_pad
+    w.u32(h)
+    w.u32(wd)
+    w.string("mono8" if ch == 1 else "bgr8")
+    w.u8(0)
+    w.u32(step)
+    rows = np.zeros((h, step), np.uint8)
+    rows[:, : wd * ch] = img.reshape(h, wd * ch)
+    w.bytes_seq(rows.tobytes())
+    return w.done()
+
+
+def ser_camera_info(stamp, k, d, binning_x=0, endian="<"):
+    w = _W(endian)
+    w.header(stamp, "cam")
+    w.u32(480)
+    w.u32(480)
+    w.string("plumb_bob")
+    w.u32(len(d))
+    w.f64s(list(d))
+    w.f64s(list(k))
+    w.f64s([0.0] * 9)  # r
+    w.f64s([0.0] * 12)  # p
+    w.u32(binning_x)
+    w.u32(0)  # binning_y
+    return w.done()
+
+
+def ser_imu(stamp, quat=(0.0, 0.0, 0.0, 1.0), ang=(0.0, 0.0, 0.0)):
+    w = _W()
+    w.header(stamp, "imu")
+    w.f64s(list(quat))
+    w.f64s([0.0] * 9)
+    w.f64s(list(ang))
+    w.f64s([0.0] * 9)
+    w.f64s([0.0, 0.0, 9.81])
+    w.f64s([0.0] * 9)
+    return w.done()
+
+
+def ser_odometry(stamp, quat=(0.0, 0.0, 0.0, 1.0), lin=(0.0, 0.0, 0.0),
+                 ang=(0.0, 0.0, 0.0)):
+    w = _W()
+    w.header(stamp, "odom")
+    w.string("base")
+    w.f64s([0.0, 0.0, 0.0])  # position
+    w.f64s(list(quat))
+    w.f64s([0.0] * 36)
+    w.f64s(list(lin))
+    w.f64s(list(ang))
+    w.f64s([0.0] * 36)
+    return w.done()
+
+
+def ser_height(stamp, v):
+    w = _W()
+    w.header(stamp, "odom")
+    w.f64(v)
+    return w.done()
+
+
+def ser_tf(transforms):
+    """``[(parent, child, quat xyzw), ...]`` -> tf2_msgs/msg/TFMessage."""
+    w = _W()
+    w.u32(len(transforms))
+    for parent, child, quat in transforms:
+        w.time(1.0)
+        w.string(parent)
+        w.string(child)
+        w.f64s([0.1, -0.2, 0.3])  # translation (ignored by the decoder)
+        w.f64s(list(quat))
+    return w.done()
+
+
+# ------------------------------------------------------------------ #
+# sqlite3 storage writer                                              #
+# ------------------------------------------------------------------ #
+
+
+def write_db3(path, topics, messages):
+    """``topics``: ``[(id, name, type)]``; ``messages``:
+    ``[(t_s, topic_id, payload)]`` (insertion order = id order)."""
+    con = sqlite3.connect(str(path))
+    con.execute(
+        "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT NOT NULL, "
+        "type TEXT NOT NULL, serialization_format TEXT NOT NULL, "
+        "offered_qos_profiles TEXT NOT NULL)"
+    )
+    con.execute(
+        "CREATE TABLE messages(id INTEGER PRIMARY KEY, "
+        "topic_id INTEGER NOT NULL, timestamp INTEGER NOT NULL, "
+        "data BLOB NOT NULL)"
+    )
+    for tid, name, type_name in topics:
+        con.execute("INSERT INTO topics VALUES (?,?,?,?,?)",
+                    (tid, name, type_name, "cdr", ""))
+    for i, (t, tid, payload) in enumerate(messages):
+        con.execute("INSERT INTO messages VALUES (?,?,?,?)",
+                    (i + 1, tid, int(round(t * 1e9)), payload))
+    con.commit()
+    con.close()
+    return str(path)
+
+
+# ------------------------------------------------------------------ #
+# decoders                                                            #
+# ------------------------------------------------------------------ #
+
+
+def test_decode_image_respects_stride():
+    img = np.arange(12 * 7, dtype=np.uint8).reshape(12, 7)
+    msg = decode_image_msg(ser_image(4.25, img, step_pad=3))
+    assert msg.stamp == pytest.approx(4.25)
+    np.testing.assert_array_equal(msg.data, img)
+
+
+def test_decode_image_big_endian():
+    img = np.arange(30, dtype=np.uint8).reshape(5, 6)
+    msg = decode_image_msg(ser_image(1.5, img, endian=">"))
+    np.testing.assert_array_equal(msg.data, img)
+
+
+def test_decode_camera_info():
+    k = [420.0, 0, 240, 0, 421.0, 241, 0, 0, 1]
+    ci = decode_camera_info_msg(ser_camera_info(2.0, k, [0.1, 0.2, 0, 0, 0],
+                                                binning_x=2))
+    assert list(ci.k) == k
+    assert list(ci.d) == [0.1, 0.2, 0, 0, 0]
+    assert ci.binning_x == 2
+
+
+def test_decode_camera_info_empty_d():
+    ci = decode_camera_info_msg(ser_camera_info(2.0, [1.0] * 9, []))
+    assert list(ci.d) == [0.0] * 5
+
+
+def test_decode_imu_odometry_height():
+    imu = decode_imu_msg(ser_imu(3.0, quat=(0, 0, 0.7071, 0.7071),
+                                 ang=(0.1, -0.2, 0.3)))
+    assert imu.stamp == pytest.approx(3.0)
+    assert imu.angular_velocity == pytest.approx((0.1, -0.2, 0.3))
+    assert imu.orientation[2] == pytest.approx(0.7071)
+
+    odo = decode_odometry_msg(ser_odometry(3.5, lin=(1.0, 2.0, 3.0),
+                                           ang=(0.0, 0.0, 0.5)))
+    assert odo.stamp == pytest.approx(3.5)
+    assert odo.linear_velocity == pytest.approx((1.0, 2.0, 3.0))
+    assert odo.angular_velocity[2] == pytest.approx(0.5)
+
+    h = decode_float64_stamped_msg(ser_height(4.0, 2.5))
+    assert (h.stamp, h.value) == (pytest.approx(4.0), pytest.approx(2.5))
+
+
+def test_decode_tf_message():
+    tfs = decode_tf_message(ser_tf([
+        ("uav1/fcu", "uav1/cam", (0.0, 0.0, 0.0, 1.0)),
+        ("world", "uav1/fcu", (0.0, 0.7071, 0.0, 0.7071)),
+    ]))
+    assert [(p, c) for p, c, _ in tfs] == [
+        ("uav1/fcu", "uav1/cam"), ("world", "uav1/fcu")]
+    assert tfs[1][2][1] == pytest.approx(0.7071)
+
+
+def test_xcdr2_encapsulation_rejected():
+    payload = b"\x00\x07\x00\x00" + b"\x00" * 16  # XCDR2 DELIMITED_CDR LE
+    with pytest.raises(Bag2FormatError, match="encapsulation"):
+        decode_imu_msg(payload)
+
+
+def test_truncated_cdr_raises():
+    whole = ser_imu(3.0)
+    # cut inside the orientation quaternion — decode_imu consumes only a
+    # prefix of the message, so the cut must land inside the CONSUMED part
+    with pytest.raises(Bag2FormatError, match="truncated"):
+        decode_imu_msg(whole[:30])
+    with pytest.raises(Bag2FormatError, match="truncated"):
+        decode_image_msg(ser_image(1.0, np.zeros((4, 4), np.uint8))[:-8])
+
+
+# ------------------------------------------------------------------ #
+# reader                                                              #
+# ------------------------------------------------------------------ #
+
+
+def test_reader_roundtrip(tmp_path):
+    img = np.zeros((4, 4), np.uint8)
+    path = write_db3(
+        tmp_path / "flight.db3",
+        [(1, "/cam/image_raw", "sensor_msgs/msg/Image"),
+         (2, "/odom", "nav_msgs/msg/Odometry")],
+        [(10.0, 1, ser_image(10.0, img)),
+         (10.01, 2, ser_odometry(10.01)),
+         (10.05, 1, ser_image(10.05, img))],
+    )
+    with Bag2Reader(path) as r:
+        msgs = list(r.messages())
+    assert [(round(t, 3), topic) for t, topic, _, _ in msgs] == [
+        (10.0, "/cam/image_raw"), (10.01, "/odom"), (10.05, "/cam/image_raw")]
+    assert msgs[0][2] == "sensor_msgs/msg/Image"
+    assert r.topics_by_type() == {
+        "sensor_msgs/msg/Image": ["/cam/image_raw"],
+        "nav_msgs/msg/Odometry": ["/odom"],
+    }
+
+
+def test_directory_split_bags(tmp_path):
+    """A bag directory with split .db3 files replays them in
+    metadata.yaml's relative_file_paths order."""
+    bag = tmp_path / "flight"
+    bag.mkdir()
+    img = np.zeros((4, 4), np.uint8)
+    topics = [(1, "/cam/image_raw", "sensor_msgs/msg/Image")]
+    # name order (a_, b_) deliberately contradicts the metadata order
+    write_db3(bag / "b_0.db3", topics, [(10.0, 1, ser_image(10.0, img))])
+    write_db3(bag / "a_1.db3", topics, [(11.0, 1, ser_image(11.0, img))])
+    (bag / "metadata.yaml").write_text(
+        "rosbag2_bagfile_information:\n"
+        "  relative_file_paths:\n    - b_0.db3\n    - a_1.db3\n"
+    )
+    with Bag2Reader(str(bag)) as r:
+        times = [round(t, 3) for t, _, _, _ in r.messages()]
+    assert times == [10.0, 11.0]
+
+
+def test_is_rosbag2(tmp_path):
+    assert is_rosbag2("x/flight.db3")
+    assert not is_rosbag2("x/flight.bag")
+    bag = tmp_path / "dir_bag"
+    bag.mkdir()
+    assert not is_rosbag2(str(bag))
+    (bag / "metadata.yaml").write_text("{}")
+    assert is_rosbag2(str(bag))
+
+
+def test_not_a_database_raises(tmp_path):
+    p = tmp_path / "junk.db3"
+    p.write_bytes(b"definitely not sqlite" * 10)
+    with pytest.raises(Bag2FormatError, match="sqlite3"):
+        Bag2Reader(str(p))
+
+
+def test_missing_file_raises(tmp_path):
+    with pytest.raises(Bag2FormatError, match="no such file"):
+        Bag2Reader(str(tmp_path / "absent.db3"))
+
+
+def test_non_cdr_serialization_rejected(tmp_path):
+    p = tmp_path / "pb.db3"
+    con = sqlite3.connect(str(p))
+    con.execute("CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, "
+                "type TEXT, serialization_format TEXT, "
+                "offered_qos_profiles TEXT)")
+    con.execute("CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id "
+                "INTEGER, timestamp INTEGER, data BLOB)")
+    con.execute("INSERT INTO topics VALUES (1, '/x', 'std_msgs/msg/Empty', "
+                "'protobuf', '')")
+    con.commit()
+    con.close()
+    with pytest.raises(Bag2FormatError, match="serialization"):
+        Bag2Reader(str(p))
+
+
+def test_empty_directory_raises(tmp_path):
+    bag = tmp_path / "empty"
+    bag.mkdir()
+    (bag / "metadata.yaml").write_text("{}")
+    with pytest.raises(Bag2FormatError, match="no .db3"):
+        Bag2Reader(str(bag))
+
+
+# ------------------------------------------------------------------ #
+# end-to-end replay                                                   #
+# ------------------------------------------------------------------ #
+
+V_TRUE = (0.8, -0.5)
+HEIGHT = 2.0
+DT = 0.05
+
+
+def _flight_db3(tmp_path, *, full: bool, n_frames: int = 6):
+    scene = SyntheticScene(uav_height=HEIGHT, seed=2)
+    topics = [(1, "/uav1/camera/image_raw", "sensor_msgs/msg/Image")]
+    messages = []
+    if full:
+        topics += [
+            (2, "/uav1/camera/camera_info", "sensor_msgs/msg/CameraInfo"),
+            (3, "/uav1/imu/data", "sensor_msgs/msg/Imu"),
+            (4, "/uav1/odometry", "nav_msgs/msg/Odometry"),
+            (5, "/uav1/height", "mrs_msgs/msg/Float64Stamped"),
+        ]
+        messages.append((99.0, 2, ser_camera_info(
+            99.0, [scene.fx, 0, scene.cx, 0, scene.fy, scene.cy, 0, 0, 1],
+            [0.0] * 5)))
+    for i in range(n_frames):
+        t = 100.0 + i * DT
+        if full:
+            messages.append((t - 1e-4, 3, ser_imu(t - 1e-4)))
+            messages.append((t - 1e-4, 4, ser_odometry(
+                t - 1e-4, lin=(V_TRUE[0], V_TRUE[1], 0.0))))
+            messages.append((t - 1e-4, 5, ser_height(t - 1e-4, HEIGHT)))
+        pos = (V_TRUE[0] * i * DT, V_TRUE[1] * i * DT)
+        frame = np.clip(np.round(scene.render(pos)), 0, 255).astype(np.uint8)
+        messages.append((t, 1, ser_image(t, frame)))
+    return write_db3(tmp_path / "flight.db3", topics, messages)
+
+
+def _replay(path, **kw):
+    published = []
+    node = OpticFlowNode(load_config(),
+                         publish=lambda t, m: published.append((t, m)),
+                         log=lambda s: None)
+    if not (kw.get("camera_frame") and kw.get("uav_frame")):
+        node.set_transforms((0.0, 0.0, 0.0, 1.0))
+    frames = replay_bag2(node, path, **kw)
+    twists = [m for t, m in published if t == "velocity_out"]
+    return frames, twists
+
+
+def test_replay_full_flight(tmp_path):
+    """All five ROS2 topics recorded: the node recovers the true velocity
+    from the bag alone — the rosbag2 twin of the ROS1 flight test."""
+    path = _flight_db3(tmp_path, full=True)
+    frames, twists = _replay(path)
+    assert frames == 6
+    assert len(twists) >= 3
+    v = np.array([tw.linear[:2] for tw in twists[1:]])
+    assert np.abs(v - np.array(V_TRUE)).max() < 0.15, v
+
+
+def test_replay_image_only_bag(tmp_path):
+    path = _flight_db3(tmp_path, full=False)
+    frames, twists = _replay(path, default_height=HEIGHT)
+    assert frames == 6
+    assert len(twists) >= 3
+    v = np.array([tw.linear[:2] for tw in twists[1:]])
+    assert np.abs(v - np.array(V_TRUE)).max() < 0.15, v
+
+
+def test_replay_tf_from_bag(tmp_path):
+    """camera->body resolves from /tf_static CDR messages through the
+    shared TfTree chain composition (identity chain here: the recovered
+    velocity must match the no-tf replay)."""
+    scene = SyntheticScene(uav_height=HEIGHT, seed=2)
+    topics = [
+        (1, "/uav1/camera/image_raw", "sensor_msgs/msg/Image"),
+        (2, "/tf_static", "tf2_msgs/msg/TFMessage"),
+    ]
+    messages = [(99.0, 2, ser_tf([
+        ("uav1/fcu", "uav1/link", (0.0, 0.0, 0.0, 1.0)),
+        ("uav1/link", "uav1/cam", (0.0, 0.0, 0.0, 1.0)),
+    ]))]
+    for i in range(6):
+        t = 100.0 + i * DT
+        pos = (V_TRUE[0] * i * DT, V_TRUE[1] * i * DT)
+        frame = np.clip(np.round(scene.render(pos)), 0, 255).astype(np.uint8)
+        messages.append((t, 1, ser_image(t, frame)))
+    path = write_db3(tmp_path / "tf.db3", topics, messages)
+    frames, twists = _replay(path, default_height=HEIGHT,
+                             camera_frame="uav1/cam", uav_frame="uav1/fcu")
+    assert frames == 6
+    assert len(twists) >= 3
+    v = np.array([tw.linear[:2] for tw in twists[1:]])
+    assert np.abs(v - np.array(V_TRUE)).max() < 0.15, v
+
+
+def test_height_accepts_std_msgs_variant(tmp_path):
+    """std_msgs/msg/Float64Stamped (vendored type, same wire layout) binds
+    the height role too."""
+    img = np.zeros((4, 4), np.uint8)
+    path = write_db3(
+        tmp_path / "h.db3",
+        [(1, "/cam", "sensor_msgs/msg/Image"),
+         (2, "/h", "std_msgs/msg/Float64Stamped")],
+        [(10.0, 2, ser_height(10.0, 3.0)),
+         (10.01, 1, ser_image(10.01, img))],
+    )
+    node = OpticFlowNode(load_config(), publish=lambda t, m: None,
+                         log=lambda s: None)
+    node.set_transforms((0.0, 0.0, 0.0, 1.0))
+    replay_bag2(node, path)
+    assert node.got_height
+    assert node.uav_height == pytest.approx(3.0)
+
+
+# ------------------------------------------------------------------ #
+# CLI                                                                 #
+# ------------------------------------------------------------------ #
+
+
+def test_cli_replay_db3(tmp_path, capsys):
+    from mrs_optic_flow_tpu.__main__ import main
+
+    path = _flight_db3(tmp_path, full=True)
+    rc = main(["--replay", path, "--height", str(HEIGHT)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "twists from 6 replay frames" in out
+
+
+def test_cli_bag_info_rosbag2(tmp_path, capsys):
+    from mrs_optic_flow_tpu.__main__ import main
+
+    path = _flight_db3(tmp_path, full=True)
+    rc = main(["--bag-info", path])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "sensor_msgs/msg/Image" in out
+    assert "/uav1/camera/image_raw" in out
