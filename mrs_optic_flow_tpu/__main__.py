@@ -110,6 +110,32 @@ def _run_ros(args, cfg):
     return 0
 
 
+def _run_ros2(args, cfg):
+    """``--ros2``: bring the node up on a live ROS2 graph
+    (runtime.Ros2Bridge; the rclpy twin of ``--ros``)."""
+    import rclpy  # noqa: PLC0415 — only a ROS2 environment has this
+
+    from mrs_optic_flow_tpu.runtime.ros2_bridge import Ros2Bridge
+
+    rclpy.init()
+    try:
+        bridge = Ros2Bridge(
+            cfg,
+            camera_frame=args.camera_frame or "camera",
+            uav_frame=args.uav_frame or "fcu",
+            uav_untilted_frame=args.uav_untilted_frame,
+        )
+        log = bridge.handle.get_logger().info
+        if not args.no_warmup:
+            log("[OpticFlow]: warming up device programs")
+            bridge.warmup()
+            log("[OpticFlow]: warm; streaming")
+        bridge.spin()
+    finally:
+        rclpy.shutdown()
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="mrs_optic_flow_tpu")
     ap.add_argument("--config", help="YAML config path (default: packaged default.yaml)")
@@ -136,6 +162,8 @@ def main(argv=None):
                           "one batched device dispatch per tick")
     src.add_argument("--ros", action="store_true",
                      help="run as a ROS1 node (runtime.RosBridge; needs rospy)")
+    src.add_argument("--ros2", action="store_true",
+                     help="run as a ROS2 node (runtime.Ros2Bridge; needs rclpy)")
     ap.add_argument("--camera-frame", default=None,
                     help="tf2 camera frame id (--ros live lookups; with "
                          "--replay of a ROS1/ROS2 bag, resolve camera->body "
@@ -170,6 +198,8 @@ def main(argv=None):
 
     if args.ros:
         return _run_ros(args, cfg)
+    if args.ros2:
+        return _run_ros2(args, cfg)
 
     if args.fleet is not None:
         from mrs_optic_flow_tpu.parallel import BatchPipeline

@@ -13,6 +13,9 @@ transport-agnostic node:
 - :mod:`.ros_bridge` — optional ROS1 shim (:class:`RosBridge`): the
   reference's nodelet transport surface (same topic names/types) around the
   transport-agnostic node; imports ``rospy`` lazily;
+- :mod:`.ros2_bridge` — the ``rclpy`` twin (:class:`Ros2Bridge`): same
+  topic surface on a ROS2 graph, sensor-data QoS for camera/IMU, shared
+  converters; imports ``rclpy`` lazily;
 - :mod:`.rosbag` — offline ROS1 rosbag (2.0) replay: parses the bag
   container and the node's input message types without a ROS install;
 - :mod:`.rosbag2` — offline ROS2 rosbag2 replay: reads the sqlite3
@@ -34,6 +37,7 @@ from mrs_optic_flow_tpu.runtime.fleet import FleetServer, FleetTick  # noqa: F40
 from mrs_optic_flow_tpu.runtime.fleet_feeder import FleetFeeder  # noqa: F401
 from mrs_optic_flow_tpu.runtime.node import OpticFlowNode  # noqa: F401
 from mrs_optic_flow_tpu.runtime.profiler import Profiler  # noqa: F401
+from mrs_optic_flow_tpu.runtime.ros2_bridge import Ros2Bridge  # noqa: F401
 from mrs_optic_flow_tpu.runtime.ros_bridge import RosBridge  # noqa: F401
 from mrs_optic_flow_tpu.runtime.rosbag import BagReader, replay_bag  # noqa: F401
 from mrs_optic_flow_tpu.runtime.rosbag2 import Bag2Reader, replay_bag2  # noqa: F401

@@ -65,9 +65,14 @@ _ENCODINGS: Dict[str, tuple] = {
 
 
 def _stamp(msg) -> float:
-    """``header.stamp`` as seconds — accepts rospy.Time or a plain float."""
+    """``header.stamp`` as seconds — accepts rospy.Time, a ROS2
+    ``builtin_interfaces/Time`` (``sec``/``nanosec``), or a plain float."""
     st = msg.header.stamp
-    return float(st.to_sec()) if hasattr(st, "to_sec") else float(st)
+    if hasattr(st, "to_sec"):
+        return float(st.to_sec())
+    if hasattr(st, "nanosec"):  # ROS2 builtin_interfaces/msg/Time
+        return float(st.sec) + float(st.nanosec) * 1e-9
+    return float(st)
 
 
 def decode_image(msg) -> ImageMsg:
@@ -103,11 +108,15 @@ def decode_image(msg) -> ImageMsg:
 def from_camera_info(msg) -> CameraInfo:
     """sensor_msgs/CameraInfo -> :class:`CameraInfo` (K/D/binning as decoded
     by ``callbackCameraInfo``, src/optic_flow.cpp:1496-1520; D may be empty
-    for pre-calibrated streams — the reference falls back to zeros)."""
-    d = list(msg.D) if len(msg.D) else [0.0] * 5
+    for pre-calibrated streams — the reference falls back to zeros).  ROS2
+    renamed the matrix fields lowercase (``k``/``d``); both spellings are
+    accepted so the ROS1 and ROS2 bridges share this converter."""
+    raw_d = msg.D if hasattr(msg, "D") else msg.d
+    raw_k = msg.K if hasattr(msg, "K") else msg.k
+    d = list(raw_d) if len(raw_d) else [0.0] * 5
     if len(d) < 5:
         d = d + [0.0] * (5 - len(d))
-    return CameraInfo(k=list(msg.K), d=d, binning_x=int(msg.binning_x))
+    return CameraInfo(k=list(raw_k), d=d, binning_x=int(msg.binning_x))
 
 
 def from_imu(msg) -> Imu:
