@@ -2,17 +2,20 @@
 
 The reference targets ROS1 (``package.xml``, noetic/melodic CI), but the
 flights its users record today increasingly live in **rosbag2** archives:
-a directory of sqlite3 ``*.db3`` storage files plus ``metadata.yaml``,
-with each message serialized as DDS **CDR** instead of ROS1's flat
-little-endian format.  This module is the rosbag2 counterpart of
-:mod:`.rosbag` and closes that half of the replay surface with stdlib
-only (``sqlite3`` ships with CPython):
+a bag directory (``metadata.yaml`` + storage files) where each message is
+serialized as DDS **CDR** instead of ROS1's flat little-endian format.
+This module is the rosbag2 counterpart of :mod:`.rosbag` and closes that
+half of the replay surface with the stdlib:
 
-- :class:`Bag2Reader` reads the sqlite storage schema (``topics`` +
-  ``messages`` tables, storage versions 2-6) from a single ``.db3`` file
-  or a bag directory (split ``.db3`` files are replayed in
-  ``metadata.yaml`` order when that file is parseable, filename order
-  otherwise).
+- :class:`Bag2Reader` reads BOTH rosbag2 storage plugins — the sqlite3
+  ``*.db3`` schema (storage versions 2-6; ``sqlite3`` ships with CPython)
+  and **MCAP** ``*.mcap`` files (the default storage since ROS2 Jazzy:
+  record stream, schema/channel/message records, chunked or unchunked;
+  ``none`` chunk compression natively, ``lz4``/``zstd`` when the optional
+  modules exist — the same gating as the ROS1 reader's lz4 chunks) — from
+  a single storage file or a bag directory (split files replay in
+  ``metadata.yaml`` order when parseable, filename order otherwise;
+  content is sniffed by magic, not extension).
 - :class:`_Cdr` is a plain-CDR (XCDR1) cursor — encapsulation header,
   both endiannesses, size-aligned primitives, u32-length-with-NUL
   strings — covering exactly the message set the node consumes.  ROS2
@@ -26,8 +29,8 @@ only (``sqlite3`` ships with CPython):
   role table.
 
 The CLI accepts it directly: ``python -m mrs_optic_flow_tpu --replay
-flight_dir/`` (or ``--replay flight.db3``); ``--bag-info`` understands
-both formats.
+flight_dir/`` (or ``--replay flight.db3`` / ``flight.mcap``);
+``--bag-info`` understands every format.
 """
 
 from __future__ import annotations
@@ -50,29 +53,32 @@ class Bag2FormatError(BagFormatError):
     """The file/directory is not a parseable rosbag2 (sqlite3) bag."""
 
 
+_STORAGE_EXTS = (".db3", ".mcap")
+
+
 def is_rosbag2(path: str) -> bool:
-    """Cheap dispatch test used by the CLI: a ``.db3`` file, or a directory
-    holding ``metadata.yaml`` / ``*.db3`` storage files."""
+    """Cheap dispatch test used by the CLI: a ``.db3``/``.mcap`` file, or a
+    directory holding ``metadata.yaml`` / storage files."""
     if os.path.isdir(path):
         if os.path.exists(os.path.join(path, "metadata.yaml")):
             return True
         try:
-            return any(n.endswith(".db3") for n in os.listdir(path))
+            return any(n.endswith(_STORAGE_EXTS) for n in os.listdir(path))
         except OSError:
             return False
-    return path.endswith(".db3")
+    return path.endswith(_STORAGE_EXTS)
 
 
 # ------------------------------------------------------------------ #
-# sqlite3 storage                                                      #
+# storage backends (sqlite3 .db3 + MCAP)                               #
 # ------------------------------------------------------------------ #
 
 
 def _storage_files(path: str) -> List[str]:
-    """The bag's ``.db3`` files in replay order."""
+    """The bag's storage files in replay order."""
     if not os.path.isdir(path):
         return [path]
-    names = sorted(n for n in os.listdir(path) if n.endswith(".db3"))
+    names = sorted(n for n in os.listdir(path) if n.endswith(_STORAGE_EXTS))
     meta = os.path.join(path, "metadata.yaml")
     if os.path.exists(meta):
         # honor metadata.yaml's relative_file_paths order when possible
@@ -97,27 +103,17 @@ def _storage_files(path: str) -> List[str]:
         except Exception:  # noqa: BLE001 — metadata is advisory only
             pass
     if not names:
-        raise Bag2FormatError(f"{path}: no .db3 storage files in directory")
+        raise Bag2FormatError(
+            f"{path}: no .db3/.mcap storage files in directory"
+        )
     return [os.path.join(path, n) for n in names]
 
 
-class Bag2Reader:
-    """Stream ``(time_s, topic, type_name, raw_cdr_bytes)`` from a rosbag2
-    sqlite3 bag (a ``.db3`` file or a bag directory)."""
+class _SqliteStorage:
+    """One rosbag2 sqlite3 (``.db3``) storage file."""
 
-    def __init__(self, path: str):
-        self.path = path
-        self.files = _storage_files(path)
-        #: topic name -> ROS2 type name (e.g. ``sensor_msgs/msg/Image``)
-        self.topic_types: Dict[str, str] = {}
-        for f in self.files:
-            for name, type_name, fmt in self._topics_of(f):
-                if fmt not in ("cdr", "", None):
-                    raise Bag2FormatError(
-                        f"{f}: topic {name!r} uses serialization "
-                        f"{fmt!r}; only 'cdr' is supported"
-                    )
-                self.topic_types[name] = type_name
+    def __init__(self, fname: str):
+        self.fname = fname
 
     @staticmethod
     def _connect(fname: str) -> sqlite3.Connection:
@@ -135,9 +131,9 @@ class Bag2Reader:
         con.text_factory = lambda b: b.decode("utf-8", "replace")
         return con
 
-    @classmethod
-    def _topics_of(cls, fname: str) -> List[Tuple[str, str, Optional[str]]]:
-        con = cls._connect(fname)
+    def topics(self) -> List[Tuple[str, str, Optional[str]]]:
+        """``[(topic, type name, serialization format), ...]``."""
+        con = self._connect(self.fname)
         try:
             try:
                 rows = con.execute(
@@ -150,55 +146,255 @@ class Bag2Reader:
                 return [(n, t, None) for n, t in rows]
         except sqlite3.DatabaseError as e:
             raise Bag2FormatError(
-                f"{fname}: not a rosbag2 sqlite3 storage file ({e})"
+                f"{self.fname}: not a rosbag2 sqlite3 storage file ({e})"
             ) from e
         finally:
             con.close()
 
-    def messages(self) -> Iterator[Tuple[float, str, str, bytes]]:
-        for fname in self.files:
-            con = self._connect(fname)
+    def messages(self, topic_types: Dict[str, str]
+                 ) -> Iterator[Tuple[float, str, str, bytes]]:
+        fname = self.fname
+        con = self._connect(fname)
+        try:
             try:
+                topic_of = dict(
+                    con.execute("SELECT id, name FROM topics").fetchall()
+                )
+                cur = con.execute(
+                    "SELECT timestamp, topic_id, data FROM messages "
+                    "ORDER BY timestamp, id"
+                )
+                rows = iter(cur.fetchmany(256))
+            except sqlite3.DatabaseError as e:
+                raise Bag2FormatError(
+                    f"{fname}: not a rosbag2 sqlite3 storage file ({e})"
+                ) from e
+            while True:
+                for ts, topic_id, data in rows:
+                    topic = topic_of.get(topic_id)
+                    if topic is None:
+                        raise Bag2FormatError(
+                            f"{fname}: message references unknown "
+                            f"topic id {topic_id}"
+                        )
+                    yield (
+                        ts * 1e-9, topic,
+                        topic_types.get(topic, ""), bytes(data),
+                    )
                 try:
-                    topic_of = dict(
-                        con.execute("SELECT id, name FROM topics").fetchall()
-                    )
-                    # fetchall up front: a DatabaseError surfacing mid-
-                    # iteration (truncated storage) must still wrap as
-                    # Bag2FormatError, and flight bags stream fine row-wise
-                    # only when intact anyway
-                    cur = con.execute(
-                        "SELECT timestamp, topic_id, data FROM messages "
-                        "ORDER BY timestamp, id"
-                    )
-                    rows = iter(cur.fetchmany(256))
+                    # batched fetch: a DatabaseError surfacing mid-iteration
+                    # (truncated storage) must still wrap as Bag2FormatError
+                    batch = cur.fetchmany(256)
                 except sqlite3.DatabaseError as e:
                     raise Bag2FormatError(
-                        f"{fname}: not a rosbag2 sqlite3 storage file ({e})"
+                        f"{fname}: corrupt rosbag2 storage ({e})"
                     ) from e
-                while True:
-                    for ts, topic_id, data in rows:
-                        topic = topic_of.get(topic_id)
-                        if topic is None:
-                            raise Bag2FormatError(
-                                f"{fname}: message references unknown "
-                                f"topic id {topic_id}"
-                            )
-                        yield (
-                            ts * 1e-9, topic,
-                            self.topic_types.get(topic, ""), bytes(data),
-                        )
-                    try:
-                        batch = cur.fetchmany(256)
-                    except sqlite3.DatabaseError as e:
-                        raise Bag2FormatError(
-                            f"{fname}: corrupt rosbag2 storage ({e})"
-                        ) from e
-                    if not batch:
-                        break
-                    rows = iter(batch)
-            finally:
-                con.close()
+                if not batch:
+                    break
+                rows = iter(batch)
+        finally:
+            con.close()
+
+
+# --- MCAP storage (the rosbag2 default since ROS2 Jazzy) ------------ #
+
+_MCAP_MAGIC = b"\x89MCAP0\r\n"
+_SQLITE_MAGIC = b"SQLite format 3\x00"
+
+# MCAP record opcodes (mcap.dev spec)
+_MCAP_FOOTER = 0x02
+_MCAP_SCHEMA = 0x03
+_MCAP_CHANNEL = 0x04
+_MCAP_MESSAGE = 0x05
+_MCAP_CHUNK = 0x06
+_MCAP_DATA_END = 0x0F
+
+
+def _mcap_decompress(compression: str, data: bytes, size: int,
+                     fname: str) -> bytes:
+    if compression in ("", "none"):
+        return bytes(data)
+    if compression == "lz4":
+        try:
+            import lz4.frame  # noqa: PLC0415 — optional
+        except ImportError as e:
+            raise Bag2FormatError(
+                f"{fname}: MCAP chunk uses lz4 compression and the lz4 "
+                "module is not available"
+            ) from e
+        return lz4.frame.decompress(bytes(data))
+    if compression == "zstd":
+        try:
+            try:
+                from compression import zstd  # noqa: PLC0415 — py3.14+
+
+                return zstd.decompress(bytes(data))
+            except ImportError:
+                import zstandard  # noqa: PLC0415 — optional
+
+                return zstandard.ZstdDecompressor().decompress(
+                    bytes(data), max_output_size=size or -1
+                )
+        except ImportError as e:
+            raise Bag2FormatError(
+                f"{fname}: MCAP chunk uses zstd compression and neither "
+                "compression.zstd (py>=3.14) nor the zstandard module is "
+                "available"
+            ) from e
+    raise Bag2FormatError(
+        f"{fname}: unknown MCAP chunk compression {compression!r}"
+    )
+
+
+class _McapStorage:
+    """One MCAP storage file: schema/channel discovery + message stream.
+
+    The reader is index-free (like the ROS1 reader): it walks the record
+    stream in order — the spec guarantees a channel's Schema and Channel
+    records precede its first Message in stream order — and descends into
+    Chunk records.  Summary-section repeats of schema/channel records are
+    harmlessly idempotent; Footer stops the scan.
+    """
+
+    def __init__(self, fname: str):
+        self.fname = fname
+        with open(fname, "rb") as fh:
+            buf = fh.read()
+        if not buf.startswith(_MCAP_MAGIC):
+            raise Bag2FormatError(f"{fname}: not an MCAP file (bad magic)")
+        self._buf = buf
+        #: channel id -> (topic, type name, message encoding)
+        self._channels: Dict[int, Tuple[str, str, str]] = {}
+        self._schemas: Dict[int, str] = {}
+
+    @staticmethod
+    def _records(buf, off, end, fname):
+        """Yield ``(opcode, payload)`` records from ``buf[off:end]``."""
+        while off + 9 <= end:
+            op = buf[off]
+            (ln,) = struct.unpack_from("<Q", buf, off + 1)
+            off += 9
+            if off + ln > end:
+                raise Bag2FormatError(f"{fname}: truncated MCAP record")
+            yield op, buf[off : off + ln]
+            off += ln
+
+    @staticmethod
+    def _string(buf, off) -> Tuple[str, int]:
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        s = bytes(buf[off : off + n])
+        if len(s) != n:
+            raise Bag2FormatError("truncated MCAP string")
+        return s.decode("utf-8", "replace"), off + n
+
+    def _note(self, op: int, payload: bytes) -> None:
+        if op == _MCAP_SCHEMA:
+            (sid,) = struct.unpack_from("<H", payload, 0)
+            name, _ = self._string(payload, 2)
+            self._schemas[sid] = name
+        elif op == _MCAP_CHANNEL:
+            sid, = struct.unpack_from("<H", payload, 2)
+            (cid,) = struct.unpack_from("<H", payload, 0)
+            topic, off = self._string(payload, 4)
+            encoding, _ = self._string(payload, off)
+            self._channels[cid] = (
+                topic, self._schemas.get(sid, ""), encoding
+            )
+
+    def _walk(self) -> Iterator[Tuple[int, Any]]:
+        """All records, descending into chunks, noting schemas/channels."""
+        try:
+            for op, payload in self._records(
+                self._buf, len(_MCAP_MAGIC), len(self._buf), self.fname
+            ):
+                if op in (_MCAP_FOOTER, _MCAP_DATA_END):
+                    # the summary section only repeats what the data
+                    # section already declared; stop at data end
+                    if op == _MCAP_FOOTER:
+                        return
+                    continue
+                if op == _MCAP_CHUNK:
+                    # u64 start/end times, u64 uncompressed_size, u32 crc,
+                    # string compression, u64 records length, records
+                    (size,) = struct.unpack_from("<Q", payload, 16)
+                    compression, off = self._string(payload, 28)
+                    (rlen,) = struct.unpack_from("<Q", payload, off)
+                    inner = _mcap_decompress(
+                        compression, payload[off + 8 : off + 8 + rlen],
+                        size, self.fname,
+                    )
+                    for iop, ipayload in self._records(
+                        inner, 0, len(inner), self.fname
+                    ):
+                        self._note(iop, ipayload)
+                        yield iop, ipayload
+                    continue
+                self._note(op, payload)
+                yield op, payload
+        except struct.error as e:
+            raise Bag2FormatError(
+                f"{self.fname}: truncated MCAP record ({e})"
+            ) from e
+
+    def topics(self) -> List[Tuple[str, str, Optional[str]]]:
+        for _ in self._walk():
+            pass
+        return [(topic, type_name, enc)
+                for topic, type_name, enc in self._channels.values()]
+
+    def messages(self, topic_types: Dict[str, str]
+                 ) -> Iterator[Tuple[float, str, str, bytes]]:
+        for op, payload in self._walk():
+            if op != _MCAP_MESSAGE:
+                continue
+            (cid,) = struct.unpack_from("<H", payload, 0)
+            (log_time,) = struct.unpack_from("<Q", payload, 6)
+            chan = self._channels.get(cid)
+            if chan is None:
+                raise Bag2FormatError(
+                    f"{self.fname}: message references unknown channel {cid}"
+                )
+            topic, type_name, _enc = chan
+            yield log_time * 1e-9, topic, type_name, bytes(payload[22:])
+
+
+def _open_storage(fname: str):
+    """Sniff the storage flavor by content magic (extension as fallback
+    for short/empty files)."""
+    if not os.path.exists(fname):
+        raise Bag2FormatError(f"{fname}: no such file")
+    with open(fname, "rb") as fh:
+        head = fh.read(16)
+    if head.startswith(_MCAP_MAGIC):
+        return _McapStorage(fname)
+    if head.startswith(_SQLITE_MAGIC) or not fname.endswith(".mcap"):
+        return _SqliteStorage(fname)
+    return _McapStorage(fname)  # .mcap extension, bad magic: its error
+
+
+class Bag2Reader:
+    """Stream ``(time_s, topic, type_name, raw_cdr_bytes)`` from a rosbag2
+    bag — a ``.db3``/``.mcap`` storage file or a bag directory."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.files = _storage_files(path)
+        self._storages = [_open_storage(f) for f in self.files]
+        #: topic name -> ROS2 type name (e.g. ``sensor_msgs/msg/Image``)
+        self.topic_types: Dict[str, str] = {}
+        for st in self._storages:
+            for name, type_name, fmt in st.topics():
+                if fmt not in ("cdr", "", None):
+                    raise Bag2FormatError(
+                        f"{st.fname}: topic {name!r} uses serialization "
+                        f"{fmt!r}; only 'cdr' is supported"
+                    )
+                self.topic_types[name] = type_name
+
+    def messages(self) -> Iterator[Tuple[float, str, str, bytes]]:
+        for st in self._storages:
+            yield from st.messages(self.topic_types)
 
     def topics_by_type(self) -> Dict[str, List[str]]:
         out: Dict[str, List[str]] = {}
@@ -208,7 +404,7 @@ class Bag2Reader:
                 out[type_name].append(topic)
         return out
 
-    def close(self) -> None:  # connections are per-iteration; nothing held
+    def close(self) -> None:  # per-iteration handles; nothing held open
         pass
 
     def __enter__(self) -> "Bag2Reader":

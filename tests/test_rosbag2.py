@@ -195,6 +195,55 @@ def write_db3(path, topics, messages):
 
 
 # ------------------------------------------------------------------ #
+# test-side MCAP writer                                               #
+# ------------------------------------------------------------------ #
+
+_MCAP_MAGIC = b"\x89MCAP0\r\n"
+
+
+def _mrec(op, payload):
+    return bytes([op]) + struct.pack("<Q", len(payload)) + payload
+
+
+def _mstr(s):
+    b = s.encode()
+    return struct.pack("<I", len(b)) + b
+
+
+def mcap_schema(sid, name):
+    return _mrec(0x03, struct.pack("<H", sid) + _mstr(name)
+                 + _mstr("ros2msg") + struct.pack("<I", 0))
+
+
+def mcap_channel(cid, sid, topic, encoding="cdr"):
+    return _mrec(0x04, struct.pack("<HH", cid, sid) + _mstr(topic)
+                 + _mstr(encoding) + struct.pack("<I", 0))
+
+
+def mcap_message(cid, t, payload):
+    ns = int(round(t * 1e9))
+    return _mrec(0x05, struct.pack("<HIQQ", cid, 0, ns, ns) + payload)
+
+
+def mcap_chunk(records, compression="none", comp_bytes=None):
+    data = b"".join(records)
+    comp = data if comp_bytes is None else comp_bytes
+    payload = (struct.pack("<QQQI", 0, 0, len(data), 0)
+               + _mstr(compression) + struct.pack("<Q", len(comp)) + comp)
+    return _mrec(0x06, payload)
+
+
+def write_mcap(path, records):
+    header = _mrec(0x01, _mstr("ros2") + _mstr("test-writer"))
+    data_end = _mrec(0x0F, struct.pack("<I", 0))
+    footer = _mrec(0x02, struct.pack("<QQI", 0, 0, 0))
+    with open(path, "wb") as fh:
+        fh.write(_MCAP_MAGIC + header + b"".join(records)
+                 + data_end + footer + _MCAP_MAGIC)
+    return str(path)
+
+
+# ------------------------------------------------------------------ #
 # decoders                                                            #
 # ------------------------------------------------------------------ #
 
@@ -361,6 +410,142 @@ def test_empty_directory_raises(tmp_path):
 
 
 # ------------------------------------------------------------------ #
+# MCAP storage                                                        #
+# ------------------------------------------------------------------ #
+
+
+def test_mcap_roundtrip_chunked_and_bare(tmp_path):
+    """Schema/channel resolution and message streaming, for messages both
+    inside an uncompressed chunk and at top level."""
+    img = np.zeros((4, 4), np.uint8)
+    path = write_mcap(tmp_path / "flight.mcap", [
+        mcap_chunk([
+            mcap_schema(1, "sensor_msgs/msg/Image"),
+            mcap_channel(1, 1, "/cam/image_raw"),
+            mcap_message(1, 10.0, ser_image(10.0, img)),
+        ]),
+        mcap_schema(2, "nav_msgs/msg/Odometry"),
+        mcap_channel(2, 2, "/odom"),
+        mcap_message(2, 10.01, ser_odometry(10.01)),
+        mcap_message(1, 10.05, ser_image(10.05, img)),
+    ])
+    with Bag2Reader(path) as r:
+        msgs = list(r.messages())
+    assert [(round(t, 3), topic, tn) for t, topic, tn, _ in msgs] == [
+        (10.0, "/cam/image_raw", "sensor_msgs/msg/Image"),
+        (10.01, "/odom", "nav_msgs/msg/Odometry"),
+        (10.05, "/cam/image_raw", "sensor_msgs/msg/Image"),
+    ]
+    assert r.topics_by_type()["sensor_msgs/msg/Image"] == ["/cam/image_raw"]
+    # decoded payloads round-trip
+    assert decode_odometry_msg(msgs[1][3]).stamp == pytest.approx(10.01)
+
+
+def test_mcap_zstd_chunk(tmp_path):
+    """rosbag2's mcap writer compresses chunks with zstd by default; a
+    zstd chunk round-trips when a zstd module exists, and raises the
+    gating error otherwise (the ROS1 reader's lz4 convention)."""
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    inner = [
+        mcap_schema(1, "sensor_msgs/msg/Image"),
+        mcap_channel(1, 1, "/cam"),
+        mcap_message(1, 5.0, ser_image(5.0, img)),
+    ]
+    try:
+        import zstandard
+    except ImportError:
+        path = write_mcap(tmp_path / "z.mcap", [
+            mcap_chunk(inner, compression="zstd",
+                       comp_bytes=b"\x28\xb5\x2f\xfd junk"),
+        ])
+        with pytest.raises(Bag2FormatError, match="zstd"):
+            Bag2Reader(path)
+        return
+    comp = zstandard.ZstdCompressor().compress(b"".join(inner))
+    path = write_mcap(tmp_path / "z.mcap", [
+        mcap_chunk(inner, compression="zstd", comp_bytes=comp),
+    ])
+    with Bag2Reader(path) as r:
+        msgs = list(r.messages())
+    assert len(msgs) == 1 and msgs[0][1] == "/cam"
+    np.testing.assert_array_equal(decode_image_msg(msgs[0][3]).data, img)
+
+
+def test_mcap_unknown_compression_raises(tmp_path):
+    path = write_mcap(tmp_path / "s.mcap", [
+        mcap_chunk([mcap_schema(1, "x"), mcap_channel(1, 1, "/t")],
+                   compression="snappy", comp_bytes=b"junk"),
+    ])
+    with pytest.raises(Bag2FormatError, match="compression"):
+        Bag2Reader(path)
+
+
+def test_mcap_bad_magic_and_truncation(tmp_path):
+    p = tmp_path / "bad.mcap"
+    p.write_bytes(b"not an mcap file at all")
+    with pytest.raises(Bag2FormatError, match="magic"):
+        Bag2Reader(str(p))
+
+    good = write_mcap(tmp_path / "good.mcap", [
+        mcap_schema(1, "sensor_msgs/msg/Image"),
+        mcap_channel(1, 1, "/cam"),
+        mcap_message(1, 1.0, ser_image(1.0, np.zeros((4, 4), np.uint8))),
+    ])
+    whole = open(good, "rb").read()
+    trunc = tmp_path / "trunc.mcap"
+    trunc.write_bytes(whole[: len(whole) // 2])
+    with pytest.raises(Bag2FormatError, match="truncated"):
+        Bag2Reader(str(trunc))
+
+
+def test_mcap_non_cdr_channel_rejected(tmp_path):
+    path = write_mcap(tmp_path / "pb.mcap", [
+        mcap_schema(1, "foo/msg/Bar"),
+        mcap_channel(1, 1, "/t", encoding="protobuf"),
+    ])
+    with pytest.raises(Bag2FormatError, match="serialization"):
+        Bag2Reader(path)
+
+
+def test_mcap_magic_sniff_beats_extension(tmp_path):
+    """A .db3-named file with MCAP content reads as MCAP (content sniff)."""
+    img = np.zeros((4, 4), np.uint8)
+    mcap_bytes = open(write_mcap(tmp_path / "x.mcap", [
+        mcap_schema(1, "sensor_msgs/msg/Image"),
+        mcap_channel(1, 1, "/cam"),
+        mcap_message(1, 2.0, ser_image(2.0, img)),
+    ]), "rb").read()
+    disguised = tmp_path / "disguised.db3"
+    disguised.write_bytes(mcap_bytes)
+    with Bag2Reader(str(disguised)) as r:
+        assert len(list(r.messages())) == 1
+
+
+def test_mcap_directory_mixed_with_db3(tmp_path):
+    """A split bag can mix storage flavors; replay follows metadata order."""
+    bag = tmp_path / "flight"
+    bag.mkdir()
+    img = np.zeros((4, 4), np.uint8)
+    write_db3(bag / "part1.db3",
+              [(1, "/cam", "sensor_msgs/msg/Image")],
+              [(10.0, 1, ser_image(10.0, img))])
+    write_mcap(bag / "part2.mcap", [
+        mcap_schema(1, "sensor_msgs/msg/Image"),
+        mcap_channel(1, 1, "/cam"),
+        mcap_message(1, 11.0, ser_image(11.0, img)),
+    ])
+    (bag / "metadata.yaml").write_text(
+        "rosbag2_bagfile_information:\n"
+        "  relative_file_paths:\n    - part1.db3\n    - part2.mcap\n"
+    )
+    with Bag2Reader(str(bag)) as r:
+        times = [round(t, 3) for t, _, _, _ in r.messages()]
+    assert times == [10.0, 11.0]
+    assert is_rosbag2(str(bag))
+    assert is_rosbag2("whatever.mcap")
+
+
+# ------------------------------------------------------------------ #
 # end-to-end replay                                                   #
 # ------------------------------------------------------------------ #
 
@@ -413,6 +598,34 @@ def test_replay_full_flight(tmp_path):
     from the bag alone — the rosbag2 twin of the ROS1 flight test."""
     path = _flight_db3(tmp_path, full=True)
     frames, twists = _replay(path)
+    assert frames == 6
+    assert len(twists) >= 3
+    v = np.array([tw.linear[:2] for tw in twists[1:]])
+    assert np.abs(v - np.array(V_TRUE)).max() < 0.15, v
+
+
+def test_replay_full_flight_mcap(tmp_path):
+    """The same full flight through the MCAP storage flavor (messages in
+    an uncompressed chunk, like rosbag2's mcap writer produces)."""
+    scene = SyntheticScene(uav_height=HEIGHT, seed=2)
+    records = [
+        mcap_schema(1, "sensor_msgs/msg/Image"),
+        mcap_channel(1, 1, "/uav1/camera/image_raw"),
+        mcap_schema(2, "sensor_msgs/msg/CameraInfo"),
+        mcap_channel(2, 2, "/uav1/camera/camera_info"),
+        mcap_message(2, 99.0, ser_camera_info(
+            99.0, [scene.fx, 0, scene.cx, 0, scene.fy, scene.cy, 0, 0, 1],
+            [0.0] * 5)),
+    ]
+    frames_recs = []
+    for i in range(6):
+        t = 100.0 + i * DT
+        pos = (V_TRUE[0] * i * DT, V_TRUE[1] * i * DT)
+        frame = np.clip(np.round(scene.render(pos)), 0, 255).astype(np.uint8)
+        frames_recs.append(mcap_message(1, t, ser_image(t, frame)))
+    records.append(mcap_chunk(frames_recs))
+    path = write_mcap(tmp_path / "flight.mcap", records)
+    frames, twists = _replay(path, default_height=HEIGHT)
     assert frames == 6
     assert len(twists) >= 3
     v = np.array([tw.linear[:2] for tw in twists[1:]])
