@@ -40,11 +40,26 @@ def _parse_overrides(pairs):
 
 
 def filter_ros_remap_args(argv):
-    """Drop roslaunch-injected remap arguments (``__name:=...``,
-    ``__log:=...``, topic ``from:=to`` pairs) so argparse only sees real
-    flags — what roslaunch appends to every node's command line.  Used by
-    ``scripts/optic_flow_tpu_node``."""
-    return [a for a in argv if ":=" not in a]
+    """Drop launch-system-injected arguments so argparse only sees real
+    flags — used by ``scripts/optic_flow_tpu_node``:
+
+    - roslaunch (ROS1) appends ``__name:=...`` / ``__log:=...`` / topic
+      ``from:=to`` remap pairs;
+    - ros2 launch appends a ``--ros-args ... [--]`` section (``-r``
+      remaps, ``-p`` params, ``--params-file``), terminated by ``--`` when
+      user args follow.
+    """
+    out = []
+    it = iter(argv)
+    for a in it:
+        if a == "--ros-args":
+            for b in it:  # consume through the optional `--` terminator
+                if b == "--":
+                    break
+            continue
+        if ":=" not in a:
+            out.append(a)
+    return out
 
 
 def _run_bag_info(path):
@@ -193,7 +208,10 @@ def main(argv=None):
     if args.bag_info:
         return _run_bag_info(args.bag_info)
 
-    cfg = load_config(args.config, overrides=_parse_overrides(args.overrides))
+    # `--config ""` (e.g. a launch file's unset config arg) = the packaged
+    # default, same as omitting the flag
+    cfg = load_config(args.config or None,
+                      overrides=_parse_overrides(args.overrides))
     dt = 1.0 / args.fps
 
     if args.ros:

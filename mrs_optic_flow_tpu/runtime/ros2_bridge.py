@@ -30,15 +30,14 @@ differs is only the rclpy surface:
 
 from __future__ import annotations
 
-import dataclasses
 import time as _time
 from typing import Any, Callable, Dict, Optional
 
 import numpy as np
 
-from mrs_optic_flow_tpu.runtime.msgs import TwistWithCovarianceStamped
 from mrs_optic_flow_tpu.runtime.node import OpticFlowNode
 from mrs_optic_flow_tpu.runtime.ros_bridge import (
+    _PUBLISHERS,
     _import_default_types,
     decode_image,
     from_camera_info,
@@ -48,13 +47,6 @@ from mrs_optic_flow_tpu.runtime.ros_bridge import (
     from_tracker_diag,
 )
 from mrs_optic_flow_tpu.utils import np_rpy_from_quat
-
-
-def _set_stamp(stamp_field, t: float) -> None:
-    """Fill a ``builtin_interfaces/Time`` in place from float seconds."""
-    sec = int(t)
-    stamp_field.sec = sec
-    stamp_field.nanosec = int(round((t - sec) * 1e9))
 
 
 # ------------------------------------------------------------------ #
@@ -91,66 +83,11 @@ def tf2_transform_provider(
     return provider
 
 
-# ------------------------------------------------------------------ #
-# dataclass -> ROS2 message builders                                   #
-# ------------------------------------------------------------------ #
-
-
-def _build_twist(types, tw: TwistWithCovarianceStamped):
-    m = types["TwistWithCovarianceStamped"]()
-    m.header.frame_id = tw.frame_id
-    _set_stamp(m.header.stamp, tw.stamp)
-    lin, ang = m.twist.twist.linear, m.twist.twist.angular
-    lin.x, lin.y, lin.z = tw.linear
-    ang.x, ang.y, ang.z = tw.angular
-    m.twist.covariance = [float(x) for x in np.asarray(tw.covariance).ravel()]
-    return m
-
-
-def _build_vector3(types, v):
-    m = types["Vector3"]()
-    m.x, m.y, m.z = (float(x) for x in np.asarray(v).reshape(3))
-    return m
-
-
-def _build_float32(types, v):
-    m = types["Float32"]()
-    m.data = float(v)
-    return m
-
-
-def _build_int32(types, v):
-    m = types["Int32"]()
-    m.data = int(v)
-    return m
-
-
-def _build_float64_array(types, v):
-    m = types["Float64MultiArray"]()
-    m.data = [float(x) for x in np.asarray(v, np.float64).ravel()]
-    return m
-
-
-@dataclasses.dataclass
-class _PubSpec:
-    type_key: str
-    build: Callable[[Dict[str, Any], Any], Any]
-
-
-#: same topic table as the ROS1 bridge (src/optic_flow.cpp:1036-1046 and
-#: ARCHITECTURE.md deviation 19), rclpy builders
-_PUBLISHERS: Dict[str, _PubSpec] = {
-    "velocity_out": _PubSpec("TwistWithCovarianceStamped", _build_twist),
-    "velocity_out_longrange": _PubSpec("TwistWithCovarianceStamped", _build_twist),
-    "velocity_out_longrange_diff": _PubSpec(
-        "TwistWithCovarianceStamped", _build_twist
-    ),
-    "velocity_stddev_out": _PubSpec("Vector3", _build_vector3),
-    "max_velocity_out": _PubSpec("Float32", _build_float32),
-    "allsac_chosen_out": _PubSpec("Int32", _build_int32),
-    "points_raw_out": _PubSpec("Float64MultiArray", _build_float64_array),
-    "processing_latency_out": _PubSpec("Float32", _build_float32),
-}
+# The publisher topic table and dataclass->message builders are SHARED
+# with the ROS1 bridge (``ros_bridge._PUBLISHERS``): the builders take a
+# ``rospy`` parameter that, when None, fills ROS2 builtin_interfaces
+# stamps in place (``ros_bridge.set_builtin_stamp``) instead of
+# constructing rospy.Time — one table, no drift between the bridges.
 
 
 class Ros2Bridge:
@@ -216,9 +153,16 @@ class Ros2Bridge:
             import tf2_ros  # noqa: PLC0415
 
             tf_buffer = tf2_ros.Buffer()
-            # keep a reference: the listener fills the buffer asynchronously
+            # keep a reference: the listener fills the buffer asynchronously.
+            # spin_thread=True is LOAD-BEARING here: the transform provider
+            # runs inside an image callback on the node's executor, and
+            # lookup_transform's timeout sleep-polls — without the
+            # listener's own executor thread, queued /tf(_static) messages
+            # could never be processed during that wait, so the lookup
+            # would always time out (rospy's listener always has its own
+            # thread, which is why the ROS1 twin needs no flag).
             self._tf_listener = tf2_ros.TransformListener(
-                tf_buffer, node_handle
+                tf_buffer, node_handle, spin_thread=True
             )
         self.tf_buffer = tf_buffer
 
@@ -289,7 +233,7 @@ class Ros2Bridge:
         if pub is None:
             return
         spec = _PUBLISHERS[topic]
-        pub.publish(spec.build(self.types, msg))
+        pub.publish(spec.build(self.types, None, msg))  # rospy=None -> ROS2
 
     def warmup(self, image_shape=None, camera_info_timeout_s: float = 15.0) -> None:
         """Pre-compile the device programs before streaming.

@@ -195,10 +195,22 @@ class _PubSpec:
     build: Callable[[Any, Any, Any], Any]  # (types, rospy, payload) -> msg
 
 
+def set_builtin_stamp(stamp_field, t: float) -> None:
+    """Fill a ROS2 ``builtin_interfaces/Time`` in place from float seconds,
+    normalized so ``0 <= nanosec < 1e9`` (a bare ``round()`` can emit
+    nanosec == 1e9 for stamps just under a whole second)."""
+    ns = int(round(t * 1e9))
+    stamp_field.sec = ns // 1_000_000_000
+    stamp_field.nanosec = ns % 1_000_000_000
+
+
 def _build_twist(types, rospy, tw: TwistWithCovarianceStamped):
     m = types["TwistWithCovarianceStamped"]()
     m.header.frame_id = tw.frame_id
-    m.header.stamp = rospy.Time.from_sec(tw.stamp)
+    if rospy is None:  # ROS2: builtin_interfaces/Time, set in place
+        set_builtin_stamp(m.header.stamp, tw.stamp)
+    else:
+        m.header.stamp = rospy.Time.from_sec(tw.stamp)
     lin, ang = m.twist.twist.linear, m.twist.twist.angular
     lin.x, lin.y, lin.z = tw.linear
     ang.x, ang.y, ang.z = tw.angular

@@ -74,11 +74,21 @@ def is_rosbag2(path: str) -> bool:
 # ------------------------------------------------------------------ #
 
 
+def _natural_key(name: str):
+    """Numeric-aware sort key: rosbag2 names split files ``<bag>_<N>.db3``,
+    and a lexicographic sort would order _10 before _2 — replaying a long
+    bag's parts out of chronological order when metadata.yaml is absent."""
+    import re  # noqa: PLC0415
+
+    return [int(p) if p.isdigit() else p for p in re.split(r"(\d+)", name)]
+
+
 def _storage_files(path: str) -> List[str]:
     """The bag's storage files in replay order."""
     if not os.path.isdir(path):
         return [path]
-    names = sorted(n for n in os.listdir(path) if n.endswith(_STORAGE_EXTS))
+    names = sorted((n for n in os.listdir(path) if n.endswith(_STORAGE_EXTS)),
+                   key=_natural_key)
     meta = os.path.join(path, "metadata.yaml")
     if os.path.exists(meta):
         # honor metadata.yaml's relative_file_paths order when possible
@@ -114,6 +124,9 @@ class _SqliteStorage:
 
     def __init__(self, fname: str):
         self.fname = fname
+
+    def close(self) -> None:  # connections are per-call; nothing held
+        pass
 
     @staticmethod
     def _connect(fname: str) -> sqlite3.Connection:
@@ -258,14 +271,39 @@ class _McapStorage:
 
     def __init__(self, fname: str):
         self.fname = fname
-        with open(fname, "rb") as fh:
-            buf = fh.read()
-        if not buf.startswith(_MCAP_MAGIC):
-            raise Bag2FormatError(f"{fname}: not an MCAP file (bad magic)")
-        self._buf = buf
+        # mmap, not read(): flight bags are GBs and the walk touches each
+        # record once per pass — same policy as the ROS1 BagReader
+        self._fh = open(fname, "rb")  # noqa: SIM115 — backs the mmap
+        try:
+            import mmap  # noqa: PLC0415
+
+            try:
+                mm = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
+                self._buf: Any = memoryview(mm)
+            except (ValueError, OSError):  # empty/exotic fs: plain bytes
+                self._fh.seek(0)
+                self._buf = self._fh.read()
+            if bytes(self._buf[: len(_MCAP_MAGIC)]) != _MCAP_MAGIC:
+                raise Bag2FormatError(
+                    f"{fname}: not an MCAP file (bad magic)"
+                )
+        except BaseException:
+            self.close()
+            raise
         #: channel id -> (topic, type name, message encoding)
         self._channels: Dict[int, Tuple[str, str, str]] = {}
         self._schemas: Dict[int, str] = {}
+
+    def close(self) -> None:
+        buf, self._buf = getattr(self, "_buf", b""), b""
+        if isinstance(buf, memoryview):
+            mm = buf.obj
+            buf.release()
+            try:
+                mm.close()
+            except BufferError:
+                pass  # stray slices die with their frames; never mask errors
+        self._fh.close()
 
     @staticmethod
     def _records(buf, off, end, fname):
@@ -337,9 +375,53 @@ class _McapStorage:
                 f"{self.fname}: truncated MCAP record ({e})"
             ) from e
 
+    def _topics_from_summary(self) -> bool:
+        """Channel discovery via the footer's ``summary_start`` (the spec's
+        mechanism: the summary section repeats every Schema/Channel record
+        uncompressed).  Returns False when there is no summary."""
+        buf, n = self._buf, len(self._buf)
+        # footer record (op 0x02, u64 len=20, 20-byte payload) + end magic
+        tail = 1 + 8 + 20 + len(_MCAP_MAGIC)
+        if n < tail or bytes(buf[n - 8 :]) != _MCAP_MAGIC:
+            return False
+        if buf[n - tail] != _MCAP_FOOTER:
+            return False
+        (flen,) = struct.unpack_from("<Q", buf, n - tail + 1)
+        if flen != 20:
+            return False
+        (summary_start,) = struct.unpack_from("<Q", buf, n - tail + 9)
+        if not summary_start or summary_start >= n - tail:
+            return False
+        for op, payload in self._records(
+            buf, summary_start, n - tail, self.fname
+        ):
+            self._note(op, payload)
+        return bool(self._channels)
+
     def topics(self) -> List[Tuple[str, str, Optional[str]]]:
-        for _ in self._walk():
-            pass
+        # cheap paths first — no chunk decompression: (a) the summary
+        # section when the footer points at one; (b) a top-level scan when
+        # the bag has no chunks at all.  A chunked bag without a summary
+        # needs the full walk (chunks can hide Channel records).
+        try:
+            if not self._topics_from_summary():
+                saw_chunk = False
+                for op, payload in self._records(
+                    self._buf, len(_MCAP_MAGIC), len(self._buf), self.fname
+                ):
+                    if op == _MCAP_FOOTER:
+                        break
+                    if op == _MCAP_CHUNK:
+                        saw_chunk = True
+                        continue
+                    self._note(op, payload)
+                if saw_chunk:
+                    for _ in self._walk():  # re-notes idempotently
+                        pass
+        except struct.error as e:
+            raise Bag2FormatError(
+                f"{self.fname}: truncated MCAP record ({e})"
+            ) from e
         return [(topic, type_name, enc)
                 for topic, type_name, enc in self._channels.values()]
 
@@ -380,17 +462,23 @@ class Bag2Reader:
     def __init__(self, path: str):
         self.path = path
         self.files = _storage_files(path)
-        self._storages = [_open_storage(f) for f in self.files]
+        self._storages: List[Any] = []
         #: topic name -> ROS2 type name (e.g. ``sensor_msgs/msg/Image``)
         self.topic_types: Dict[str, str] = {}
-        for st in self._storages:
-            for name, type_name, fmt in st.topics():
-                if fmt not in ("cdr", "", None):
-                    raise Bag2FormatError(
-                        f"{st.fname}: topic {name!r} uses serialization "
-                        f"{fmt!r}; only 'cdr' is supported"
-                    )
-                self.topic_types[name] = type_name
+        try:
+            for f in self.files:
+                self._storages.append(_open_storage(f))
+            for st in self._storages:
+                for name, type_name, fmt in st.topics():
+                    if fmt not in ("cdr", "", None):
+                        raise Bag2FormatError(
+                            f"{st.fname}: topic {name!r} uses serialization "
+                            f"{fmt!r}; only 'cdr' is supported"
+                        )
+                    self.topic_types[name] = type_name
+        except BaseException:
+            self.close()
+            raise
 
     def messages(self) -> Iterator[Tuple[float, str, str, bytes]]:
         for st in self._storages:
@@ -404,8 +492,10 @@ class Bag2Reader:
                 out[type_name].append(topic)
         return out
 
-    def close(self) -> None:  # per-iteration handles; nothing held open
-        pass
+    def close(self) -> None:
+        for st in self._storages:
+            st.close()
+        self._storages = []
 
     def __enter__(self) -> "Bag2Reader":
         return self

@@ -77,3 +77,41 @@ def test_filter_ros_remap_args():
     argv = ["--camera-frame", "uav1/cam", "__name:=optic_flow",
             "__log:=/tmp/x.log", "odom:=/uav1/odom"]
     assert filter_ros_remap_args(argv) == ["--camera-frame", "uav1/cam"]
+
+
+def test_filter_ros2_launch_args():
+    """ros2 launch appends a `--ros-args ... [--]` section (-r remaps,
+    -p params, --params-file); everything in it must be stripped, while
+    user args after the `--` terminator survive."""
+    from mrs_optic_flow_tpu.__main__ import filter_ros_remap_args
+
+    argv = ["--ros2", "--camera-frame", "uav1/cam",
+            "--ros-args", "-r", "__node:=optic_flow", "-r", "__ns:=/uav1",
+            "-p", "use_sim_time:=false", "--params-file", "/tmp/p.yaml"]
+    assert filter_ros_remap_args(argv) == [
+        "--ros2", "--camera-frame", "uav1/cam"]
+
+    # `--` terminates the ros-args section; later user args survive
+    argv2 = ["--ros2", "--ros-args", "-r", "a:=b", "--", "--uav-frame", "f"]
+    assert filter_ros_remap_args(argv2) == ["--ros2", "--uav-frame", "f"]
+
+
+def test_ros2_launch_file_surface():
+    """The ROS2 launch twin passes --ros2 (the executable defaults to
+    --ros only when no mode flag is present) and mirrors the remap
+    surface under ~/ spelling."""
+    path = os.path.join(REPO, "launch", "optic_flow_tpu.launch.py")
+    src = open(path).read()
+    assert "--ros2" in src
+    for remap in ("~/camera_in", "~/camera_info_in", "~/uav_height_in",
+                  "~/odometry_in", "~/imu_in", "~/active_tracker_in",
+                  "~/velocity_out"):
+        assert remap in src, remap
+
+
+def test_node_executable_mode_selection():
+    """scripts/optic_flow_tpu_node appends --ros only when the launch file
+    did not already pick a mode (the ROS2 launch passes --ros2, which is
+    mutually exclusive with --ros)."""
+    src = open(os.path.join(REPO, "scripts", "optic_flow_tpu_node")).read()
+    assert "--ros2" in src and '"--ros"' in src

@@ -296,6 +296,20 @@ def test_tf2_provider_math():
             FakeTfBuffer2(fail=1), _Time2, _Duration2, "fcu", "camera")()
 
 
+def test_builtin_stamp_normalized():
+    """Stamps just under a whole second must not round to nanosec == 1e9
+    (builtin_interfaces/Time requires nanosec < 1e9)."""
+    from mrs_optic_flow_tpu.runtime.ros_bridge import set_builtin_stamp
+
+    st = _Stamp2()
+    set_builtin_stamp(st, 5.0 - 2e-10)
+    assert (st.sec, st.nanosec) == (5, 0)
+    set_builtin_stamp(st, 4.999999999)
+    assert st.sec == 4 and st.nanosec == 999999999
+    set_builtin_stamp(st, 10.25)
+    assert (st.sec, st.nanosec) == (10, 250000000)
+
+
 def test_warmup_spins_for_camera_info():
     """warmup() before any camera_info spins the executor on the topic
     first — the reference's timerCamInit wait; a silent topic raises at

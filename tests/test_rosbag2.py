@@ -233,13 +233,18 @@ def mcap_chunk(records, compression="none", comp_bytes=None):
     return _mrec(0x06, payload)
 
 
-def write_mcap(path, records):
+def write_mcap(path, records, summary=None):
+    """``summary``: optional records repeated in a summary section, with
+    the footer's summary_start pointing at it (the real writers' shape)."""
     header = _mrec(0x01, _mstr("ros2") + _mstr("test-writer"))
     data_end = _mrec(0x0F, struct.pack("<I", 0))
-    footer = _mrec(0x02, struct.pack("<QQI", 0, 0, 0))
+    body = _MCAP_MAGIC + header + b"".join(records) + data_end
+    summary_start = len(body) if summary else 0
+    if summary:
+        body += b"".join(summary)
+    footer = _mrec(0x02, struct.pack("<QQI", summary_start, 0, 0))
     with open(path, "wb") as fh:
-        fh.write(_MCAP_MAGIC + header + b"".join(records)
-                 + data_end + footer + _MCAP_MAGIC)
+        fh.write(body + footer + _MCAP_MAGIC)
     return str(path)
 
 
@@ -363,6 +368,22 @@ def test_directory_split_bags(tmp_path):
     assert times == [10.0, 11.0]
 
 
+def test_split_bags_natural_sort_without_metadata(tmp_path):
+    """rosbag2 names split files <bag>_<N>.db3; without metadata.yaml the
+    fallback ordering must be numeric (lexicographic puts _10 before _2,
+    replaying minutes out of order)."""
+    bag = tmp_path / "long"
+    bag.mkdir()
+    img = np.zeros((4, 4), np.uint8)
+    topics = [(1, "/cam", "sensor_msgs/msg/Image")]
+    for i in (0, 1, 2, 10, 11):
+        write_db3(bag / f"long_{i}.db3", topics,
+                  [(100.0 + i, 1, ser_image(100.0 + i, img))])
+    with Bag2Reader(str(bag)) as r:
+        times = [round(t, 3) for t, _, _, _ in r.messages()]
+    assert times == [100.0, 101.0, 102.0, 110.0, 111.0]
+
+
 def test_is_rosbag2(tmp_path):
     assert is_rosbag2("x/flight.db3")
     assert not is_rosbag2("x/flight.bag")
@@ -439,6 +460,29 @@ def test_mcap_roundtrip_chunked_and_bare(tmp_path):
     assert r.topics_by_type()["sensor_msgs/msg/Image"] == ["/cam/image_raw"]
     # decoded payloads round-trip
     assert decode_odometry_msg(msgs[1][3]).stamp == pytest.approx(10.01)
+
+
+def test_mcap_summary_section_topic_discovery(tmp_path):
+    """Real mcap writers put channels inside compressed chunks and repeat
+    them in the summary section; topic discovery must resolve from the
+    summary (footer summary_start) without decompressing any chunk."""
+    img = np.zeros((4, 4), np.uint8)
+    schema = mcap_schema(1, "sensor_msgs/msg/Image")
+    channel = mcap_channel(1, 1, "/cam/image_raw")
+    path = write_mcap(
+        tmp_path / "s.mcap",
+        [mcap_chunk([schema, channel,
+                     mcap_message(1, 10.0, ser_image(10.0, img))],
+                    compression="snappy",  # undecompressable on purpose:
+                    comp_bytes=b"junk")],  # discovery must not descend
+        summary=[schema, channel],
+    )
+    with Bag2Reader(path) as r:
+        assert r.topics_by_type() == {
+            "sensor_msgs/msg/Image": ["/cam/image_raw"]}
+        # replaying DOES descend and surfaces the compression error
+        with pytest.raises(Bag2FormatError, match="compression"):
+            list(r.messages())
 
 
 def test_mcap_zstd_chunk(tmp_path):
