@@ -58,6 +58,10 @@ class ScaleRotationConfig:
     interp: str = "lanczos4"
     backend: str = "dft"  # dft (MXU matmul) | fft (XLA FFT)
     use_pallas: bool = True  # fused peak/centroid stage (useOCL analogue)
+    #: output rows per ``lax.map`` step of the log-polar resample — bounds
+    #: the dense one-hot weight temporaries (``ops/logpolar.py``); tuned by
+    #: ``scripts/tune_scale_rotation.py``
+    lp_rows_per_chunk: int = 8
     #: round incoming float grays to uint8 before the log-polar resample —
     #: the reference feeds its 8-bit gray pipeline into ``cv::logPolar``
     #: (``src/scaleRotationEstimator.cpp:108-113`` on the CV_8UC1 imCurr),
@@ -115,9 +119,10 @@ class ScaleRotationEstimator:
         # its three MXU passes (ops/logpolar.py)
         lp = logpolar(
             self._ingest(frame),
-            jnp.float32(self.m_eff),
+            self.m_eff,
             resolution=c.lp_res,
             interp=c.interp,
+            rows_per_chunk=c.lp_rows_per_chunk,
         )
         if not c.quantize_8bit:
             return lp

@@ -156,43 +156,99 @@ def _resample_separable(
     return out.reshape(-1, c)[:r]
 
 
-@functools.partial(jax.jit, static_argnames=("resolution", "interp"))
 def logpolar(
     img: jnp.ndarray,
-    magnitude: jnp.ndarray,
+    magnitude,
     *,
     resolution: int | None = None,
     interp: str = "lanczos4",
+    rows_per_chunk: int = 8,
 ) -> jnp.ndarray:
     """Log-polar transform of a square ``[N, N]`` image.
 
     ``magnitude`` is the reference's ``optimM`` scale parameter
-    (``scale_rot_magnitude``, ``config/default.yaml:14``).  ``resolution``
-    sets the output size (defaults to N — the reference's square geometry);
-    a smaller output trades decode resolution for speed, with the decode
-    constants rescaled by the caller (see ``ScaleRotationEstimator``).
+    (``scale_rot_magnitude``, ``config/default.yaml:14``) — a Python float
+    (it comes from config; a concrete array is accepted and canonicalized).
+    It is STATIC: with the rho grid known at trace time, every output
+    column whose radius exceeds the farthest sample any stencil tap can
+    touch (image corner + tap margin) is provably all-zero under the
+    BORDER_CONSTANT semantics, so only the live columns (rounded up to the
+    128-lane tile) are resampled and the zeros are concatenated back —
+    bit-identical output with fewer matmul FLOPs at the production
+    geometry (480 px, optimM 49.9: rays exit the image by rho ~ 293, so
+    384 of 480 columns are computed).
+
+    ``resolution`` sets the output size (defaults to N — the reference's
+    square geometry); a smaller output trades decode resolution for speed,
+    with the decode constants rescaled by the caller (see
+    ``ScaleRotationEstimator``).  ``rows_per_chunk`` bounds the dense
+    one-hot weight temporaries (output rows per ``lax.map`` step).
     """
+    return _logpolar_impl(
+        img,
+        magnitude=float(magnitude),
+        resolution=resolution,
+        interp=interp,
+        rows_per_chunk=int(rows_per_chunk),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("magnitude", "resolution", "interp", "rows_per_chunk"),
+)
+def _logpolar_impl(
+    img: jnp.ndarray,
+    *,
+    magnitude: float,
+    resolution: int | None,
+    interp: str,
+    rows_per_chunk: int,
+) -> jnp.ndarray:
     n = img.shape[-1]
     res = resolution or n
     # 8-bit integer frames (the node's uint8 grayscale carry) are exact in
     # bf16 — the resample drops its low-order image pass (1 of 3 MXU passes)
     exact = jnp.issubdtype(img.dtype, jnp.integer) and img.dtype.itemsize == 1
     img = img.astype(jnp.float32)
-    rho = jnp.arange(res, dtype=jnp.float32)
+    if interp == "lanczos4":
+        offsets, weight_fn = _LANCZOS4_OFFSETS, _lanczos4_weights
+    elif interp == "bilinear":
+        offsets, weight_fn = np.arange(2), _bilinear_weights
+    else:
+        raise ValueError(
+            f"unknown interp {interp!r} (expected 'lanczos4' or 'bilinear')"
+        )
+
+    # static rho trim: a tap at integer index floor(coord)+off contributes
+    # only if it lands in [0, n); with off in [min_off, max_off] the sample
+    # coordinate must lie in (-max_off - 1, n - min_off) per axis, so any
+    # sample farther from the centre (n/2, n/2) than the corner of that box
+    # (conservatively +|offsets| margin) hits only zeros
+    margin = float(max(abs(int(offsets[0])), int(offsets[-1]))) + 1.0
+    r_max = float(np.sqrt(2.0)) * (n / 2.0 + margin)
+    rho_np = np.arange(res, dtype=np.float64)
+    r_np = np.exp(rho_np / magnitude) - 1.0
+    c_used = int(np.searchsorted(r_np > r_max, True))
+    # round the live-column count up to the 128-lane tile: a non-aligned C
+    # sits minor-most in every temporary ([G, y, C] / [G, C]) and measured
+    # SLOWER than no trim at all (480 px step: C=304 -> 3.03 ms vs 2.38 ms
+    # untrimmed); lane-aligned C=384 -> 1.81 ms (scripts/tune_lp_chunk.py)
+    c_used = min(res, -(-max(c_used, 1) // 128) * 128)
+
+    rho = jnp.arange(c_used, dtype=jnp.float32)
     phi = jnp.arange(res, dtype=jnp.float32) * (2.0 * jnp.pi / res)
-    r = jnp.exp(rho / magnitude) - 1.0
+    r = jnp.exp(rho / jnp.float32(magnitude)) - 1.0
     cx = n / 2.0
     cy = n / 2.0
     x = cx + r[None, :] * jnp.cos(phi)[:, None]
     y = cy + r[None, :] * jnp.sin(phi)[:, None]
-    if interp == "lanczos4":
-        return _resample_separable(
-            img, y, x, offsets=_LANCZOS4_OFFSETS,
-            weight_fn=_lanczos4_weights, img_exact_bf16=exact,
+    out = _resample_separable(
+        img, y, x, offsets=offsets, weight_fn=weight_fn,
+        rows_per_chunk=rows_per_chunk, img_exact_bf16=exact,
+    )
+    if c_used < res:
+        out = jnp.concatenate(
+            [out, jnp.zeros((res, res - c_used), jnp.float32)], axis=-1
         )
-    if interp == "bilinear":
-        return _resample_separable(
-            img, y, x, offsets=np.arange(2), weight_fn=_bilinear_weights,
-            img_exact_bf16=exact,
-        )
-    raise ValueError(f"unknown interp {interp!r} (expected 'lanczos4' or 'bilinear')")
+    return out

@@ -44,7 +44,7 @@ ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 @jax.jit
 def _make_inputs(key):
     # generated ON DEVICE: the host RNG + upload for a 2x460 MB uint8 batch
-    # would dominate the alarm budget (docs/PERFORMANCE.md rule 9)
+    # would dominate the alarm budget (docs/PERFORMANCE.md rule 10)
     kp, kc = jax.random.split(key)
     shape = (BATCH, 480, 480)
     return (jax.random.bits(kp, shape, jnp.uint8),

@@ -127,6 +127,61 @@ def test_scale_rotation_quantized_lp_carry(rng):
     assert float(res.scale) == 1.0 and float(res.rotation) == 0.0  # first frame
 
 
+@pytest.mark.parametrize("interp", ["lanczos4", "bilinear"])
+def test_logpolar_static_rho_trim_exact(rng, interp):
+    """The static rho trim (``ops/logpolar.py``): columns whose radius
+    exceeds the farthest sample any stencil tap can touch are provably
+    all-zero under BORDER_CONSTANT, so the resample computes only the live
+    columns and concatenates zeros back.  Verify (a) the trimmed tail of an
+    untrimmed computation is indeed exactly zero, and (b) the live columns
+    match the untrimmed computation (tolerance covers shape-dependent
+    matmul accumulation order on the CPU bf16-emulation path; the math per
+    column is identical)."""
+    from mrs_optic_flow_tpu.ops import logpolar as lpmod
+
+    # 256 px: rays exit the image by rho ~ 105, which rounds up to a
+    # 128-column live block — half the columns trimmed (at 128 px the
+    # 128-lane rounding would disable the trim entirely)
+    n, m = 256, 20.0
+    img = _texture(rng, n)
+    out = np.asarray(logpolar(jnp.asarray(img), m, interp=interp))
+
+    # untrimmed manual computation with the same building blocks
+    offsets, wfn = (
+        (lpmod._LANCZOS4_OFFSETS, lpmod._lanczos4_weights)
+        if interp == "lanczos4"
+        else (np.arange(2), lpmod._bilinear_weights)
+    )
+    rho = jnp.arange(n, dtype=jnp.float32)
+    phi = jnp.arange(n, dtype=jnp.float32) * (2 * jnp.pi / n)
+    r = jnp.exp(rho / jnp.float32(m)) - 1.0
+    x = n / 2 + r[None, :] * jnp.cos(phi)[:, None]
+    y = n / 2 + r[None, :] * jnp.sin(phi)[:, None]
+    full = np.asarray(
+        lpmod._resample_separable(
+            jnp.asarray(img), y, x, offsets=offsets, weight_fn=wfn
+        )
+    )
+
+    # the impl's trim boundary (same formula as _logpolar_impl) actually
+    # trimmed something at this geometry...
+    margin = float(max(abs(int(offsets[0])), int(offsets[-1]))) + 1.0
+    r_max = np.sqrt(2.0) * (n / 2.0 + margin)
+    c_used = int(np.searchsorted(np.exp(np.arange(n) / m) - 1.0 > r_max, True))
+    c_used = min(n, -(-max(c_used, 1) // 128) * 128)
+    assert c_used < n
+    # ...and everything it zeroed was already exactly zero untrimmed
+    assert np.all(out[:, c_used:] == 0.0)
+    assert np.all(full[:, c_used:] == 0.0)
+    np.testing.assert_allclose(out, full, atol=0.1)  # 0-255 scale
+
+    # rows_per_chunk is a scheduling knob, not a semantic one
+    out2 = np.asarray(
+        logpolar(jnp.asarray(img), m, interp=interp, rows_per_chunk=32)
+    )
+    np.testing.assert_allclose(out2, out, atol=0.1)
+
+
 def test_logpolar_bad_interp():
     with pytest.raises(ValueError, match="interp"):
         logpolar(jnp.zeros((16, 16)), jnp.float32(5.0), interp="nearest")
