@@ -94,37 +94,55 @@ def _dlt_rows_b(x, y, u, v, w):
     return a * ww[..., :, None, :]
 
 
-def _gs_null_b(a):
-    """Null vector of ``A [..., 8, 9, B]`` by modified Gram-Schmidt — the
-    batch-last port of ``homography._solve_h_null``."""
+def _h4_b(x4, y4, u4, v4):
+    """Exact homography from 4 point pairs: components ``[I, 4, B]`` ->
+    h ``[I, 9, B]`` (row-major, up to scale).
 
-    def _unit(v):
-        n = jnp.sqrt(jnp.sum(v * v, axis=-2, keepdims=True))
-        return v / jnp.maximum(n, 1e-20)
+    Projective canonical-basis method, division-free: each side's 3x3 map
+    takes the canonical basis (e1, e2, e3, e1+e2+e3) to that side's four
+    points with columns Cramer-scaled (multiplying every column by the base
+    determinant leaves the projective map unchanged), and
+    ``H = H_dst . adj(H_src)``.  For 4 points in general position this IS
+    the 1-D null space of the 8x9 DLT system — the same hypothesis the
+    previous Gram-Schmidt null-space solve produced — at ~5% of its FLOPs;
+    RANSAC hypothesis solving was the entire geometry cost on TPU
+    (docs/PERFORMANCE.md).  Degenerate draws (3 collinear / coincident
+    points) yield a rank-deficient H whose reprojection error is large, so
+    they lose the consensus vote exactly like the null-space version.
+    """
 
-    basis = []
-    for i in range(a.shape[-3]):
-        v = a[..., i, :, :]
-        for u in basis:
-            v = v - jnp.sum(v * u, axis=-2, keepdims=True) * u
-        basis.append(_unit(v))
+    def _side(a, b):
+        a1, a2, a3, a4 = (a[:, i] for i in range(4))
+        b1, b2, b3, b4 = (b[:, i] for i in range(4))
 
-    best = None
-    best_norm = None
-    for k in (0, 4, 8):
-        e = jnp.zeros_like(basis[0]).at[..., k, :].set(1.0)
-        r = e
-        for _ in range(2):
-            for u in basis:
-                r = r - jnp.sum(r * u, axis=-2, keepdims=True) * u
-        rn = jnp.sqrt(jnp.sum(r * r, axis=-2, keepdims=True))
-        if best is None:
-            best, best_norm = r, rn
-        else:
-            take = rn > best_norm
-            best = jnp.where(take, r, best)
-            best_norm = jnp.where(take, rn, best_norm)
-    return _norm_h9(_unit(best))
+        def det(pa, pb, qa, qb, ra, rb):
+            # | pa qa ra ; pb qb rb ; 1 1 1 |
+            return pa * (qb - rb) + qa * (rb - pb) + ra * (pb - qb)
+
+        d1 = det(a4, b4, a2, b2, a3, b3)
+        d2 = det(a1, b1, a4, b4, a3, b3)
+        d3 = det(a1, b1, a2, b2, a4, b4)
+        return [
+            [d1 * a1, d2 * a2, d3 * a3],
+            [d1 * b1, d2 * b2, d3 * b3],
+            [d1, d2, d3],
+        ]
+
+    hs = _side(x4, y4)
+    hd = _side(u4, v4)
+    adj = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            r1, r2 = (r for r in range(3) if r != j)  # adj[i][j] = cof[j][i]
+            c1, c2 = (c for c in range(3) if c != i)
+            minor = hs[r1][c1] * hs[r2][c2] - hs[r1][c2] * hs[r2][c1]
+            adj[i][j] = minor if (i + j) % 2 == 0 else -minor
+    rows = [
+        sum(hd[i][k] * adj[k][j] for k in range(3))
+        for i in range(3)
+        for j in range(3)
+    ]
+    return jnp.stack(rows, axis=1)  # [I, 9, B]
 
 
 def _project_err2_b(h, ax, ay, bx, by):
@@ -223,8 +241,7 @@ def _ransac_h_b(ax, ay, bx, by, valid, key, iterations, threshold):
         return jnp.sum(oh * comp[None, None], axis=2)
 
     x4, y4, u4, v4 = sel(axv), sel(ayv), sel(bxv), sel(byv)
-    a4 = _dlt_rows_b(x4, y4, u4, v4, jnp.ones_like(x4))  # [I, 8, 9, B]
-    hs = _gs_null_b(a4)  # [I, 9, B]
+    hs = _h4_b(x4, y4, u4, v4)  # [I, 9, B] exact 4-point homographies
 
     err2 = _project_err2_b(hs, axv, ayv, bxv, byv)
     inls = (err2 < threshold * threshold) & valid[None]  # [I, P, B]

@@ -452,6 +452,37 @@ def test_qr_null_matches_svd(rng):
         assert hb.shape == (3, 3, 3)
 
 
+def test_h4_closed_form_matches_dlt_null(rng):
+    """The batched RANSAC hypothesis solver (_h4_b, canonical-basis closed
+    form) equals the 4-point DLT null space: same h (up to scale) as the
+    SVD solve, and H maps the 4 source points onto the targets exactly."""
+    from mrs_optic_flow_tpu.geometry import homography as hg
+    from mrs_optic_flow_tpu.geometry.batched import _h4_b
+
+    i_n, b_n = 4, 6
+    x4, y4, u4, v4 = (
+        rng.uniform(-1.0, 1.0, (i_n, 4, b_n)).astype(np.float32) for _ in range(4)
+    )
+    h = np.asarray(_h4_b(*(jnp.asarray(c) for c in (x4, y4, u4, v4))))
+    assert h.shape == (i_n, 9, b_n)
+    for i in range(i_n):
+        for b in range(b_n):
+            src = np.stack([x4[i, :, b], y4[i, :, b]], -1)
+            dst = np.stack([u4[i, :, b], v4[i, :, b]], -1)
+            a = hg._dlt_rows(
+                jnp.asarray(src), jnp.asarray(dst), jnp.ones((4,), jnp.float32)
+            )
+            ref = np.asarray(hg._solve_h_svd(a)).reshape(9)
+            got = h[i, :, b]
+            np.testing.assert_allclose(
+                got / got[8], ref / ref[8], atol=2e-3, rtol=1e-3
+            )
+            hm = got.reshape(3, 3)
+            p = np.concatenate([src, np.ones((4, 1))], -1).T
+            q = hm @ p
+            np.testing.assert_allclose((q[:2] / q[2]).T, dst, atol=1e-4)
+
+
 def test_middle_singular_value_closed_form(rng):
     """Trigonometric 3x3 middle singular value vs numpy SVD, including the
     isotropic (pure scaled rotation) edge case."""
