@@ -532,6 +532,35 @@ def test_get_rt_batch_matches_per_sample(rng):
         )
 
 
+def test_get_rt_batch_rejects_outliers(rng):
+    """RANSAC with closed-form hypotheses still finds the translation
+    consensus when a quarter of the windows are corrupted: the outliers
+    must not land in the inlier set, and the velocity must match the
+    clean-batch estimate."""
+    from mrs_optic_flow_tpu.geometry.batched import get_rt_batch
+
+    b = 4
+    cam = jnp.asarray([[300.0, 0, 240.0], [0, 300.0, 240.0], [0, 0, 1]], jnp.float32)
+    clean = np.tile(np.array([5.0, -3.0], np.float32), (b, 16, 1))
+    clean += 0.01 * rng.standard_normal((b, 16, 2)).astype(np.float32)
+    dirty = clean.copy()
+    dirty[:, ::4] += rng.uniform(25.0, 40.0, (b, 4, 2)).astype(np.float32)
+    args = (
+        jnp.full((b,), 2.0), jnp.full((b,), 0.02), jnp.float32(20.0), cam,
+        None, jnp.asarray([0, 0, 0, 1], jnp.float32),
+        jnp.tile(jnp.asarray([0, 0, 0, 1], jnp.float32), (b, 1)),
+        jax.random.split(jax.random.PRNGKey(3), b),
+    )
+    kw = dict(frame_size=480, patch=120, ransac_iterations=256)
+    ref = get_rt_batch(jnp.asarray(clean), *args, **kw)
+    got = get_rt_batch(jnp.asarray(dirty), *args, **kw)
+    assert np.asarray(got.ok).all()
+    assert (np.asarray(got.n_inliers) == 12).all()  # the 12 clean windows
+    np.testing.assert_allclose(
+        np.asarray(got.tran), np.asarray(ref.tran), atol=0.05
+    )
+
+
 def test_get_rt_batch_nan_gating(rng):
     """Batched geometry reproduces the NaN/threshold gating: a sample with
     too few valid windows comes back not-ok and NaN."""
