@@ -58,57 +58,55 @@ def _norm_h(h: jnp.ndarray) -> jnp.ndarray:
     return h / scale[..., None, None]
 
 
-def _solve_h_eigh(a: jnp.ndarray) -> jnp.ndarray:
-    """Null vector via eigh(A^T A) — ~1e-3 accurate in float32 (fine for
-    scoring RANSAC hypotheses against threshold 0.01).  Kept as the
-    reference solver for tests; hypothesis scoring uses the Gram-Schmidt
-    null-space solver below (QR-iteration eigh on thousands of 9x9 matrices
-    is orders of magnitude slower on TPU than batched vector ops)."""
-    ata = jnp.einsum("...ij,...ik->...jk", a, a, precision=_HI)
-    _, vecs = jnp.linalg.eigh(ata)
-    return _norm_h(vecs[..., :, 0].reshape(ata.shape[:-2] + (3, 3)))
+def _solve_h4(src4: jnp.ndarray, dst4: jnp.ndarray) -> jnp.ndarray:
+    """Exact homography from 4 point pairs ``[..., 4, 2]`` -> ``[..., 3, 3]``
+    (up to scale) — the minimal RANSAC hypothesis in closed form.
 
-
-def _solve_h_null(a: jnp.ndarray) -> jnp.ndarray:
-    """Exact 1-D null vector of the minimal 4-point system ``A`` [..., 8, 9]
-    via modified Gram-Schmidt: orthonormalize the 8 rows, then project fixed
-    probe vectors onto the orthogonal complement and keep the best.
-
-    Pure batched vector ops (72 dot products of length 9) — the TPU-native
-    way to solve thousands of tiny null-space problems at once; QR-iteration
-    ``eigh`` on the same batch is ~50x slower on the MXU-less small-matrix
-    path.  Rank-deficient (degenerate) hypotheses produce junk directions
-    and simply lose the consensus vote — RANSAC's native failure handling.
+    Projective canonical-basis method, division-free: each side's 3x3 map
+    takes the canonical basis (e1, e2, e3, e1+e2+e3) to that side's four
+    points with columns Cramer-scaled (scaling every column by the base
+    determinant leaves the projective map unchanged), and
+    ``H = H_dst . adj(H_src)``.  For points in general position this spans
+    the 1-D null space of the 8x9 DLT system exactly — what a Gram-Schmidt
+    null-space solve computed here before, at ~5% of its FLOPs (the same
+    win measured on the batch-last serving path, docs/PERFORMANCE.md
+    rule 4).  Degenerate draws (3 collinear / coincident points) yield a
+    rank-deficient H whose reprojection error is large, so they lose the
+    consensus vote — RANSAC's native failure handling.
     """
 
-    def _unit(v):
-        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+    def _side(p):
+        a1, a2, a3, a4 = (p[..., i, 0] for i in range(4))
+        b1, b2, b3, b4 = (p[..., i, 1] for i in range(4))
 
-    basis = []
-    for i in range(a.shape[-2]):
-        v = a[..., i, :]
-        for u in basis:
-            v = v - jnp.sum(v * u, axis=-1, keepdims=True) * u
-        basis.append(_unit(v))
+        def det(pa, pb, qa, qb, ra, rb):
+            # | pa qa ra ; pb qb rb ; 1 1 1 |
+            return pa * (qb - rb) + qa * (rb - pb) + ra * (pb - qb)
 
-    best = None
-    best_norm = None
-    for k in (0, 4, 8):  # probe directions; at least one has a component
-        e = jnp.zeros(a.shape[:-2] + (9,), a.dtype).at[..., k].set(1.0)
-        r = e
-        for _ in range(2):  # twice-is-enough reorthogonalization
-            for u in basis:
-                r = r - jnp.sum(r * u, axis=-1, keepdims=True) * u
-        rn = jnp.linalg.norm(r, axis=-1, keepdims=True)
-        if best is None:
-            best, best_norm = r, rn
-        else:
-            take = rn > best_norm
-            best = jnp.where(take, r, best)
-            best_norm = jnp.where(take, rn, best_norm)
+        d1 = det(a4, b4, a2, b2, a3, b3)
+        d2 = det(a1, b1, a4, b4, a3, b3)
+        d3 = det(a1, b1, a2, b2, a4, b4)
+        r0 = jnp.stack([d1 * a1, d2 * a2, d3 * a3], axis=-1)
+        r1 = jnp.stack([d1 * b1, d2 * b2, d3 * b3], axis=-1)
+        r2 = jnp.stack([d1, d2, d3], axis=-1)
+        return jnp.stack([r0, r1, r2], axis=-2)
 
-    v = _unit(best)
-    return _norm_h(v.reshape(a.shape[:-2] + (3, 3)))
+    hs = _side(src4)
+    hd = _side(dst4)
+    cols = []
+    for i in range(3):
+        rows = []
+        for j in range(3):
+            r1, r2 = (r for r in range(3) if r != j)  # adj[i][j] = cof[j][i]
+            c1, c2 = (c for c in range(3) if c != i)
+            minor = (
+                hs[..., r1, c1] * hs[..., r2, c2]
+                - hs[..., r1, c2] * hs[..., r2, c1]
+            )
+            rows.append(minor if (i + j) % 2 == 0 else -minor)
+        cols.append(jnp.stack(rows, axis=-1))
+    adj = jnp.stack(cols, axis=-2)  # [..., 3, 3]
+    return _norm_h(jnp.matmul(hd, adj, precision=_HI))
 
 
 def _solve_h_svd(a: jnp.ndarray) -> jnp.ndarray:
@@ -236,11 +234,11 @@ def find_homography_ransac(
     def hypothesis(k):
         # 4 distinct valid indices (Gumbel top-k choice without replacement)
         idx = jax.random.choice(k, n, shape=(4,), replace=False, p=p_norm)
-        return _dlt_rows(src[idx], dst[idx], jnp.ones((4,), src.dtype))
+        return src[idx], dst[idx]
 
     keys = jax.random.split(key, iterations)
-    a_all = jax.vmap(hypothesis)(keys)  # [iters, 8, 9]
-    hs = _solve_h_null(a_all)  # batched Gram-Schmidt, no per-sample eigh
+    src4, dst4 = jax.vmap(hypothesis)(keys)  # [iters, 4, 2] each
+    hs = _solve_h4(src4, dst4)  # closed-form minimal solve, no per-sample eigh
     errs = jnp.sum((_project(hs[:, None], src[None]) - dst[None]) ** 2, axis=-1)
     inls = (errs < threshold * threshold) & valid[None, :]
     counts = jnp.sum(inls, axis=-1)
