@@ -352,16 +352,24 @@ class OpticFlowNode:
         host-side ``jax.random.split`` dispatch per frame) and every scalar
         the host needs afterwards is packed into ONE ``summary`` vector
         ``[ok, tran_b(3), ang(3), n_inliers, ang_diff_rejected]`` for a
-        single readback.
+        single readback.  With ``scale_rotation: true`` the log-polar
+        scale/rotation step (the reference's separate
+        ``scale_rotation_estimator_->processImage`` call,
+        ``src/optic_flow.cpp:1629-1650``) is FUSED into this same program —
+        its carried log-polar state threads through ``sr_state`` and the
+        summary gains ``[..., scale, rot]`` — so an SR-enabled node still
+        pays ONE dispatch and ONE readback per frame.
         """
         c = self.config
         from mrs_optic_flow_tpu.geometry.motion import get_rt as _get_rt
 
         pre_cropped = channels == 1 and (h, w) == (c.frame_size, c.frame_size)
         ul_x = jnp.float32(cx_eff - c.frame_size // 2)
+        sr = self.scale_rotation_estimator
 
         @jax.jit
-        def run(state, key, img, height, dt, cam, dist, c2b, rate_quat, detilt):
+        def run(state, sr_state, key, img, height, dt, cam, dist, c2b,
+                rate_quat, detilt):
             if pre_cropped:
                 gray = jnp.asarray(img, jnp.float32)
             else:
@@ -384,14 +392,19 @@ class OpticFlowNode:
             axis, angle = quat_axis_angle(res.rot)
             rot_b = quat_from_axis_angle(quat_rotate(c2b, axis), angle)
             ang = jnp.stack(rpy_from_matrix(matrix_from_quat(rot_b)))
-            summary = jnp.concatenate([
+            parts = [
                 res.ok.astype(jnp.float32)[None],
                 tran_b,
                 ang,
                 res.n_inliers.astype(jnp.float32)[None],
                 res.ang_diff_rejected.astype(jnp.float32)[None],
-            ])
-            return new_state, key, gray, flow, summary
+            ]
+            new_sr = sr_state
+            if sr is not None:
+                new_sr, srres = sr.step(sr_state, gray)
+                parts += [srres.scale[None], srres.rotation[None]]
+            summary = jnp.concatenate(parts)
+            return new_state, new_sr, key, gray, flow, summary
 
         return run
 
@@ -450,7 +463,10 @@ class OpticFlowNode:
     def _frame_program_lr(self, h: int, w: int, channels: int, cx_eff: int):
         """Fused long-range program: preprocess -> 4x-downsampled engine
         step -> get2DT -> body-frame rotation of both output vectors
-        (``src/optic_flow.cpp:1779-1867``), one dispatch per frame."""
+        (``src/optic_flow.cpp:1779-1867``), one dispatch per frame.  As in
+        ``_frame_program``, an enabled scale/rotation estimator runs INSIDE
+        this program (on the full-resolution gray, like the reference's
+        ``imCurr_`` feed) and appends ``[scale, rot]`` to the summary."""
         c = self.config
         pre_cropped = channels == 1 and (h, w) == (c.frame_size, c.frame_size)
         ul_x = jnp.float32(cx_eff - c.frame_size // 2)
@@ -459,9 +475,11 @@ class OpticFlowNode:
             if isinstance(self.engine, FftMethod)
             else 4
         )
+        sr = self.scale_rotation_estimator
 
         @jax.jit
-        def run(state, img, height_eff, dt, cam, c2b, roll_rate, pitch_rate, cam_yaw):
+        def run(state, sr_state, img, height_eff, dt, cam, c2b, roll_rate,
+                pitch_rate, cam_yaw):
             if pre_cropped:
                 gray = jnp.asarray(img, jnp.float32)
             else:
@@ -478,10 +496,13 @@ class OpticFlowNode:
             )
             tran_b = quat_rotate(c2b, res.tran)
             diff_b = quat_rotate(c2b, res.tran_diff)
-            summary = jnp.concatenate(
-                [res.ok.astype(jnp.float32)[None], tran_b, diff_b]
-            )
-            return new_state, gray, flow, summary
+            parts = [res.ok.astype(jnp.float32)[None], tran_b, diff_b]
+            new_sr = sr_state
+            if sr is not None:
+                new_sr, srres = sr.step(sr_state, gray)
+                parts += [srres.scale[None], srres.rotation[None]]
+            summary = jnp.concatenate(parts)
+            return new_state, new_sr, gray, flow, summary
 
         return run
 
@@ -681,10 +702,13 @@ class OpticFlowNode:
 
         if not long_range:
             # ---- short-range: the whole per-frame chain in one dispatch ----
+            # (scale/rotation, when enabled, runs INSIDE this program)
             prog = self._frame_program(img.shape[0], img.shape[1], channels, cx_eff)
             with self._mutex, self.profiler.routine("frame_program"):
-                (self.flow_state, self._key, gray, flow, summary_dev) = prog(
+                (self.flow_state, self.scale_rot_state, self._key, gray, flow,
+                 summary_dev) = prog(
                     self.flow_state,
+                    self.scale_rot_state,
                     self._key,
                     jnp.asarray(img),
                     jnp.float32(height),
@@ -696,19 +720,21 @@ class OpticFlowNode:
                     jnp.asarray(detilt, jnp.float32),
                 )
 
-            if self.scale_rotation_estimator is not None:
-                with self.profiler.routine("scale_rotation"):
-                    self.scale_rot_state, sr = self.scale_rotation_estimator.step(
-                        self.scale_rot_state, gray
-                    )
-                    self._publish_scale_rotation(msg.stamp, sr, height)
             if c.raw_output:
                 self.publish("points_raw_out", np.asarray(flow.shifts_raw))
             if c.store_video or c.gui:
                 self._record_overlay(msg.stamp, gray, flow)
 
-            # ONE readback: [ok, tran_b(3), ang(3), n_inliers, ang_diff_rejected]
+            # ONE readback: [ok, tran_b(3), ang(3), n_inliers,
+            # ang_diff_rejected(, scale, rot)]
             summary = np.asarray(summary_dev)
+            if self.scale_rotation_estimator is not None:
+                # published regardless of the flow gate: the estimators are
+                # independent (the reference computes SR before the flow
+                # vectors, src/optic_flow.cpp:1629-1650)
+                self._publish_scale_rotation(
+                    msg.stamp, float(summary[9]), float(summary[10]), height
+                )
             if not bool(summary[0] > 0.5):
                 if bool(summary[8] > 0.5):
                     # src/optic_flow.cpp:682-684 (throttled, 1 Hz)
@@ -749,8 +775,9 @@ class OpticFlowNode:
         with self._mutex, self.profiler.routine("frame_program_lr"):
             # get2DT receives height corrected by the static tilt
             # (src/optic_flow.cpp:1781)
-            (self.flow_state, gray, flow, summary_dev) = prog(
+            (self.flow_state, self.scale_rot_state, gray, flow, summary_dev) = prog(
                 self.flow_state,
+                self.scale_rot_state,
                 jnp.asarray(img),
                 jnp.float32(height / (np.cos(self.imu_pitch) * np.cos(self.imu_roll))),
                 jnp.float32(self.dt),
@@ -760,12 +787,6 @@ class OpticFlowNode:
                 jnp.float32(self.imu_pitch_rate),
                 jnp.float32(self.cam_yaw),
             )
-        if self.scale_rotation_estimator is not None:
-            with self.profiler.routine("scale_rotation"):
-                self.scale_rot_state, sr = self.scale_rotation_estimator.step(
-                    self.scale_rot_state, gray
-                )
-                self._publish_scale_rotation(msg.stamp, sr, height)
         if c.raw_output:
             self.publish("points_raw_out", np.asarray(flow.shifts_raw))
         if c.store_video or c.gui:
@@ -776,8 +797,12 @@ class OpticFlowNode:
             self._record_overlay(msg.stamp, gray, flow,
                                  scale=float(c.long_range_ratio))
 
-        # ONE readback: [ok, tran_b(3), diff_b(3)]
+        # ONE readback: [ok, tran_b(3), diff_b(3)(, scale, rot)]
         summary = np.asarray(summary_dev)
+        if self.scale_rotation_estimator is not None:
+            self._publish_scale_rotation(
+                msg.stamp, float(summary[7]), float(summary[8]), height
+            )
         if not bool(summary[0] > 0.5):
             self._note_result(False)
             return None
@@ -896,6 +921,8 @@ class OpticFlowNode:
                     prog = self._frame_program_lr(shape[0], shape[1], ch, cx_eff)
                     prog(
                         self.engine.init_state(),
+                        (self.scale_rotation_estimator.init_state()
+                         if self.scale_rotation_estimator is not None else None),
                         jnp.zeros(shape, jnp.uint8),
                         jnp.float32(1.0), jnp.float32(0.05),
                         jnp.asarray(self.camera_matrix, jnp.float32),
@@ -1122,19 +1149,21 @@ class OpticFlowNode:
             rec.close()
         self._recorder = None
 
-    def _publish_scale_rotation(self, stamp, sr, height):
+    def _publish_scale_rotation(self, stamp, scale: float, rotation: float, height):
         """Scale/rotation outputs (the reference's wiring at
         ``src/optic_flow.cpp:1629-1650``, commented out there; live here).
+        ``scale``/``rotation`` are plain floats unpacked from the fused
+        frame program's summary readback — no extra device round-trips.
         ``velocity`` mode: vertical speed from scale change; ``altitude``
         mode is the reference's disabled stub (emits 0)."""
         c = self.config
-        scale = float(sr.scale)
-        rot_rate = float(sr.rotation) / self.dt if self.dt > 0 else float("nan")
+        rot_rate = rotation / self.dt if self.dt > 0 else float("nan")
         if c.scale_rot_output == "velocity":
             vz = (scale - 1.0) / self.dt * height if self.dt > 0 else float("nan")
         else:
             vz = 0.0
         self.publish(
             "scale_rotation_out",
-            {"stamp": stamp, "scale": scale, "vz": vz, "yaw_rate": rot_rate},
+            {"stamp": stamp, "scale": scale, "vz": vz, "yaw_rate": rot_rate,
+             "frame_id": self.uav_frame},
         )

@@ -231,6 +231,16 @@ class Ros2Bridge:
     def _publish(self, topic: str, msg) -> None:
         pub = self._pubs.get(topic)
         if pub is None:
+            # warn once per unbridgeable topic (see ros_bridge._publish)
+            if topic not in _PUBLISHERS and topic not in getattr(
+                self, "_warned_topics", ()
+            ):
+                self._warned_topics = getattr(self, "_warned_topics", set())
+                self._warned_topics.add(topic)
+                self.handle.get_logger().warn(
+                    f"[OpticFlow]: output topic {topic!r} has no ROS publisher "
+                    "mapping; dropping (extend ros_bridge._PUBLISHERS)"
+                )
             return
         spec = _PUBLISHERS[topic]
         pub.publish(spec.build(self.types, None, msg))  # rospy=None -> ROS2

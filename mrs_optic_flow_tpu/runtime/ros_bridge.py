@@ -242,6 +242,27 @@ def _build_float64_array(types, rospy, v):
     return m
 
 
+def _build_scale_rotation(types, rospy, d):
+    """``scale_rotation_out`` payload (the node's dict: stamp / scale / vz /
+    yaw_rate / frame_id) as a TwistWithCovarianceStamped — vertical velocity
+    on linear.z, yaw rate on angular.z (the two quantities the reference's
+    commented wiring derives, ``src/optic_flow.cpp:1636-1649``), NaN on the
+    axes the estimator does not observe, and the raw frame-to-frame scale
+    factor preserved in ``covariance[14]`` (the z-z slot) so no information
+    is dropped at the transport boundary."""
+    nan = float("nan")
+    cov = [0.0] * 36
+    cov[14] = float(d["scale"])
+    tw = TwistWithCovarianceStamped(
+        frame_id=str(d.get("frame_id", "")),
+        stamp=float(d["stamp"]),
+        linear=(nan, nan, float(d["vz"])),
+        angular=(nan, nan, float(d["yaw_rate"])),
+        covariance=tuple(cov),
+    )
+    return _build_twist(types, rospy, tw)
+
+
 #: node output topic -> ROS message mapping.  Names and types match the
 #: reference's advertisements (src/optic_flow.cpp:1036-1046) with two
 #: deliberate deviations (ARCHITECTURE.md): ``points_raw_out`` carries the
@@ -259,7 +280,26 @@ _PUBLISHERS: Dict[str, _PubSpec] = {
     "allsac_chosen_out": _PubSpec("Int32", _build_int32),
     "points_raw_out": _PubSpec("Float64MultiArray", _build_float64_array),
     "processing_latency_out": _PubSpec("Float32", _build_float32),
+    "scale_rotation_out": _PubSpec(
+        "TwistWithCovarianceStamped", _build_scale_rotation
+    ),
 }
+
+#: every topic OpticFlowNode can emit — the advertisement surface both
+#: bridges must cover (asserted by tests/test_ros_bridge.py; the reference's
+#: advertisement block is src/optic_flow.cpp:1036-1046).  Keep in sync with
+#: the node's ``self.publish(...)`` call sites.
+NODE_OUTPUT_TOPICS = (
+    "velocity_out",
+    "velocity_out_longrange",
+    "velocity_out_longrange_diff",
+    "velocity_stddev_out",
+    "max_velocity_out",
+    "allsac_chosen_out",
+    "points_raw_out",
+    "processing_latency_out",
+    "scale_rotation_out",
+)
 
 
 def _import_default_types() -> Dict[str, Any]:
@@ -427,6 +467,20 @@ class RosBridge:
     def _publish(self, topic: str, msg) -> None:
         pub = self._pubs.get(topic)
         if pub is None:
+            # warn ONCE per unbridgeable topic instead of dropping silently —
+            # an unknown topic here means the node grew an output the bridge
+            # table doesn't cover (invisible data loss at integration time).
+            # Topics deliberately not advertised (points_raw_out without
+            # raw_output, a type missing from msg_types) stay quiet.
+            if topic not in _PUBLISHERS and topic not in getattr(
+                self, "_warned_topics", ()
+            ):
+                self._warned_topics = getattr(self, "_warned_topics", set())
+                self._warned_topics.add(topic)
+                self.rospy.logwarn(
+                    f"[OpticFlow]: output topic {topic!r} has no ROS publisher "
+                    "mapping; dropping (extend ros_bridge._PUBLISHERS)"
+                )
             return
         spec = _PUBLISHERS[topic]
         pub.publish(spec.build(self.types, self.rospy, msg))

@@ -169,9 +169,16 @@ def measure_device_chain_latency(
     config=None,
     width: int = 752,
     height: int = 480,
+    scale_rotation=None,
 ) -> dict:
     """Device-program-only per-frame latency of the full single-frame chain
     (grayscale -> crop -> FftMethod.step -> getRT -> detilt).
+
+    ``scale_rotation``: an optional ``ScaleRotationEstimator`` — when given,
+    its log-polar step runs INSIDE the chained program with its state
+    carried across iterations, exactly the node's fused ``scale_rotation:
+    true`` path (``OpticFlowNode._frame_program``), so the slope measures
+    the combined per-frame cost of flow + geometry + scale/rotation.
 
     Chains the frame program ``k`` and ``k/4`` times and reports the
     per-frame SLOPE between the two (:func:`measure_scan_slope`) — the
@@ -216,9 +223,9 @@ def measure_device_chain_latency(
     dtv = jnp.float32(0.02)
 
     @jax.jit
-    def chain(state, frames, keys, bias, n):
+    def chain(state, sr_state, frames, keys, bias, n):
         def body(carry):
-            i, st, acc = carry
+            i, st, sr_st, acc = carry
             img = jax.lax.dynamic_index_in_dim(frames, i, keepdims=False)
             key = jax.lax.dynamic_index_in_dim(keys, i, keepdims=False)
             gray = center_crop(to_grayscale(img), frame_size, cx) + bias
@@ -231,12 +238,16 @@ def measure_device_chain_latency(
             ang = jnp.stack(rpy_from_matrix(matrix_from_quat(res.rot)))
             acc = (acc + jnp.nansum(tran_b) + jnp.nansum(ang)
                    + jnp.sum(res.ok.astype(jnp.float32)))
-            return i + 1, new_state, acc
+            if scale_rotation is not None:
+                sr_st, srres = scale_rotation.step(sr_st, gray)
+                acc = acc + jnp.nan_to_num(srres.scale) + jnp.nan_to_num(srres.rotation)
+            return i + 1, new_state, sr_st, acc
         # scalar checksum — run() materializes it to the host, which is the
         # only wait that is guaranteed to cover execution (see
         # measure_scan_slope)
-        _, st, chk = jax.lax.while_loop(
-            lambda c: c[0] < n, body, (jnp.int32(0), state, jnp.float32(0.0))
+        _, st, _, chk = jax.lax.while_loop(
+            lambda c: c[0] < n, body,
+            (jnp.int32(0), state, sr_state, jnp.float32(0.0)),
         )
         return st, chk
 
@@ -252,11 +263,13 @@ def measure_device_chain_latency(
     frames = _make_frames(jax.random.PRNGKey(1))
     keys = jax.random.split(jax.random.PRNGKey(0), k)
 
+    sr_state0 = None if scale_rotation is None else scale_rotation.init_state()
+
     def build(kk):
         holder = {"state": engine.init_state()}
 
         def run(i):
-            st, chk = chain(holder["state"], frames, keys,
+            st, chk = chain(holder["state"], sr_state0, frames, keys,
                             jnp.float32(i) * 1e-3, jnp.int32(kk))
             float(chk)
             holder["state"] = st

@@ -142,6 +142,7 @@ class FakeRclpyNode:
         self.name = name
         self.pubs, self.subs = [], []
         self.logged = []
+        self.warned = []
 
     def create_publisher(self, typ, topic, qos):
         p = FakePublisher2(typ, topic, qos)
@@ -154,7 +155,9 @@ class FakeRclpyNode:
         return s
 
     def get_logger(self):
-        return types.SimpleNamespace(info=self.logged.append)
+        return types.SimpleNamespace(
+            info=self.logged.append, warn=self.warned.append
+        )
 
 
 class _Time2:
@@ -246,6 +249,30 @@ def test_topic_surface_matches_reference():
 
     bridge3, _, _ = make_bridge(raw_output=False)
     assert "~/points_raw_out" not in {p.topic for p in bridge3.handle.pubs}
+
+
+def test_scale_rotation_out_bridged_and_warn_once():
+    """``scale_rotation_out`` reaches ROS2 (vz on linear.z, yaw rate on
+    angular.z, scale in covariance[14] — the shared ``_PUBLISHERS`` entry),
+    and an unmapped topic warns exactly once instead of dropping silently."""
+    bridge, _, _ = make_bridge()
+    pub = {p.topic: p for p in bridge.handle.pubs}["~/scale_rotation_out"]
+    bridge._publish(
+        "scale_rotation_out",
+        {"stamp": 3.25, "scale": 0.98, "vz": -0.4, "yaw_rate": 0.1,
+         "frame_id": "fcu"},
+    )
+    assert len(pub.sent) == 1
+    m = pub.sent[0]
+    assert m.twist.twist.linear.z == pytest.approx(-0.4)
+    assert m.twist.twist.angular.z == pytest.approx(0.1)
+    assert m.twist.covariance[14] == pytest.approx(0.98)
+    assert m.header.stamp.sec == 3 and m.header.stamp.nanosec == 250_000_000
+
+    for _ in range(3):
+        bridge._publish("mystery_new_topic_out", 1.0)
+    assert len(bridge.handle.warned) == 1
+    assert "mystery_new_topic_out" in bridge.handle.warned[0]
 
 
 def test_sensor_topics_use_sensor_qos():

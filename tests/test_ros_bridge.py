@@ -176,15 +176,18 @@ def make_fake_rospy():
         subs.append(s)
         return s
 
+    warnings = []
     rospy = types.SimpleNamespace(
         Publisher=Publisher,
         Subscriber=Subscriber,
         Time=_Time,
         Duration=lambda s: s,
         loginfo=lambda *_: None,
+        logwarn=lambda m: warnings.append(m),
         spin=lambda: None,
         _pubs=pubs,
         _subs=subs,
+        _warnings=warnings,
     )
     return rospy
 
@@ -270,6 +273,68 @@ def test_topic_surface_matches_reference():
     # raw_output false -> points_raw_out not advertised (:1043-1046)
     bridge3, rospy3, _ = make_bridge(raw_output=False)
     assert "~points_raw_out" not in {p.topic for p in rospy3._pubs}
+
+
+def test_launch_surface_covers_all_node_outputs():
+    """Every topic the node can emit has a publisher mapping in the shared
+    bridge table (ROS1 and ROS2 both consume ``_PUBLISHERS``) — the round-2
+    gap where ``scale_rotation_out`` was silently dropped by both bridges.
+    The node's publish call sites are scraped from source so a new output
+    topic cannot be added without extending the table (or this list)."""
+    import inspect
+    import re
+
+    from mrs_optic_flow_tpu.runtime import node as node_mod
+    from mrs_optic_flow_tpu.runtime.ros_bridge import (
+        _PUBLISHERS,
+        NODE_OUTPUT_TOPICS,
+    )
+
+    assert set(NODE_OUTPUT_TOPICS) <= set(_PUBLISHERS), (
+        set(NODE_OUTPUT_TOPICS) - set(_PUBLISHERS)
+    )
+    src = inspect.getsource(node_mod)
+    emitted = set(re.findall(r"self\.publish\(\s*\"([a-z0-9_]+)\"", src))
+    emitted |= set(re.findall(r"\(\"([a-z0-9_]+_out[a-z0-9_]*)\", ", src))
+    emitted = {t for t in emitted if t.endswith(("_out", "_diff", "_longrange"))
+               or t in NODE_OUTPUT_TOPICS}
+    assert emitted <= set(NODE_OUTPUT_TOPICS), (
+        emitted - set(NODE_OUTPUT_TOPICS)
+    )
+
+
+def test_scale_rotation_out_bridged():
+    """The SR output crosses the bridge as a TwistWithCovarianceStamped:
+    vz on linear.z, yaw rate on angular.z, raw scale in covariance[14]."""
+    bridge, rospy, _ = make_bridge()
+    pub = {p.topic: p for p in rospy._pubs}["~scale_rotation_out"]
+    bridge._publish(
+        "scale_rotation_out",
+        {"stamp": 12.5, "scale": 1.02, "vz": 0.8, "yaw_rate": -0.3,
+         "frame_id": "fcu"},
+    )
+    assert len(pub.sent) == 1
+    m = pub.sent[0]
+    assert m.header.frame_id == "fcu"
+    assert m.twist.twist.linear.z == pytest.approx(0.8)
+    assert m.twist.twist.angular.z == pytest.approx(-0.3)
+    assert np.isnan(m.twist.twist.linear.x)
+    assert m.twist.covariance[14] == pytest.approx(1.02)
+    assert rospy._warnings == []
+
+
+def test_unbridged_topic_warns_once():
+    """An output with no publisher mapping logs ONE warning instead of
+    vanishing silently (round-2 'silent drop' finding)."""
+    bridge, rospy, _ = make_bridge()
+    for _ in range(3):
+        bridge._publish("mystery_new_topic_out", 1.0)
+    assert len(rospy._warnings) == 1
+    assert "mystery_new_topic_out" in rospy._warnings[0]
+    # a known-but-unadvertised topic (raw_output off) stays quiet
+    bridge2, rospy2, _ = make_bridge(raw_output=False)
+    bridge2._publish("points_raw_out", np.zeros((2, 2)))
+    assert rospy2._warnings == []
 
 
 # ------------------------------------------------------------------ #
