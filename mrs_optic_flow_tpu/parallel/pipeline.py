@@ -28,6 +28,11 @@ class PipelineOutput(NamedTuple):
     rot: jnp.ndarray  # [B, 4] rate quaternion
     shifts: jnp.ndarray  # [B, P, 2]
     fleet_mean_speed: jnp.ndarray  # [] mean |shift| across the whole batch/mesh
+    #: per-pair log-polar scale factor / rotation [rad] — real estimates when
+    #: the pipeline was built with ``scale_rotation=``, NaN otherwise (the
+    #: repo-wide invalid => NaN convention keeps the output pytree static)
+    scale: jnp.ndarray = jnp.nan  # [B]
+    rotation: jnp.ndarray = jnp.nan  # [B]
 
 
 class LongRangeOutput(NamedTuple):
@@ -56,7 +61,19 @@ class BatchPipeline:
         mxu_passes: bool | int = True,
         mesh: Optional[Mesh] = None,
         axis_name: str = "data",
+        scale_rotation=None,
     ):
+        """``scale_rotation``: an optional
+        :class:`~mrs_optic_flow_tpu.models.scale_rotation.ScaleRotationEstimator`
+        (its ``resolution`` must equal the pipeline frame size).  When set,
+        ``step``/``step_pre`` also run the batched log-polar scale/rotation
+        estimate per pair (both frames resampled — the stateless serving
+        shape) and fill ``PipelineOutput.scale``/``rotation``, and the
+        additional ``step_pre_carried`` entry point fuses the CARRIED
+        variant (previous log-polar images ride on device, one resample per
+        stream per tick — ``ScaleRotationEstimator.step_batch_carried``)
+        into the same single device program, for :class:`FleetServer`.
+        Match: ``/root/reference/src/scaleRotationEstimator.cpp:34-148``."""
         self.engine = FftMethod(
             FftMethodConfig(
                 frame_size=frame_size,
@@ -84,20 +101,39 @@ class BatchPipeline:
         self.ransac_iterations = ransac_iterations
         self.mesh = mesh
         self.axis_name = axis_name
+        self.scale_rotation = scale_rotation
+        if scale_rotation is not None and (
+            scale_rotation.config.resolution != self.frame_size
+        ):
+            raise ValueError(
+                "scale_rotation.resolution must equal the pipeline frame size"
+            )
 
         step = self._build_step(pre=False)
         step_pre = self._build_step(pre=True)
+        step_pre_carried = (
+            self._build_step(pre=True, sr_carried=True)
+            if scale_rotation is not None else None
+        )
         step_lr = self._build_step_long_range(pre=False)
         step_lr_pre = self._build_step_long_range(pre=True)
         if mesh is not None:
             batch = NamedSharding(mesh, P(axis_name))
             rep = NamedSharding(mesh, P())
-            out_sh = PipelineOutput(batch, batch, batch, batch, rep)
+            out_sh = PipelineOutput(batch, batch, batch, batch, rep, batch, batch)
             out_lr_sh = LongRangeOutput(batch, batch, batch, batch, rep)
             sh = (batch,) * 2 + (batch,) * 3 + (rep,) + (batch,)
             sh_lr = (batch,) * 2 + (batch,) * 4 + (rep,)
             self.step = jax.jit(step, in_shardings=sh, out_shardings=out_sh)
             self.step_pre = jax.jit(step_pre, in_shardings=sh, out_shardings=out_sh)
+            if step_pre_carried is not None:
+                # extra prev_lp input rides the batch axis, as does the
+                # returned curr_lp carry
+                sh_c = (batch,) * 3 + (batch,) * 3 + (rep,) + (batch,)
+                self.step_pre_carried = jax.jit(
+                    step_pre_carried, in_shardings=sh_c,
+                    out_shardings=(out_sh, batch),
+                )
             self.step_long_range = jax.jit(
                 step_lr, in_shardings=sh_lr, out_shardings=out_lr_sh
             )
@@ -110,6 +146,8 @@ class BatchPipeline:
         else:
             self.step = jax.jit(step)
             self.step_pre = jax.jit(step_pre)
+            if step_pre_carried is not None:
+                self.step_pre_carried = jax.jit(step_pre_carried)
             self.step_long_range = jax.jit(step_lr)
             self.step_long_range_pre = jax.jit(step_lr_pre)
             #: jitted preprocess alone — for callers (FleetServer) that cache
@@ -122,18 +160,15 @@ class BatchPipeline:
         g = to_grayscale(raw) if raw.ndim == 4 else jnp.asarray(raw)
         return center_crop(g, self.frame_size, int(self.crop_cx))
 
-    def _build_step(self, pre: bool = False):
+    def _build_step(self, pre: bool = False, sr_carried: bool = False):
         cam = jnp.asarray(self.camera_matrix)
         # distortion-free cameras statically skip the 5-iteration fixed-point
         # undistort inversion (undistort_points dist=None fast path)
         dist = None if not np.any(self.dist_coeffs) else jnp.asarray(self.dist_coeffs)
         ul_x = jnp.float32(self.ul_x)
+        sr = self.scale_rotation
 
-        def step(prev_raw, curr_raw, heights, dts, rate_quats, c2b, keys):
-            # pre=True: inputs are already preprocessed [B, F, F] frames (a
-            # FleetServer carries the preprocessed prev — no double work)
-            prev = prev_raw if pre else self._preprocess(prev_raw)
-            curr = curr_raw if pre else self._preprocess(curr_raw)
+        def core(prev, curr, heights, dts, rate_quats, c2b, keys, sr_pair):
             res = self.engine.step_batch(prev, curr)
             # batch-last geometry: ~15x better VPU lane utilization than
             # jax.vmap(get_rt) (which leaves size-2/9/16 axes on the lanes)
@@ -150,10 +185,42 @@ class BatchPipeline:
             # nanmean like the long-range step — one dead stream's NaN raw
             # shifts must not blind the fleet-wide statistic
             fleet = jnp.nanmean(jnp.linalg.norm(res.shifts_raw, axis=-1))
+            b = res.shifts.shape[0]
+            scale, rotation = sr_pair
+            if scale is None:
+                scale = jnp.full((b,), jnp.nan, jnp.float32)
+                rotation = jnp.full((b,), jnp.nan, jnp.float32)
             return PipelineOutput(
                 ok=rt.ok, tran=rt.tran, rot=rt.rot, shifts=res.shifts,
-                fleet_mean_speed=fleet,
+                fleet_mean_speed=fleet, scale=scale, rotation=rotation,
             )
+
+        if sr_carried:
+            # FleetServer's shape: the previous log-polar images are carried
+            # state, so each tick pays ONE resample per stream — and the SR
+            # leg lives INSIDE the same device program as flow + geometry
+            # (one dispatch per tick, the node path's fusion discipline)
+            def step_carried(prev, curr, prev_lp, heights, dts, rate_quats,
+                             c2b, keys):
+                lp_c, sr_res = sr.step_batch_carried(prev_lp, curr)
+                out = core(prev, curr, heights, dts, rate_quats, c2b, keys,
+                           (sr_res.scale, sr_res.rotation))
+                return out, lp_c
+
+            return step_carried
+
+        def step(prev_raw, curr_raw, heights, dts, rate_quats, c2b, keys):
+            # pre=True: inputs are already preprocessed [B, F, F] frames (a
+            # FleetServer carries the preprocessed prev — no double work)
+            prev = prev_raw if pre else self._preprocess(prev_raw)
+            curr = curr_raw if pre else self._preprocess(curr_raw)
+            sr_pair = (None, None)
+            if sr is not None:
+                # stateless pairs (ServingLoop): both frames resampled
+                sr_res = sr.step_batch(prev, curr)
+                sr_pair = (sr_res.scale, sr_res.rotation)
+            return core(prev, curr, heights, dts, rate_quats, c2b, keys,
+                        sr_pair)
 
         return step
 

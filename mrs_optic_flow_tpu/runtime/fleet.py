@@ -87,13 +87,26 @@ class FleetServer:
         tick also runs the batched log-polar scale/rotation estimate
         (``step_batch_carried`` — the per-stream log-polar image carries on
         device, one resample per stream per tick) and fills
-        ``FleetTick.scale`` / ``FleetTick.rotation``."""
+        ``FleetTick.scale`` / ``FleetTick.rotation``.  Defaults to the
+        pipeline's own ``scale_rotation`` estimator; when the pipeline was
+        built with one, the short-range tick runs the SR leg FUSED inside
+        the pipeline program (``BatchPipeline.step_pre_carried`` — one
+        dispatch per tick), otherwise SR is a second dispatch."""
         self.pipeline = pipeline
         self.n = n_streams
         self.c2b = jnp.asarray(c2b_quat, jnp.float32)
         self.long_range = long_range
         self.cam_yaw = float(cam_yaw)
+        if scale_rotation is None:
+            scale_rotation = getattr(pipeline, "scale_rotation", None)
         self.scale_rotation = scale_rotation
+        #: SR fused into the pipeline program (short-range only: the
+        #: long-range fleet keeps the separate batched SR dispatch)
+        self._sr_fused = (
+            scale_rotation is not None
+            and getattr(pipeline, "scale_rotation", None) is scale_rotation
+            and not long_range
+        )
         if scale_rotation is not None and (
             scale_rotation.config.resolution != pipeline.frame_size
         ):
@@ -250,28 +263,49 @@ class FleetServer:
             out_rot = jnp.tile(jnp.asarray([0, 0, 0, 1], jnp.float32), (n, 1))
             out_tran, out_ok, out_shifts = out.tran, out.ok, out.shifts
         else:
-            out = self.pipeline.step_pre(
-                self._prev,
-                frames,
-                jnp.asarray(heights, jnp.float32),
-                jnp.asarray(safe_dts, jnp.float32),
-                jnp.asarray(rate_quats, jnp.float32),
-                self.c2b,
-                keys,
-            )
+            if self.scale_rotation is not None and self._prev_lp is None:
+                # e.g. resumed from a pre-scale-rotation checkpoint: rebuild
+                # the log-polar carry from the carried prev frames
+                self._prev_lp = jax.vmap(self.scale_rotation._logpolar)(self._prev)
+            if self._sr_fused:
+                # ONE device program per tick: flow + geometry + carried SR
+                out, lp_c = self.pipeline.step_pre_carried(
+                    self._prev,
+                    frames,
+                    self._prev_lp,
+                    jnp.asarray(heights, jnp.float32),
+                    jnp.asarray(safe_dts, jnp.float32),
+                    jnp.asarray(rate_quats, jnp.float32),
+                    self.c2b,
+                    keys,
+                )
+            else:
+                out = self.pipeline.step_pre(
+                    self._prev,
+                    frames,
+                    jnp.asarray(heights, jnp.float32),
+                    jnp.asarray(safe_dts, jnp.float32),
+                    jnp.asarray(rate_quats, jnp.float32),
+                    self.c2b,
+                    keys,
+                )
             out_tran, out_rot = out.tran, out.rot
             out_ok, out_shifts = out.ok, out.shifts
 
         valid_dev = jnp.asarray(valid)
         sr_scale = sr_rot = None
         if self.scale_rotation is not None:
-            if self._prev_lp is None:
-                # e.g. resumed from a pre-scale-rotation checkpoint: rebuild
-                # the log-polar carry from the carried prev frames
+            if self._prev_lp is None:  # long-range first SR tick after resume
                 self._prev_lp = jax.vmap(self.scale_rotation._logpolar)(self._prev)
-            lp_c, sr = self.scale_rotation.step_batch_carried(self._prev_lp, frames)
-            sr_scale = jnp.where(valid_dev, sr.scale, jnp.nan)
-            sr_rot = jnp.where(valid_dev, sr.rotation, jnp.nan)
+            if self._sr_fused:
+                sr_scale_raw, sr_rot_raw = out.scale, out.rotation
+            else:
+                lp_c, sr = self.scale_rotation.step_batch_carried(
+                    self._prev_lp, frames
+                )
+                sr_scale_raw, sr_rot_raw = sr.scale, sr.rotation
+            sr_scale = jnp.where(valid_dev, sr_scale_raw, jnp.nan)
+            sr_rot = jnp.where(valid_dev, sr_rot_raw, jnp.nan)
             mask_lp = jnp.asarray(mask)[:, None, None]
             self._prev_lp = jnp.where(mask_lp, lp_c, self._prev_lp)
 

@@ -38,6 +38,10 @@ class ServingResult:
     tran: np.ndarray  # [3]
     rot: np.ndarray  # [4]
     shifts: np.ndarray  # [P, 2]
+    #: log-polar scale / rotation [rad] — real estimates when the pipeline
+    #: was built with ``scale_rotation=``, NaN otherwise (PipelineOutput)
+    scale: float = float("nan")
+    rotation: float = float("nan")
 
 
 class ServingLoop:
@@ -110,8 +114,12 @@ class ServingLoop:
         tran = np.asarray(out.tran)[:n]
         rot = np.asarray(out.rot)[:n]
         shifts = np.asarray(out.shifts)[:n]
+        scale = np.asarray(out.scale)[:n]
+        rotation = np.asarray(out.rotation)[:n]
         return [
-            ServingResult(ok=bool(ok[i]), tran=tran[i], rot=rot[i], shifts=shifts[i])
+            ServingResult(ok=bool(ok[i]), tran=tran[i], rot=rot[i],
+                          shifts=shifts[i], scale=float(scale[i]),
+                          rotation=float(rotation[i]))
             for i in range(n)
         ]
 

@@ -267,3 +267,57 @@ def test_fleet_checkpoint_logpolar_carry_validated(tmp_path, rng):
     d = FleetServer(_pipeline(), n, scale_rotation=sr_small)
     with _pytest.raises(ValueError, match="log-polar"):
         d.load_state(path)
+
+
+def test_fleet_scale_rotation_fused_in_pipeline(rng):
+    """A pipeline built with ``scale_rotation=`` runs the SR leg INSIDE the
+    tick program (one dispatch: ``BatchPipeline.step_pre_carried``); the
+    fused results match the legacy two-dispatch path to float tolerance."""
+    import cv2
+
+    from mrs_optic_flow_tpu.models import ScaleRotationConfig, ScaleRotationEstimator
+
+    n = 2
+    sr = ScaleRotationEstimator(ScaleRotationConfig(resolution=64, magnitude=15.0))
+    pipe_fused = BatchPipeline(
+        frame_size=64, sample_point_size=16, camera_matrix=K,
+        dist_coeffs=np.zeros(5, np.float32), ransac_iterations=32,
+        scale_rotation=sr,
+    )
+    fused = FleetServer(pipe_fused, n)  # estimator inherited from the pipeline
+    assert fused._sr_fused and fused.scale_rotation is sr
+    legacy = FleetServer(_pipeline(), n, scale_rotation=sr)
+    assert not legacy._sr_fused
+
+    base = (smooth_random_image(rng, 64) * 127 + 128).astype(np.uint8)
+    deg = [16.0, -10.0]
+    rot = np.stack([
+        cv2.warpAffine(
+            base.astype(np.float32),
+            cv2.getRotationMatrix2D((32.0, 32.0), d, 1.0),
+            (64, 64),
+        )
+        for d in deg
+    ])
+    heights = np.full(n, 2.0)
+    for fleet in (fused, legacy):
+        fleet.tick(np.stack([base] * n), np.zeros(n), heights)
+    tf = fused.tick(rot, np.full(n, 0.1), heights).materialize()
+    tl = legacy.tick(rot, np.full(n, 0.1), heights).materialize()
+    for i in range(n):
+        assert abs(tf.rotation[i] - np.deg2rad(deg[i])) < np.deg2rad(3.0)
+    np.testing.assert_allclose(tf.rotation, tl.rotation, atol=1e-5)
+    np.testing.assert_allclose(tf.scale, tl.scale, atol=1e-5)
+    np.testing.assert_allclose(tf.tran, tl.tran, atol=1e-4, equal_nan=True)
+
+    # pipeline/estimator geometry mismatch is refused at construction
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="resolution"):
+        BatchPipeline(
+            frame_size=64, sample_point_size=16, camera_matrix=K,
+            dist_coeffs=np.zeros(5, np.float32),
+            scale_rotation=ScaleRotationEstimator(
+                ScaleRotationConfig(resolution=48)
+            ),
+        )

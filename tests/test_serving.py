@@ -126,3 +126,37 @@ def test_serving_depth_pipelining(rng, depth):
     ref = list(ServingLoop(pipe, batch_size=2, depth=2).run(reqs))
     for a, b in zip(results, ref):
         np.testing.assert_allclose(a.shifts, b.shifts, atol=1e-5, equal_nan=True)
+
+
+def test_serving_carries_scale_rotation(rng):
+    """A pipeline built with ``scale_rotation=`` surfaces per-pair scale /
+    rotation through ServingLoop (stateless pairs: both frames resampled —
+    ``ScaleRotationEstimator.step_batch``); a plain pipeline reports NaN."""
+    from mrs_optic_flow_tpu.models import ScaleRotationConfig, ScaleRotationEstimator
+
+    K = np.array([[40.0, 0, 32.0], [0, 40.0, 24.0], [0, 0, 1.0]], np.float32)
+    base = (smooth_random_image(rng, 64) * 127 + 128).astype(np.uint8)
+    reqs = [
+        ServingRequest(prev=base, curr=np.roll(base, 1, axis=1),
+                       height=2.0, dt=0.1)
+        for _ in range(3)
+    ]
+    sr = ScaleRotationEstimator(ScaleRotationConfig(resolution=64, magnitude=15.0))
+    pipe = BatchPipeline(
+        frame_size=64, sample_point_size=16, camera_matrix=K,
+        dist_coeffs=np.zeros(5, np.float32), ransac_iterations=32,
+        scale_rotation=sr,
+    )
+    out = list(ServingLoop(pipe, batch_size=2).run(reqs))
+    assert len(out) == 3
+    # a pure translation is a small perturbation in log-polar space: the
+    # estimate exists (finite) and decodes near the no-change point
+    assert all(np.isfinite(r.scale) and abs(r.scale - 1.0) < 0.2 for r in out)
+    assert all(np.isfinite(r.rotation) for r in out)
+
+    plain = BatchPipeline(
+        frame_size=64, sample_point_size=16, camera_matrix=K,
+        dist_coeffs=np.zeros(5, np.float32), ransac_iterations=32,
+    )
+    out_plain = list(ServingLoop(plain, batch_size=2).run(reqs))
+    assert all(np.isnan(r.scale) and np.isnan(r.rotation) for r in out_plain)
