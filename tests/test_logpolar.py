@@ -182,6 +182,61 @@ def test_logpolar_static_rho_trim_exact(rng, interp):
     np.testing.assert_allclose(out2, out, atol=0.1)
 
 
+def test_logpolar_production_geometry_oracle(rng):
+    """The SHIPPED configuration — 480² frame, ``magnitude`` 49.9
+    (``config/default.yaml``: the reference's optimM,
+    ``src/scaleRotationEstimator.cpp:28``), Lanczos4, 8-bit input, static
+    rho trim ACTIVE (384 of 480 live columns) — against ``cv2.warpPolar``
+    directly.  Round-2 review finding: the cv2 diffs ran only at 128² where
+    the trim is a no-op, so a trim-boundary or full-res weight bug would
+    have passed.  Asserts (a) the impl's trim boundary at this geometry is
+    384, (b) every trimmed column is provably dead (the OpenCV oracle also
+    zeroes it), (c) live interior columns match OpenCV within the standard
+    tolerance, and (d) the estimator's quantized production path
+    (``_logpolar`` with uint8 ingest + uint8 carry) matches the uint8
+    OpenCV output to a few LSB."""
+    cv2 = pytest.importorskip("cv2")
+
+    from mrs_optic_flow_tpu.models import ScaleRotationConfig, ScaleRotationEstimator
+
+    n, m = 480, 49.9
+    img_u8 = (smooth_random_image(rng, n)).astype(np.uint8)
+
+    # (a) the trim formula at this geometry: rays exit by rho ~ 293, rounded
+    # up to the 128-lane tile -> 384 live columns
+    margin = 5.0  # |offsets| max + 1 for Lanczos4
+    r_max = np.sqrt(2.0) * (n / 2.0 + margin)
+    c_used = int(np.searchsorted(np.exp(np.arange(n) / m) - 1.0 > r_max, True))
+    c_used = min(n, -(-max(c_used, 1) // 128) * 128)
+    assert c_used == 384
+
+    ours = np.asarray(
+        logpolar(jnp.asarray(img_u8), jnp.float32(m), interp="lanczos4")
+    )
+    ref = _cv2_logpolar(img_u8.astype(np.float32), m, cv2.INTER_LANCZOS4)
+
+    # (b) the trimmed tail is exactly the dead zone: ours is zero by
+    # construction AND the oracle confirms nothing lives there
+    assert np.all(ours[:, c_used:] == 0.0)
+    assert np.all(ref[:, c_used:] == 0.0)
+
+    # (c) live interior columns at the standard lanczos4 tolerance
+    sl = _interior(m, n)
+    assert np.abs(ours[sl] - ref[sl]).mean() < 1.0
+    assert np.abs(ours[sl] - ref[sl]).max() < 5.0
+
+    # (d) the estimator's production path: uint8 ingest, quantized uint8
+    # log-polar carry (the reference's CV_8UC1 tempIm) vs the uint8 oracle
+    eng = ScaleRotationEstimator(ScaleRotationConfig())  # shipped defaults
+    assert eng.config.resolution == n and eng.config.magnitude == m
+    lp = np.asarray(eng._logpolar(jnp.asarray(img_u8))).astype(np.float32)
+    ref_u8 = _cv2_logpolar(img_u8, m, cv2.INTER_LANCZOS4).astype(np.float32)
+    assert np.abs(lp[sl] - ref_u8[sl]).mean() < 1.5
+    # fixed-point-vs-float Lanczos edge cases can differ by a few LSB more
+    # after both sides round to uint8
+    assert np.abs(lp[sl] - ref_u8[sl]).max() < 8.0
+
+
 def test_logpolar_bad_interp():
     with pytest.raises(ValueError, match="interp"):
         logpolar(jnp.zeros((16, 16)), jnp.float32(5.0), interp="nearest")
