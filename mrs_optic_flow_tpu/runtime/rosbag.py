@@ -555,6 +555,204 @@ def replay_bag(
                             camera_frame, uav_frame)
 
 
+# ------------------------------------------------------------------ #
+# minimal rosbag 2.0 writer                                            #
+# ------------------------------------------------------------------ #
+
+
+def _encode_header(fields: Dict[str, bytes]) -> bytes:
+    out = b""
+    for name, value in fields.items():
+        f = name.encode("latin-1") + b"=" + value
+        out += struct.pack("<I", len(f)) + f
+    return out
+
+
+def _encode_record(fields: Dict[str, bytes], data: bytes) -> bytes:
+    h = _encode_header(fields)
+    return struct.pack("<I", len(h)) + h + struct.pack("<I", len(data)) + data
+
+
+class _Enc:
+    """Little-endian ROS1 message serializer (the inverse of ``_Cur``)."""
+
+    __slots__ = ("parts",)
+
+    def __init__(self):
+        self.parts: List[bytes] = []
+
+    def u8(self, v: int):
+        self.parts.append(struct.pack("<B", v))
+
+    def u32(self, v: int):
+        self.parts.append(struct.pack("<I", v))
+
+    def f64(self, v: float):
+        self.parts.append(struct.pack("<d", v))
+
+    def f64s(self, vs):
+        vs = list(vs)
+        self.parts.append(struct.pack(f"<{len(vs)}d", *vs))
+
+    def string(self, s: str):
+        b = s.encode("utf-8")
+        self.u32(len(b))
+        self.parts.append(b)
+
+    def raw(self, b: bytes):
+        self.parts.append(b)
+
+    def header(self, stamp: float, frame_id: str = ""):
+        self.u32(0)  # seq
+        secs = int(stamp)
+        self.u32(secs)
+        self.u32(int(round((stamp - secs) * 1e9)))
+        self.string(frame_id)
+
+    def bytes(self) -> bytes:
+        return b"".join(self.parts)
+
+
+def encode_image_msg(msg, frame_id: str = "camera") -> bytes:
+    """:class:`ImageMsg` (uint8 gray or BGR) -> sensor_msgs/Image bytes."""
+    import numpy as np  # noqa: PLC0415
+
+    arr = np.asarray(msg.data)
+    if arr.dtype != np.uint8:
+        arr = np.clip(np.rint(arr), 0, 255).astype(np.uint8)
+    h, w = arr.shape[:2]
+    ch = 1 if arr.ndim == 2 else arr.shape[2]
+    e = _Enc()
+    e.header(msg.stamp, frame_id)
+    e.u32(h)
+    e.u32(w)
+    e.string("mono8" if ch == 1 else "bgr8")
+    e.u8(0)  # is_bigendian
+    e.u32(w * ch)
+    data = np.ascontiguousarray(arr).tobytes()
+    e.u32(len(data))
+    e.raw(data)
+    return e.bytes()
+
+
+def encode_camera_info_msg(info, stamp: float, shape=(480, 752)) -> bytes:
+    """:class:`CameraInfo` -> sensor_msgs/CameraInfo bytes."""
+    e = _Enc()
+    e.header(stamp, "camera")
+    e.u32(shape[0])
+    e.u32(shape[1])
+    e.string("plumb_bob")
+    d = list(info.d)
+    e.u32(len(d))
+    e.f64s(d)
+    e.f64s(list(info.k))
+    e.f64s([1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0])  # R
+    k = list(info.k)
+    e.f64s([k[0], k[1], k[2], 0.0, k[3], k[4], k[5], 0.0, k[6], k[7], k[8], 0.0])
+    e.u32(int(info.binning_x))
+    e.u32(0)  # binning_y
+    e.u32(0), e.u32(0), e.u32(0), e.u32(0)  # roi
+    e.u8(0)  # roi.do_rectify
+    return e.bytes()
+
+
+def encode_imu_msg(msg) -> bytes:
+    """:class:`Imu` -> sensor_msgs/Imu bytes."""
+    e = _Enc()
+    e.header(msg.stamp, "fcu")
+    e.f64s(msg.orientation)
+    e.f64s([0.0] * 9)
+    e.f64s(msg.angular_velocity)
+    e.f64s([0.0] * 9)
+    e.f64s([0.0] * 3)  # linear acceleration
+    e.f64s([0.0] * 9)
+    return e.bytes()
+
+
+def encode_odometry_msg(msg) -> bytes:
+    """:class:`Odometry` -> nav_msgs/Odometry bytes."""
+    e = _Enc()
+    e.header(msg.stamp, "odom")
+    e.string("fcu")  # child_frame_id
+    e.f64s([0.0] * 3)  # position (not consumed by the node)
+    e.f64s(msg.orientation)
+    e.f64s([0.0] * 36)
+    e.f64s(msg.linear_velocity)
+    e.f64s(msg.angular_velocity)
+    e.f64s([0.0] * 36)
+    return e.bytes()
+
+
+def encode_float64_stamped_msg(msg) -> bytes:
+    """:class:`Float64Stamped` -> mrs_msgs/Float64Stamped bytes."""
+    e = _Enc()
+    e.header(msg.stamp, "")
+    e.f64(float(msg.value))
+    return e.bytes()
+
+
+class BagWriter:
+    """Tiny rosbag 2.0 writer: unchunked top-level connection + message
+    records — the minimal well-formed layout this module's
+    :class:`BagReader` streams directly (``rosbag reindex`` upgrades it for
+    stock ROS tools; md5sums are written as ``*`` since the node-side types
+    are duck-typed).  Exists so synthetic flights
+    (:class:`~mrs_optic_flow_tpu.runtime.flightsim.FlightSimulator`) can be
+    archived and replayed through the SAME offline path real flight bags
+    use (``replay_bag``)."""
+
+    def __init__(self, path: str):
+        self._fh = open(path, "wb")  # noqa: SIM115
+        self._fh.write(_MAGIC)
+        # bag header record: conn/chunk counts are for indexed readers;
+        # this stream is index-free (index_pos=0 means "unindexed")
+        hdr = _encode_record(
+            {"op": b"\x03", "index_pos": struct.pack("<Q", 0),
+             "conn_count": struct.pack("<I", 0),
+             "chunk_count": struct.pack("<I", 0)},
+            b" " * 4096,  # rosbag pads the header record to 4 KB
+        )
+        self._fh.write(hdr)
+        self._conns: Dict[str, int] = {}
+
+    def _connection(self, topic: str, type_name: str) -> int:
+        if topic in self._conns:
+            return self._conns[topic]
+        conn = len(self._conns)
+        self._conns[topic] = conn
+        conn_hdr = _encode_header({
+            "topic": topic.encode(), "type": type_name.encode(),
+            "md5sum": b"*", "message_definition": b"",
+        })
+        self._fh.write(_encode_record(
+            {"op": b"\x07", "conn": struct.pack("<I", conn),
+             "topic": topic.encode()},
+            conn_hdr,
+        ))
+        return conn
+
+    def write(self, topic: str, type_name: str, stamp: float, raw: bytes):
+        conn = self._connection(topic, type_name)
+        secs = int(stamp)
+        nsecs = int(round((stamp - secs) * 1e9))
+        self._fh.write(_encode_record(
+            {"op": b"\x02", "conn": struct.pack("<I", conn),
+             "time": struct.pack("<II", secs, nsecs)},
+            raw,
+        ))
+
+    def close(self):
+        if self._fh:
+            self._fh.close()
+            self._fh = None
+
+    def __enter__(self) -> "BagWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 def _replay_from(reader, node, topics, default_height, limit,
                  camera_frame=None, uav_frame=None, *,
                  roles=None, tf_types=("tf2_msgs/TFMessage",),

@@ -154,14 +154,21 @@ class SyntheticScene:
         img = ndimage.map_coordinates(self.texture, [ty, tx], order=1, mode="wrap")
         return img.astype(np.float32)
 
-    def render_pose(self, cam_xy: Tuple[float, float], rpy=(0.0, 0.0, 0.0)) -> np.ndarray:
+    def render_pose(
+        self,
+        cam_xy: Tuple[float, float],
+        rpy=(0.0, 0.0, 0.0),
+        height: Optional[float] = None,
+    ) -> np.ndarray:
         """Frame for a camera at ``cam_xy`` with orientation ``rpy``
         (fixed-axis roll/pitch/yaw of the body; camera looks along +z down).
 
         Rays are cast through the (un)distortion model, rotated by the body
         attitude, and intersected with the ground plane — tilted flight with
         exact geometry, for end-to-end tests of the detilt / decomposition
-        chain (``src/optic_flow.cpp:1694-1746``).
+        chain (``src/optic_flow.cpp:1694-1746``).  ``height`` overrides the
+        scene's fixed ``uav_height`` (climbing / descending trajectories —
+        the flight-sim harness).
         """
         from scipy.spatial.transform import Rotation
 
@@ -177,7 +184,8 @@ class SyntheticScene:
         rays = np.stack([xn, yn, np.ones_like(xn)], axis=-1)  # camera frame
         r_wc = Rotation.from_euler("xyz", rpy).as_matrix()
         d = rays @ r_wc.T  # world frame
-        t = self.uav_height / d[..., 2]  # ground plane at +height below
+        h = self.uav_height if height is None else float(height)
+        t = h / d[..., 2]  # ground plane at +height below
         gx = cam_xy[0] + t * d[..., 0]
         gy = cam_xy[1] + t * d[..., 1]
         tx = (gx * self.texture_scale) % self._ts

@@ -1,0 +1,207 @@
+"""Closed-loop flight-level validation (the reference's real-UAV evidence,
+``src/optic_flow.cpp:1575-1585`` / ``:1541-1871``, rebuilt synthetically).
+
+A full trajectory — takeoff under the LandoffTracker, cruise, yawing
+descent — renders through exact projective geometry with consistent
+IMU/height/odometry/tracker streams and drives ``OpticFlowNode`` end to
+end.  Asserted at the TRAJECTORY level: velocity RMSE vs ground truth,
+covariance consistency, publish coverage per phase, and glitch-free
+long-range <-> short-range handoff under both height_based and
+takeoff_based policies.  The same rendered stream exports to ``.ofrec``
+and replays bit-exactly (the offline-replay surface exercised by the same
+artifact).
+"""
+
+import numpy as np
+import pytest
+
+from mrs_optic_flow_tpu.config import load_config
+from mrs_optic_flow_tpu.runtime.flightsim import (
+    FlightSimulator,
+    evaluate_flight,
+    takeoff_cruise_descent_profile,
+)
+from mrs_optic_flow_tpu.runtime.node import OpticFlowNode
+from mrs_optic_flow_tpu.runtime.stream import FrameStream
+
+
+@pytest.fixture(scope="module")
+def flight():
+    """One rendered flight shared by every test in this module (rendering
+    56 frames of 752x480 projective resampling is the slow part)."""
+    samples = takeoff_cruise_descent_profile()
+    sim = FlightSimulator(samples)
+    return sim, samples, sim.frames()
+
+
+def _drive(sim, frames, **overrides):
+    published = []
+    cfg = load_config(overrides=overrides)
+    node = OpticFlowNode(
+        cfg, publish=lambda t, m: published.append((t, m)),
+        log=lambda s: None, enable_profiler=False,
+    )
+    node.set_transforms((0.0, 0.0, 0.0, 1.0))
+    stream = FrameStream(node)
+    sim.events_into(stream, frames)
+    stream.run()
+    return node, published
+
+
+@pytest.mark.parametrize("mode,n_switches", [
+    # height_based crosses 1.2 m twice: climbing out on takeoff, and again
+    # on the landing approach at the end of the descent
+    ("height_based", 2),
+    # takeoff_based flips once, when the LandoffTracker hands off at cruise
+    ("takeoff_based", 1),
+])
+def test_flight_closed_loop(flight, mode, n_switches):
+    """Full trajectory through the node under a live long-range policy:
+    the published velocity stream must track ground truth (RMSE budget),
+    sit inside its own covariance, cover every phase, and hand off between
+    the long-range and short-range paths without NaN or ok-flapping.
+    Measured baseline (CPU, seed 7): RMSE ~0.08 m/s, max ~0.23, full
+    coverage, zero dropped frames at the switches."""
+    sim, samples, frames = flight
+    node, published = _drive(
+        sim, frames,
+        mrs_optic_flow={"long_range_mode": mode, "takeoff_height": 1.2},
+    )
+    rep = evaluate_flight(samples, published)
+
+    # the handoff(s) happened: both topic families appeared
+    topics = {t for t, _ in published
+              if t in ("velocity_out", "velocity_out_longrange")}
+    assert topics == {"velocity_out", "velocity_out_longrange"}, topics
+    assert len(rep.mode_switches) == n_switches, rep.mode_switches
+
+    # trajectory-level accuracy: RMSE budget + covariance consistency
+    assert rep.rmse_xy < 0.12, rep
+    assert rep.max_err_xy < 0.35, rep
+    assert rep.within_3sigma >= 0.97, rep
+    assert rep.nan_published == 0, rep
+
+    # coverage: every phase produces estimates on ~every frame
+    for phase, cov in rep.per_phase_coverage.items():
+        assert cov >= 0.95, (phase, rep.per_phase_coverage)
+    # no dropped frames hugging the mode switches (glitch-free handoff)
+    assert rep.dropped_at_switches == 0, rep
+
+    # the node stayed healthy end to end
+    assert node.health["consecutive_failures"] <= 1
+
+
+def test_flight_descent_scale_rotation_vz(flight):
+    """The yawing-descent phase with ``scale_rotation: true``: the fused
+    estimator's vertical speed (from the log-polar scale change) and yaw
+    rate must track the trajectory's ground truth — the system-level proof
+    of the resurrected estimator (reference wiring commented out at
+    ``src/optic_flow.cpp:1629-1650``)."""
+    sim, samples, frames = flight
+    node, published = _drive(
+        sim, frames,
+        scale_rotation=True,
+        scale_rot_lp_resolution=240,
+        mrs_optic_flow={"long_range_mode": "always_off"},
+    )
+    sr = {round(float(m["stamp"]), 6): m
+          for t, m in published if t == "scale_rotation_out"}
+    # skip the first descent frames (the cruise->descent boundary bleeds
+    # into the frame-to-frame scale); the log-polar decode is only
+    # meaningful while the flow is rotation/zoom about the image centre —
+    # under pure translation (cruise) it is noise, a limitation the
+    # reference shares (its decode assumes centred similarity motion)
+    descent = [s for s in samples if s.phase == "descent"][2:]
+    pairs = [(s, sr[round(s.t, 6)]) for s in descent if round(s.t, 6) in sr]
+    assert len(pairs) >= len(descent) - 2
+    vz = np.array([m["vz"] for _, m in pairs])
+    vz_true = np.array([s.vel[2] for s, _ in pairs])
+    yaw_rates = np.array([m["yaw_rate"] for _, m in pairs])
+    assert np.all(np.isfinite(vz)) and np.all(np.isfinite(yaw_rates))
+    # vz decodes the descent rate (the reference's velocity-mode formula,
+    # node._publish_scale_rotation): descending ground zooms IN ->
+    # log-polar scale < 1 -> vz < 0.  Observed: correct sign throughout,
+    # magnitude ~20% low (log-polar peak-centroid smear under zoom)
+    assert np.median(np.abs(vz - vz_true)) < 0.25, (vz, vz_true)
+    mid = vz_true < -0.5  # mid-descent: the fastest-sinking frames
+    assert mid.any() and np.all(vz[mid] < -0.2), vz[mid]
+    # the yaw rate decode is tight under rotation
+    assert np.median(np.abs(yaw_rates - 0.35)) < 0.05, yaw_rates
+
+
+def test_flight_ofrec_roundtrip(flight, tmp_path):
+    """The flight exports to the native ``.ofrec`` recording and replays
+    bit-exactly — stamps and frames — so the offline-replay surface is
+    exercised by the same artifact the closed-loop test flies."""
+    native = pytest.importorskip("mrs_optic_flow_tpu.native")
+    try:
+        native.load()
+    except Exception as e:  # no toolchain in this environment
+        pytest.skip(f"native runtime unavailable: {e}")
+
+    sim, samples, frames = flight
+    path = str(tmp_path / "flight.ofrec")
+    sim.record_ofrec(path, frames)
+
+    with native.Replay(path) as rep:
+        assert rep.n_frames == len(samples)
+        for i in (0, len(samples) // 2, len(samples) - 1):
+            stamp, frame = rep.read(i)
+            assert stamp == pytest.approx(samples[i].t, abs=1e-9)
+            np.testing.assert_array_equal(
+                frame,
+                np.clip(np.rint(frames[i]), 0, 255).astype(np.uint8),
+            )
+
+    # and the replayed frames drive the node to the same decisions as the
+    # float originals (uint8 quantization is the node's own ingest contract)
+    with native.Replay(path) as rep:
+        replayed = [f for _, f in rep]
+    node, published = _drive(
+        sim, replayed,
+        mrs_optic_flow={"long_range_mode": "height_based",
+                        "takeoff_height": 1.2},
+    )
+    report = evaluate_flight(samples, published)
+    assert report.rmse_xy < 0.15, report
+    assert report.nan_published == 0
+
+
+def test_flight_rosbag_roundtrip(flight, tmp_path):
+    """The flight archives as a ROS1 bag (BagWriter) and drives the node
+    through the SAME offline path real flight recordings use
+    (``replay_bag``: BagReader + the ROS1 message decoders) — writer,
+    parser, converters, and node validated against trajectory ground truth
+    by one artifact."""
+    from mrs_optic_flow_tpu.runtime.rosbag import BagReader, replay_bag
+
+    sim, samples, frames = flight
+    path = str(tmp_path / "flight.bag")
+    sim.record_bag(path, frames)
+
+    with BagReader(path) as reader:
+        by_type = reader.topics_by_type()
+    assert by_type["sensor_msgs/Image"] == ["/image_raw"]
+    assert by_type["mrs_msgs/Float64Stamped"] == ["/height"]
+
+    published = []
+    cfg = load_config(overrides={
+        "mrs_optic_flow": {"long_range_mode": "height_based",
+                           "takeoff_height": 1.2},
+    })
+    node = OpticFlowNode(
+        cfg, publish=lambda t, m: published.append((t, m)),
+        log=lambda s: None, enable_profiler=False,
+    )
+    node.set_transforms((0.0, 0.0, 0.0, 1.0))
+    n_frames = replay_bag(node, path)
+    assert n_frames == len(samples)
+
+    rep = evaluate_flight(samples, published)
+    assert rep.rmse_xy < 0.15, rep
+    assert rep.nan_published == 0
+    assert len(rep.mode_switches) == 2, rep.mode_switches
+    # uint8 image transport + identical sensor stream: the bag replay must
+    # agree with the direct drive (same handoffs, same coverage)
+    for phase, cov in rep.per_phase_coverage.items():
+        assert cov >= 0.95, (phase, rep.per_phase_coverage)
