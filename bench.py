@@ -175,6 +175,10 @@ def main():
                 latency_device_ms=round(dev["per_frame_ms"], 4),
                 latency_p50_ms=round(e2e["p50_ms"], 3),
                 latency_p99_ms=round(e2e["p99_ms"], 3),
+                # BASELINE.md's second target (<= 2 ms device-side per-frame
+                # chain) re-proven per round, as a ratio like vs_baseline:
+                # >1 = under target by that factor
+                latency_vs_target=round(2.0 / max(dev["per_frame_ms"], 1e-9), 2),
             )
             if _remaining() > 150:
                 # tpu.host_preprocess: the native fused gray+crop uploads

@@ -38,8 +38,11 @@ class BlockMethodConfig:
     scan_radius: int = 21
     step_size: int = 24  # unused by BlockMethod's own grid, kept for parity
     refine_passes: int = 2  # Refine(..., 2), src/BlockMethod.cpp:82
-    #: fused Pallas SAD kernel vs lax.scan — measured 2.8x faster on v5e at
-    #: the default geometry (scripts/tune_sad_kernel.py, docs/PERFORMANCE.md)
+    #: fused Pallas SAD kernel vs lax.scan — at the default geometry the
+    #: step is refine-dominated so the two tie at step level (3.62 vs 3.71
+    #: ms/frame on v5e); the SAD kernel itself is the measured-faster path
+    #: (scripts/tune_sad_kernel.py, docs/PERFORMANCE.md) and is shared with
+    #: FastSpacedBM where it wins 1.29x
     use_pallas: bool = True
 
 

@@ -36,8 +36,9 @@ class FastSpacedBMConfig:
     scan_radius: int = 21
     step_size: int = 24  # blockStep (grid pitch = size + step)
     test_depth: int = 3  # TestDepth (src/FastSpacedBMMethod_OCL.cpp:100)
-    #: fused Pallas SAD kernel vs lax.scan — measured ~1.3x faster on v5e at
-    #: the default geometry (scripts/tune_sad_kernel.py, docs/PERFORMANCE.md)
+    #: fused Pallas SAD kernel vs lax.scan — measured 1.29x faster on v5e at
+    #: the default geometry: 0.749 vs 0.967 ms/frame through the full step
+    #: (scripts/tune_sad_kernel.py, docs/PERFORMANCE.md)
     use_pallas: bool = True
 
 

@@ -60,6 +60,16 @@ def main():
     np.testing.assert_allclose(np.asarray(sad_a), np.asarray(sad_b), rtol=1e-6)
     print("SAD pallas == scan OK", flush=True)
 
+    # config-drift guard: the shipped defaults must stay on the path the
+    # published measurement found fastest (docs/PERFORMANCE.md SAD row;
+    # scripts/tune_sad_kernel.py re-measures and fails if the claim drifts)
+    from mrs_optic_flow_tpu.models import BlockMethodConfig, FastSpacedBMConfig
+
+    assert BlockMethodConfig().use_pallas and FastSpacedBMConfig().use_pallas, (
+        "SAD use_pallas defaults no longer match the published measurement — "
+        "re-run scripts/tune_sad_kernel.py and update docs/PERFORMANCE.md"
+    )
+
     # --- scale-rotation (pure-numpy zoom to avoid a cv2 dependency) -------
     from mrs_optic_flow_tpu.models import ScaleRotationConfig, ScaleRotationEstimator
     import scipy.ndimage as ndi
