@@ -216,9 +216,27 @@ def test_logpolar_production_geometry_oracle(rng):
     ref = _cv2_logpolar(img_u8.astype(np.float32), m, cv2.INTER_LANCZOS4)
 
     # (b) the trimmed tail is exactly the dead zone: ours is zero by
-    # construction AND the oracle confirms nothing lives there
+    # construction AND an untrimmed computation with the same building
+    # blocks confirms nothing lives there.  (cv2.warpPolar is NOT usable as
+    # the dead-zone oracle: beyond radius n/2 its remap output is
+    # uninitialized memory — zero pages in a fresh process, heap garbage /
+    # NaN after other allocations, which made this assertion order-dependent
+    # when it compared ref's tail.)
     assert np.all(ours[:, c_used:] == 0.0)
-    assert np.all(ref[:, c_used:] == 0.0)
+    from mrs_optic_flow_tpu.ops import logpolar as lpmod
+
+    rho = jnp.arange(n, dtype=jnp.float32)
+    phi = jnp.arange(n, dtype=jnp.float32) * (2 * jnp.pi / n)
+    r_f = jnp.exp(rho / jnp.float32(m)) - 1.0
+    x = n / 2 + r_f[None, :] * jnp.cos(phi)[:, None]
+    y = n / 2 + r_f[None, :] * jnp.sin(phi)[:, None]
+    full = np.asarray(
+        lpmod._resample_separable(
+            jnp.asarray(img_u8, jnp.float32), y, x,
+            offsets=lpmod._LANCZOS4_OFFSETS, weight_fn=lpmod._lanczos4_weights,
+        )
+    )
+    assert np.all(full[:, c_used:] == 0.0)
 
     # (c) live interior columns at the standard lanczos4 tolerance
     sl = _interior(m, n)
