@@ -29,8 +29,24 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from mrs_optic_flow_tpu.ops.logpolar import logpolar
+from mrs_optic_flow_tpu.ops.logpolar import build_lp_plan, logpolar
 from mrs_optic_flow_tpu.ops.phase_correlate import correlation_surface, peak_refine
+
+
+#: (n, res, magnitude, interp) -> (LPPlan, numpy weight tuple); shared across
+#: estimator instances (tests build many estimators at the same geometry)
+_PLAN_CACHE: dict = {}
+#: (plan key, backend) -> device-put weight tuple
+_DEVICE_WEIGHTS: dict = {}
+
+
+def _plan_and_weights(n: int, res: int, magnitude: float, interp: str):
+    key = (n, res, float(magnitude), interp)
+    if key not in _PLAN_CACHE:
+        _PLAN_CACHE[key] = build_lp_plan(
+            n, magnitude, resolution=res, interp=interp
+        )
+    return _PLAN_CACHE[key]
 
 
 class ScaleRotState(NamedTuple):
@@ -93,6 +109,35 @@ class ScaleRotationEstimator:
         self.m_eff = config.magnitude * r
         #: Ky = lp_rows / 360 (src/scaleRotationEstimator.cpp:28 at r=1)
         self.ky = config.lp_res / 360.0
+        #: precomputed log-polar resample plan (None when the geometry lacks
+        #: the 8-fold symmetry — the per-frame weight-build path then runs);
+        #: the matching weight arrays are threaded as jit ARGUMENTS through
+        #: every program that fuses this estimator (``lp_weights``) — a
+        #: traced-over concrete array would be embedded as an HLO literal
+        #: (see ``ops/logpolar.py``)
+        pw = _plan_and_weights(
+            config.resolution, config.lp_res, self.m_eff, config.interp
+        )
+        self.lp_plan = pw[0] if pw is not None else None
+        self._lp_weights_np = pw[1] if pw is not None else ()
+
+    @property
+    def lp_weights(self) -> tuple:
+        """Device-resident weight tuple for the precomputed resample path
+        (empty when :attr:`lp_plan` is None).  Pass this into any OUTER
+        jitted program that traces ``step_w``/``step_batch_w``/
+        ``step_batch_carried_w``."""
+        if self.lp_plan is None:
+            return ()
+        key = (
+            self.config.resolution, self.config.lp_res, self.m_eff,
+            self.config.interp, jax.default_backend(),
+        )
+        if key not in _DEVICE_WEIGHTS:
+            _DEVICE_WEIGHTS[key] = tuple(
+                jax.device_put(w) for w in self._lp_weights_np
+            )
+        return _DEVICE_WEIGHTS[key]
 
     def init_state(self) -> ScaleRotState:
         n = self.config.lp_res
@@ -114,6 +159,11 @@ class ScaleRotationEstimator:
         return quantize_u8(frame)
 
     def _logpolar(self, frame: jnp.ndarray) -> jnp.ndarray:
+        """Eager/standalone resample (tests, host-side fixtures); fused
+        programs must use :meth:`_logpolar_w` with threaded weights."""
+        return self._logpolar_w(frame, self.lp_weights)
+
+    def _logpolar_w(self, frame: jnp.ndarray, weights: tuple) -> jnp.ndarray:
         c = self.config
         # uint8 frames are exact in bf16, letting the resample drop one of
         # its three MXU passes (ops/logpolar.py)
@@ -123,6 +173,8 @@ class ScaleRotationEstimator:
             resolution=c.lp_res,
             interp=c.interp,
             rows_per_chunk=c.lp_rows_per_chunk,
+            plan=self.lp_plan if weights else None,
+            weights=weights or None,
         )
         if not c.quantize_8bit:
             return lp
@@ -164,26 +216,32 @@ class ScaleRotationEstimator:
         return scale, rot
 
     # -- public steps ----------------------------------------------------------
+    #
+    # Each step comes in two forms: ``step*_w(..., weights)`` is the plain
+    # traceable function for OUTER jitted programs (node frame program,
+    # BatchPipeline, FleetServer tick) — the caller threads
+    # :attr:`lp_weights` through its own argument list; the weight-less
+    # public wrapper jits with the weights injected as arguments, so eager
+    # callers keep the round-2 signatures.
 
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def step(
-        self, state: ScaleRotState, frame: jnp.ndarray
+    def step_w(
+        self, state: ScaleRotState, frame: jnp.ndarray, weights: tuple
     ) -> Tuple[ScaleRotState, ScaleRotResult]:
         """``processImage`` (``src/scaleRotationEstimator.cpp:34-148``).
 
         The first frame returns (1, 0) (``:74-75``), as does an
         out-of-range correlation peak (``:119-121``).
         """
-        lp = self._logpolar(frame)
+        lp = self._logpolar_w(frame, weights)
         prev_lp = jnp.where(state.first, lp, state.prev_logpolar)
         shift, _resp = self._correlate(lp, prev_lp)
         scale, rot = self._decode(shift, state.first)
         new_state = ScaleRotState(prev_logpolar=lp, first=jnp.asarray(False))
         return new_state, ScaleRotResult(scale=scale, rotation=rot)
 
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def step_batch(
-        self, prev_frames: jnp.ndarray, curr_frames: jnp.ndarray
+    def step_batch_w(
+        self, prev_frames: jnp.ndarray, curr_frames: jnp.ndarray,
+        weights: tuple,
     ) -> ScaleRotResult:
         """Stateless batched mode: ``[B, N, N]`` frame pairs ->
         per-pair (scale [B], rotation [B]).  The throughput/fleet analogue
@@ -191,25 +249,66 @@ class ScaleRotationEstimator:
         frame-to-frame); same decode as ``src/scaleRotationEstimator.cpp:
         117-124``.  The log-polar resample is vmapped; the correlation runs
         as ONE batched MXU program."""
-        lp_p = jax.vmap(self._logpolar)(prev_frames)
-        lp_c = jax.vmap(self._logpolar)(curr_frames)
+        lp_p = jax.vmap(lambda f: self._logpolar_w(f, weights))(prev_frames)
+        lp_c = jax.vmap(lambda f: self._logpolar_w(f, weights))(curr_frames)
         shift, _resp = self._correlate(lp_c, lp_p)
         scale, rot = self._decode(shift, jnp.zeros(shift.shape[:-1], bool))
         return ScaleRotResult(scale=scale, rotation=rot)
 
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def step_batch_carried(
-        self, prev_lp: jnp.ndarray, curr_frames: jnp.ndarray
+    def step_batch_carried_w(
+        self, prev_lp: jnp.ndarray, curr_frames: jnp.ndarray, weights: tuple
     ) -> Tuple[jnp.ndarray, ScaleRotResult]:
         """Fleet-serving variant: previous frames enter as already-computed
         log-polar images (carried on device across ticks, like the
         FleetServer's preprocessed ``prev``), so each tick pays ONE log-polar
         resample per stream instead of two.  Returns ``(curr_lp, result)``;
         feed ``curr_lp`` back as the next tick's ``prev_lp``."""
-        lp_c = jax.vmap(self._logpolar)(curr_frames)
+        lp_c = jax.vmap(lambda f: self._logpolar_w(f, weights))(curr_frames)
         shift, _resp = self._correlate(lp_c, prev_lp)
         scale, rot = self._decode(shift, jnp.zeros(shift.shape[:-1], bool))
         return lp_c, ScaleRotResult(scale=scale, rotation=rot)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _step_jit(self, state, frame, weights):
+        return self.step_w(state, frame, weights)
+
+    def step(
+        self, state: ScaleRotState, frame: jnp.ndarray
+    ) -> Tuple[ScaleRotState, ScaleRotResult]:
+        """Jitted :meth:`step_w` with this estimator's weights."""
+        return self._step_jit(state, frame, self.lp_weights)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _step_batch_jit(self, prev_frames, curr_frames, weights):
+        return self.step_batch_w(prev_frames, curr_frames, weights)
+
+    def step_batch(
+        self, prev_frames: jnp.ndarray, curr_frames: jnp.ndarray
+    ) -> ScaleRotResult:
+        """Jitted :meth:`step_batch_w` with this estimator's weights."""
+        return self._step_batch_jit(prev_frames, curr_frames, self.lp_weights)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _step_batch_carried_jit(self, prev_lp, curr_frames, weights):
+        return self.step_batch_carried_w(prev_lp, curr_frames, weights)
+
+    def step_batch_carried(
+        self, prev_lp: jnp.ndarray, curr_frames: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, ScaleRotResult]:
+        """Jitted :meth:`step_batch_carried_w` with this estimator's
+        weights."""
+        return self._step_batch_carried_jit(
+            prev_lp, curr_frames, self.lp_weights
+        )
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _logpolar_batch_jit(self, frames, weights):
+        return jax.vmap(lambda f: self._logpolar_w(f, weights))(frames)
+
+    def logpolar_batch(self, frames: jnp.ndarray) -> jnp.ndarray:
+        """Jitted batched resample ``[B, N, N] -> [B, lp, lp]`` — the fleet
+        carry (re)builder (one compiled dispatch instead of an eager vmap)."""
+        return self._logpolar_batch_jit(frames, self.lp_weights)
 
     def __hash__(self):
         return hash(self.config)

@@ -102,6 +102,7 @@ class BatchPipeline:
         self.mesh = mesh
         self.axis_name = axis_name
         self.scale_rotation = scale_rotation
+        self._srw_replicated = None
         if scale_rotation is not None and (
             scale_rotation.config.resolution != self.frame_size
         ):
@@ -117,22 +118,41 @@ class BatchPipeline:
         )
         step_lr = self._build_step_long_range(pre=False)
         step_lr_pre = self._build_step_long_range(pre=True)
+
+        def _inject_srw(fn):
+            # the SR estimator's precomputed log-polar weights ride every
+            # dispatch as a trailing argument (same device buffers each
+            # call); public signatures stay weight-free.  They must NOT be
+            # closure constants of the jitted step — a traced-over concrete
+            # array is embedded as an HLO literal (ops/logpolar.py)
+            def call(*args):
+                return fn(*args, self._srw())
+
+            return call
+
         if mesh is not None:
             batch = NamedSharding(mesh, P(axis_name))
             rep = NamedSharding(mesh, P())
             out_sh = PipelineOutput(batch, batch, batch, batch, rep, batch, batch)
             out_lr_sh = LongRangeOutput(batch, batch, batch, batch, rep)
-            sh = (batch,) * 2 + (batch,) * 3 + (rep,) + (batch,)
+            # trailing rep: the replicated SR weight tuple (prefix sharding)
+            sh = (batch,) * 2 + (batch,) * 3 + (rep,) + (batch,) + (rep,)
             sh_lr = (batch,) * 2 + (batch,) * 4 + (rep,)
-            self.step = jax.jit(step, in_shardings=sh, out_shardings=out_sh)
-            self.step_pre = jax.jit(step_pre, in_shardings=sh, out_shardings=out_sh)
+            self.step = _inject_srw(
+                jax.jit(step, in_shardings=sh, out_shardings=out_sh)
+            )
+            self.step_pre = _inject_srw(
+                jax.jit(step_pre, in_shardings=sh, out_shardings=out_sh)
+            )
             if step_pre_carried is not None:
                 # extra prev_lp input rides the batch axis, as does the
                 # returned curr_lp carry
-                sh_c = (batch,) * 3 + (batch,) * 3 + (rep,) + (batch,)
-                self.step_pre_carried = jax.jit(
-                    step_pre_carried, in_shardings=sh_c,
-                    out_shardings=(out_sh, batch),
+                sh_c = (batch,) * 3 + (batch,) * 3 + (rep,) + (batch,) + (rep,)
+                self.step_pre_carried = _inject_srw(
+                    jax.jit(
+                        step_pre_carried, in_shardings=sh_c,
+                        out_shardings=(out_sh, batch),
+                    )
                 )
             self.step_long_range = jax.jit(
                 step_lr, in_shardings=sh_lr, out_shardings=out_lr_sh
@@ -144,15 +164,30 @@ class BatchPipeline:
                 self._preprocess, in_shardings=(batch,), out_shardings=batch
             )
         else:
-            self.step = jax.jit(step)
-            self.step_pre = jax.jit(step_pre)
+            self.step = _inject_srw(jax.jit(step))
+            self.step_pre = _inject_srw(jax.jit(step_pre))
             if step_pre_carried is not None:
-                self.step_pre_carried = jax.jit(step_pre_carried)
+                self.step_pre_carried = _inject_srw(jax.jit(step_pre_carried))
             self.step_long_range = jax.jit(step_lr)
             self.step_long_range_pre = jax.jit(step_lr_pre)
             #: jitted preprocess alone — for callers (FleetServer) that cache
             #: the preprocessed frame as carried state and dispatch step_pre
             self.preprocess = jax.jit(self._preprocess)
+
+    def _srw(self) -> tuple:
+        sr = self.scale_rotation
+        if sr is None:
+            return ()
+        if self.mesh is None:
+            return sr.lp_weights
+        # replicate ONCE across the mesh; handing pjit a single-device array
+        # would reshard all ~64 MB of weights on every dispatch
+        if self._srw_replicated is None:
+            rep = NamedSharding(self.mesh, P())
+            self._srw_replicated = tuple(
+                jax.device_put(w, rep) for w in sr.lp_weights
+            )
+        return self._srw_replicated
 
     def _preprocess(self, raw: jnp.ndarray) -> jnp.ndarray:
         # grayscale inputs keep their dtype: the flow kernel streams uint8
@@ -199,17 +234,20 @@ class BatchPipeline:
             # FleetServer's shape: the previous log-polar images are carried
             # state, so each tick pays ONE resample per stream — and the SR
             # leg lives INSIDE the same device program as flow + geometry
-            # (one dispatch per tick, the node path's fusion discipline)
+            # (one dispatch per tick, the node path's fusion discipline).
+            # ``sr_w``: the estimator's precomputed log-polar weights,
+            # threaded as arguments (ops/logpolar.py module comment)
             def step_carried(prev, curr, prev_lp, heights, dts, rate_quats,
-                             c2b, keys):
-                lp_c, sr_res = sr.step_batch_carried(prev_lp, curr)
+                             c2b, keys, sr_w):
+                lp_c, sr_res = sr.step_batch_carried_w(prev_lp, curr, sr_w)
                 out = core(prev, curr, heights, dts, rate_quats, c2b, keys,
                            (sr_res.scale, sr_res.rotation))
                 return out, lp_c
 
             return step_carried
 
-        def step(prev_raw, curr_raw, heights, dts, rate_quats, c2b, keys):
+        def step(prev_raw, curr_raw, heights, dts, rate_quats, c2b, keys,
+                 sr_w):
             # pre=True: inputs are already preprocessed [B, F, F] frames (a
             # FleetServer carries the preprocessed prev — no double work)
             prev = prev_raw if pre else self._preprocess(prev_raw)
@@ -217,7 +255,7 @@ class BatchPipeline:
             sr_pair = (None, None)
             if sr is not None:
                 # stateless pairs (ServingLoop): both frames resampled
-                sr_res = sr.step_batch(prev, curr)
+                sr_res = sr.step_batch_w(prev, curr, sr_w)
                 sr_pair = (sr_res.scale, sr_res.rotation)
             return core(prev, curr, heights, dts, rate_quats, c2b, keys,
                         sr_pair)

@@ -221,7 +221,7 @@ class FleetServer:
             self._seen = mask.copy()
             sr_scale = sr_rot = None
             if self.scale_rotation is not None:
-                self._prev_lp = jax.vmap(self.scale_rotation._logpolar)(frames)
+                self._prev_lp = self.scale_rotation.logpolar_batch(frames)
                 sr_scale = jnp.full((n,), jnp.nan)
                 sr_rot = jnp.full((n,), jnp.nan)
             zeros = jnp.zeros
@@ -266,7 +266,7 @@ class FleetServer:
             if self.scale_rotation is not None and self._prev_lp is None:
                 # e.g. resumed from a pre-scale-rotation checkpoint: rebuild
                 # the log-polar carry from the carried prev frames
-                self._prev_lp = jax.vmap(self.scale_rotation._logpolar)(self._prev)
+                self._prev_lp = self.scale_rotation.logpolar_batch(self._prev)
             if self._sr_fused:
                 # ONE device program per tick: flow + geometry + carried SR
                 out, lp_c = self.pipeline.step_pre_carried(
@@ -296,7 +296,7 @@ class FleetServer:
         sr_scale = sr_rot = None
         if self.scale_rotation is not None:
             if self._prev_lp is None:  # long-range first SR tick after resume
-                self._prev_lp = jax.vmap(self.scale_rotation._logpolar)(self._prev)
+                self._prev_lp = self.scale_rotation.logpolar_batch(self._prev)
             if self._sr_fused:
                 sr_scale_raw, sr_rot_raw = out.scale, out.rotation
             else:

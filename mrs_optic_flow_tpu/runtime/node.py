@@ -141,6 +141,9 @@ class OpticFlowNode:
             self.scale_rot_state = self.scale_rotation_estimator.init_state()
 
         # ---- sensor fusion state (the member soup of src/optic_flow.cpp:160-330)
+        # (note: the SR estimator's precomputed log-polar weights enter the
+        # frame programs through _sr_weights() as ARGUMENTS — see
+        # ops/logpolar.py on why they must not be traced-over constants)
         self.got_camera_info = False
         self.got_image = False
         self.got_height = False
@@ -340,6 +343,13 @@ class OpticFlowNode:
 
         return run
 
+    def _sr_weights(self) -> tuple:
+        """Scale/rotation log-polar weight arrays for the frame programs
+        (empty tuple when SR is off or the geometry lacks the precomputed
+        fast path); same device buffers every call — zero per-frame cost."""
+        sr = self.scale_rotation_estimator
+        return sr.lp_weights if sr is not None else ()
+
     @functools.lru_cache(maxsize=8)
     def _frame_program(self, h: int, w: int, channels: int, cx_eff: int):
         """ONE fused device program per input geometry for the short-range
@@ -368,7 +378,7 @@ class OpticFlowNode:
         sr = self.scale_rotation_estimator
 
         @jax.jit
-        def run(state, sr_state, key, img, height, dt, cam, dist, c2b,
+        def run(state, sr_state, sr_w, key, img, height, dt, cam, dist, c2b,
                 rate_quat, detilt):
             if pre_cropped:
                 gray = jnp.asarray(img, jnp.float32)
@@ -401,7 +411,9 @@ class OpticFlowNode:
             ]
             new_sr = sr_state
             if sr is not None:
-                new_sr, srres = sr.step(sr_state, gray)
+                # weights threaded as program arguments, not closure
+                # constants (ops/logpolar.py module comment)
+                new_sr, srres = sr.step_w(sr_state, gray, sr_w)
                 parts += [srres.scale[None], srres.rotation[None]]
             summary = jnp.concatenate(parts)
             return new_state, new_sr, key, gray, flow, summary
@@ -478,8 +490,8 @@ class OpticFlowNode:
         sr = self.scale_rotation_estimator
 
         @jax.jit
-        def run(state, sr_state, img, height_eff, dt, cam, c2b, roll_rate,
-                pitch_rate, cam_yaw):
+        def run(state, sr_state, sr_w, img, height_eff, dt, cam, c2b,
+                roll_rate, pitch_rate, cam_yaw):
             if pre_cropped:
                 gray = jnp.asarray(img, jnp.float32)
             else:
@@ -499,7 +511,7 @@ class OpticFlowNode:
             parts = [res.ok.astype(jnp.float32)[None], tran_b, diff_b]
             new_sr = sr_state
             if sr is not None:
-                new_sr, srres = sr.step(sr_state, gray)
+                new_sr, srres = sr.step_w(sr_state, gray, sr_w)
                 parts += [srres.scale[None], srres.rotation[None]]
             summary = jnp.concatenate(parts)
             return new_state, new_sr, gray, flow, summary
@@ -709,6 +721,7 @@ class OpticFlowNode:
                  summary_dev) = prog(
                     self.flow_state,
                     self.scale_rot_state,
+                    self._sr_weights(),
                     self._key,
                     jnp.asarray(img),
                     jnp.float32(height),
@@ -778,6 +791,7 @@ class OpticFlowNode:
             (self.flow_state, self.scale_rot_state, gray, flow, summary_dev) = prog(
                 self.flow_state,
                 self.scale_rot_state,
+                self._sr_weights(),
                 jnp.asarray(img),
                 jnp.float32(height / (np.cos(self.imu_pitch) * np.cos(self.imu_roll))),
                 jnp.float32(self.dt),
@@ -923,6 +937,7 @@ class OpticFlowNode:
                         self.engine.init_state(),
                         (self.scale_rotation_estimator.init_state()
                          if self.scale_rotation_estimator is not None else None),
+                        self._sr_weights(),
                         jnp.zeros(shape, jnp.uint8),
                         jnp.float32(1.0), jnp.float32(0.05),
                         jnp.asarray(self.camera_matrix, jnp.float32),

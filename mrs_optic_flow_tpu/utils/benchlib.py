@@ -223,7 +223,7 @@ def measure_device_chain_latency(
     dtv = jnp.float32(0.02)
 
     @jax.jit
-    def chain(state, sr_state, frames, keys, bias, n):
+    def chain(state, sr_state, sr_w, frames, keys, bias, n):
         def body(carry):
             i, st, sr_st, acc = carry
             img = jax.lax.dynamic_index_in_dim(frames, i, keepdims=False)
@@ -239,7 +239,9 @@ def measure_device_chain_latency(
             acc = (acc + jnp.nansum(tran_b) + jnp.nansum(ang)
                    + jnp.sum(res.ok.astype(jnp.float32)))
             if scale_rotation is not None:
-                sr_st, srres = scale_rotation.step(sr_st, gray)
+                # weights threaded as chain arguments, never closure
+                # constants (ops/logpolar.py module comment)
+                sr_st, srres = scale_rotation.step_w(sr_st, gray, sr_w)
                 acc = acc + jnp.nan_to_num(srres.scale) + jnp.nan_to_num(srres.rotation)
             return i + 1, new_state, sr_st, acc
         # scalar checksum — run() materializes it to the host, which is the
@@ -264,12 +266,13 @@ def measure_device_chain_latency(
     keys = jax.random.split(jax.random.PRNGKey(0), k)
 
     sr_state0 = None if scale_rotation is None else scale_rotation.init_state()
+    sr_w = () if scale_rotation is None else scale_rotation.lp_weights
 
     def build(kk):
         holder = {"state": engine.init_state()}
 
         def run(i):
-            st, chk = chain(holder["state"], sr_state0, frames, keys,
+            st, chk = chain(holder["state"], sr_state0, sr_w, frames, keys,
                             jnp.float32(i) * 1e-3, jnp.int32(kk))
             float(chk)
             holder["state"] = st

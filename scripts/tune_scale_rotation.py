@@ -58,11 +58,13 @@ def measure_step_scan(eng, k=128, reps=9, warmup=2):
     from mrs_optic_flow_tpu.utils.benchlib import measure_scan_slope
 
     @jax.jit
-    def chain(state, frames, bias):
+    def chain(state, frames, bias, sr_w):
+        # sr_w: precomputed log-polar weights as ARGUMENTS — traced-over
+        # concrete arrays would be embedded as HLO literals (ops/logpolar.py)
         def body(st, frame):
             # the value-distinct bias must not promote the uint8 frames to
             # f32 (that would disable the resample's 8-bit-exact fast path)
-            st, res = eng.step(st, frame + bias.astype(frame.dtype))
+            st, res = eng.step_w(st, frame + bias.astype(frame.dtype), sr_w)
             return st, (res.scale, res.rotation)
 
         st, outs = jax.lax.scan(body, state, frames)
@@ -75,7 +77,9 @@ def measure_step_scan(eng, k=128, reps=9, warmup=2):
         def run(i):
             # integer-valued bias: i*1e-2 would truncate to 0 in the uint8
             # cast, losing the per-rep value-distinctness the link requires
-            st, chk = chain(holder["state"], frames, jnp.float32(1 + i))
+            st, chk = chain(
+                holder["state"], frames, jnp.float32(1 + i), eng.lp_weights
+            )
             float(chk)  # host materialization — the only guaranteed wait
             holder["state"] = st
 
@@ -99,11 +103,11 @@ def measure_batch_carried(eng, b=16, t=24, reps=9, warmup=2):
 
     def make_chain(tt):
         @jax.jit
-        def chain(lp, bias):
+        def chain(lp, bias, sr_w):
             def body(lp, tick):
                 # keep the frames uint8 (see measure_step_scan)
                 shifted = frames0 + (bias + tick).astype(frames0.dtype)
-                lp, res = eng.step_batch_carried(lp, shifted)
+                lp, res = eng.step_batch_carried_w(lp, shifted, sr_w)
                 return lp, (res.scale, res.rotation)
 
             lp, outs = jax.lax.scan(body, lp, jnp.arange(tt, dtype=jnp.float32))
@@ -113,11 +117,11 @@ def measure_batch_carried(eng, b=16, t=24, reps=9, warmup=2):
 
     def build(tt):
         chain = make_chain(tt)
-        holder = {"lp": jax.vmap(eng._logpolar)(frames0)}
+        holder = {"lp": eng.logpolar_batch(frames0)}
 
         def run(i):
             # integer-valued bias (see measure_step_scan)
-            lp, chk = chain(holder["lp"], jnp.float32(1 + i))
+            lp, chk = chain(holder["lp"], jnp.float32(1 + i), eng.lp_weights)
             float(chk)  # host materialization — the only guaranteed wait
             holder["lp"] = lp
 

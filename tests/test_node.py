@@ -430,6 +430,34 @@ def test_scale_rotation_through_node():
     assert abs(sr[-1]["yaw_rate"]) < 0.5
 
 
+def test_warmup_with_scale_rotation():
+    """``warmup()`` pre-compiles the SR-fused frame programs too — every
+    program call site must thread the estimator's precomputed log-polar
+    weights (``node._sr_weights()``); the long-range warmup leg once missed
+    the argument and broke only with ``scale_rotation: true``."""
+    published = []
+    # tiny geometry keeps the CPU compile fast; lp res 64 has the 8-fold
+    # symmetry, so the precomputed-weight path (the one with the extra
+    # program argument) is active
+    node = _make_node(
+        published,
+        scale_rotation=True,
+        scale_rot_lp_resolution=64,
+        mrs_optic_flow={
+            "frame_size": 128, "sample_point_size": 16, "scale_factor": 1,
+        },
+    )
+    from mrs_optic_flow_tpu.runtime.msgs import CameraInfo
+
+    # intrinsics sized to the tiny 128 px test frame (cx/cy centered)
+    node.on_camera_info(CameraInfo(
+        k=[120.0, 0, 64.0, 0, 120.0, 64.0, 0, 0, 1], d=[0.0] * 5))
+    assert node.scale_rotation_estimator.lp_plan is not None
+    assert node.warmup((128, 128)) > 0.0
+    # warmup must not leak the synthetic frames into the SR carry
+    assert bool(node.scale_rot_state.first)
+
+
 def test_scale_rotation_yaml_knobs():
     """scale_rot_interp / scale_rot_lp_resolution reach the estimator from
     the YAML surface (CLAUDE.md parity-knob convention) and drive end to
