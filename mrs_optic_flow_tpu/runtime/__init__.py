@@ -39,6 +39,14 @@ from mrs_optic_flow_tpu.runtime.node import OpticFlowNode  # noqa: F401
 from mrs_optic_flow_tpu.runtime.profiler import Profiler  # noqa: F401
 from mrs_optic_flow_tpu.runtime.ros2_bridge import Ros2Bridge  # noqa: F401
 from mrs_optic_flow_tpu.runtime.ros_bridge import RosBridge  # noqa: F401
-from mrs_optic_flow_tpu.runtime.rosbag import BagReader, replay_bag  # noqa: F401
-from mrs_optic_flow_tpu.runtime.rosbag2 import Bag2Reader, replay_bag2  # noqa: F401
+from mrs_optic_flow_tpu.runtime.rosbag import (  # noqa: F401
+    BagReader,
+    BagWriter,
+    replay_bag,
+)
+from mrs_optic_flow_tpu.runtime.rosbag2 import (  # noqa: F401
+    Bag2Reader,
+    Bag2Writer,
+    replay_bag2,
+)
 from mrs_optic_flow_tpu.runtime.stream import FrameStream, SyntheticScene  # noqa: F401

@@ -232,6 +232,43 @@ class FlightSimulator:
                 bag.write("/image_raw", "sensor_msgs/Image", s.t,
                           rb.encode_image_msg(ImageMsg(stamp=s.t, data=img)))
 
+    def record_bag2(self, path: str, frames: Optional[Sequence[np.ndarray]] = None):
+        """Write the flight as a ROS2 rosbag2 directory
+        (``runtime.rosbag2.Bag2Writer``: sqlite3 storage + metadata.yaml,
+        CDR serialization) — the ROS2 twin of :meth:`record_bag`, replayed
+        by ``replay_bag2`` / stock ``ros2 bag play``."""
+        from mrs_optic_flow_tpu.runtime import rosbag2 as rb2
+
+        if frames is None:
+            frames = self.frames()
+        info = self.scene.camera_info()
+        with rb2.Bag2Writer(path) as bag:
+            bag.write(
+                "/camera_info", "sensor_msgs/msg/CameraInfo",
+                self.samples[0].t - 1.0,
+                rb2.encode_camera_info_msg(
+                    info, self.samples[0].t - 1.0,
+                    shape=(self.scene.height_px, self.scene.width),
+                ),
+            )
+            for s, img in zip(self.samples, frames):
+                q = tuple(np_quat_from_rpy(0.0, 0.0, s.yaw))
+                bag.write("/imu", "sensor_msgs/msg/Imu", s.t - 1e-4,
+                          rb2.encode_imu_msg(Imu(
+                              stamp=s.t,
+                              angular_velocity=(0.0, 0.0, s.yaw_rate),
+                              orientation=q)))
+                bag.write("/odometry", "nav_msgs/msg/Odometry", s.t - 1e-4,
+                          rb2.encode_odometry_msg(Odometry(
+                              stamp=s.t, orientation=q,
+                              linear_velocity=tuple(s.vel),
+                              angular_velocity=(0.0, 0.0, s.yaw_rate))))
+                bag.write("/height", "mrs_msgs/msg/Float64Stamped", s.t - 1e-4,
+                          rb2.encode_float64_stamped_msg(Float64Stamped(
+                              stamp=s.t, value=float(s.pos[2]))))
+                bag.write("/image_raw", "sensor_msgs/msg/Image", s.t,
+                          rb2.encode_image_msg(ImageMsg(stamp=s.t, data=img)))
+
 
 @dataclasses.dataclass
 class FlightReport:

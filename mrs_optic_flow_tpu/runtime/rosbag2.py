@@ -31,6 +31,13 @@ half of the replay surface with the stdlib:
 The CLI accepts it directly: ``python -m mrs_optic_flow_tpu --replay
 flight_dir/`` (or ``--replay flight.db3`` / ``flight.mcap``);
 ``--bag-info`` understands every format.
+
+Writing: :class:`Bag2Writer` produces the standard bag-directory layout
+(one sqlite3 storage file + ``metadata.yaml``) with plain-CDR messages
+(:class:`_CdrEnc` + the ``encode_*_msg`` twins of the decoders above) —
+the ROS2 counterpart of :class:`.rosbag.BagWriter`, used by
+``FlightSimulator.record_bag2`` so synthetic flights archive through the
+same artifact format real ROS2 recordings replay from.
 """
 
 from __future__ import annotations
@@ -771,3 +778,276 @@ def replay_bag2(
             camera_frame, uav_frame,
             roles=_ROLES2, tf_types=_TF_TYPES2, tf_decode=decode_tf_message,
         )
+
+
+# ------------------------------------------------------------------ #
+# minimal rosbag2 writer (sqlite3 storage)                            #
+# ------------------------------------------------------------------ #
+
+
+class _CdrEnc:
+    """Little-endian plain-CDR (XCDR1) serializer — the inverse of
+    :class:`_Cdr`: 4-byte encapsulation header (``00 01 00 00`` = LE),
+    then size-aligned primitives relative to byte 4."""
+
+    __slots__ = ("parts", "off")
+
+    def __init__(self):
+        self.parts: List[bytes] = [b"\x00\x01\x00\x00"]
+        self.off = 0  # bytes written past the encapsulation header
+
+    def _align(self, n: int) -> None:
+        pad = (-self.off) % n
+        if pad:
+            self.parts.append(b"\x00" * pad)
+            self.off += pad
+
+    def _pack(self, fmt: str, size: int, v) -> None:
+        self._align(size)
+        self.parts.append(struct.pack("<" + fmt, v))
+        self.off += size
+
+    def u8(self, v: int):
+        self._pack("B", 1, v)
+
+    def u32(self, v: int):
+        self._pack("I", 4, v)
+
+    def i32(self, v: int):
+        self._pack("i", 4, v)
+
+    def f64(self, v: float):
+        self._pack("d", 8, float(v))
+
+    def f64s(self, vs):
+        vs = [float(v) for v in vs]
+        self._align(8)
+        self.parts.append(struct.pack(f"<{len(vs)}d", *vs))
+        self.off += 8 * len(vs)
+
+    def string(self, s: str):
+        b = s.encode("utf-8") + b"\x00"  # length INCLUDES the NUL
+        self.u32(len(b))
+        self.parts.append(b)
+        self.off += len(b)
+
+    def raw(self, b: bytes):
+        self.parts.append(b)
+        self.off += len(b)
+
+    def bytes_seq(self, b: bytes):
+        self.u32(len(b))
+        self.raw(b)
+
+    def time(self, stamp: float):
+        """builtin_interfaces/Time: int32 sec + uint32 nanosec."""
+        secs = int(stamp)
+        self.i32(secs)
+        self.u32(int(round((stamp - secs) * 1e9)))
+
+    def header(self, stamp: float, frame_id: str = ""):
+        """std_msgs/Header (ROS2: stamp + frame_id, NO seq)."""
+        self.time(stamp)
+        self.string(frame_id)
+
+    def bytes(self) -> bytes:
+        return b"".join(self.parts)
+
+
+def encode_image_msg(msg, frame_id: str = "camera") -> bytes:
+    """:class:`ImageMsg` (uint8 gray or BGR) -> sensor_msgs/msg/Image CDR."""
+    import numpy as np  # noqa: PLC0415
+
+    arr = np.asarray(msg.data)
+    if arr.dtype != np.uint8:
+        arr = np.clip(np.rint(arr), 0, 255).astype(np.uint8)
+    h, w = arr.shape[:2]
+    ch = 1 if arr.ndim == 2 else arr.shape[2]
+    e = _CdrEnc()
+    e.header(msg.stamp, frame_id)
+    e.u32(h)
+    e.u32(w)
+    e.string("mono8" if ch == 1 else "bgr8")
+    e.u8(0)  # is_bigendian
+    e.u32(w * ch)
+    e.bytes_seq(np.ascontiguousarray(arr).tobytes())
+    return e.bytes()
+
+
+def encode_camera_info_msg(info, stamp: float, shape=(480, 752)) -> bytes:
+    """:class:`CameraInfo` -> sensor_msgs/msg/CameraInfo CDR."""
+    e = _CdrEnc()
+    e.header(stamp, "camera")
+    e.u32(shape[0])
+    e.u32(shape[1])
+    e.string("plumb_bob")
+    d = [float(v) for v in info.d]
+    e.u32(len(d))
+    e.f64s(d)
+    k = [float(v) for v in info.k]
+    e.f64s(k)
+    e.f64s([1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0])  # r
+    e.f64s([k[0], k[1], k[2], 0.0, k[3], k[4], k[5], 0.0,
+            k[6], k[7], k[8], 0.0])  # p
+    e.u32(int(info.binning_x))
+    e.u32(0)  # binning_y
+    e.u32(0), e.u32(0), e.u32(0), e.u32(0)  # roi
+    e.u8(0)  # roi.do_rectify
+    return e.bytes()
+
+
+def encode_imu_msg(msg) -> bytes:
+    """:class:`Imu` -> sensor_msgs/msg/Imu CDR."""
+    e = _CdrEnc()
+    e.header(msg.stamp, "fcu")
+    e.f64s(msg.orientation)
+    e.f64s([0.0] * 9)
+    e.f64s(msg.angular_velocity)
+    e.f64s([0.0] * 9)
+    e.f64s([0.0] * 3)  # linear acceleration
+    e.f64s([0.0] * 9)
+    return e.bytes()
+
+
+def encode_odometry_msg(msg) -> bytes:
+    """:class:`Odometry` -> nav_msgs/msg/Odometry CDR."""
+    e = _CdrEnc()
+    e.header(msg.stamp, "odom")
+    e.string("fcu")  # child_frame_id
+    e.f64s([0.0] * 3)  # position (not consumed by the node)
+    e.f64s(msg.orientation)
+    e.f64s([0.0] * 36)
+    e.f64s(msg.linear_velocity)
+    e.f64s(msg.angular_velocity)
+    e.f64s([0.0] * 36)
+    return e.bytes()
+
+
+def encode_float64_stamped_msg(msg) -> bytes:
+    """:class:`Float64Stamped` -> mrs_msgs/msg/Float64Stamped CDR."""
+    e = _CdrEnc()
+    e.header(msg.stamp, "")
+    e.f64(float(msg.value))
+    return e.bytes()
+
+
+class Bag2Writer:
+    """Minimal rosbag2 writer: one sqlite3 (``.db3``) storage file in a bag
+    directory plus ``metadata.yaml`` — the standard layout stock ROS2
+    tooling (``ros2 bag info/play``) and this module's :class:`Bag2Reader`
+    both open.  The ROS2 twin of :class:`.rosbag.BagWriter`: exists so
+    synthetic flights (``FlightSimulator.record_bag2``) archive through the
+    SAME offline path real ROS2 flight recordings replay from
+    (:func:`replay_bag2`).
+
+    Schema written: the rosbag2 sqlite3 storage's ``topics`` /
+    ``messages`` tables (storage v2 core, read by every storage version)
+    plus the v3+ ``schema`` version table; messages are CDR
+    (``serialization_format='cdr'``), timestamps nanoseconds."""
+
+    def __init__(self, path: str):
+        name = os.path.basename(os.path.normpath(path)) or "bag"
+        os.makedirs(path, exist_ok=True)
+        self._dir = path
+        self._rel = f"{name}_0.db3"
+        fname = os.path.join(path, self._rel)
+        if os.path.exists(fname):
+            os.remove(fname)  # never append into a stale storage file
+        self._con = sqlite3.connect(fname)
+        self._con.executescript(
+            "CREATE TABLE schema("
+            "schema_version INTEGER PRIMARY KEY, ros_distro TEXT NOT NULL);"
+            "CREATE TABLE topics("
+            "id INTEGER PRIMARY KEY, name TEXT NOT NULL, type TEXT NOT NULL,"
+            " serialization_format TEXT NOT NULL,"
+            " offered_qos_profiles TEXT NOT NULL);"
+            "CREATE TABLE messages("
+            "id INTEGER PRIMARY KEY, topic_id INTEGER NOT NULL,"
+            " timestamp INTEGER NOT NULL, data BLOB NOT NULL);"
+        )
+        self._con.execute(
+            "INSERT INTO schema(schema_version, ros_distro) VALUES (3, '')"
+        )
+        self._topics: Dict[str, int] = {}
+        self._types: Dict[str, str] = {}
+        self._counts: Dict[str, int] = {}
+        self._t_min: Optional[int] = None
+        self._t_max: Optional[int] = None
+
+    def _topic_id(self, topic: str, type_name: str) -> int:
+        tid = self._topics.get(topic)
+        if tid is None:
+            tid = len(self._topics) + 1
+            self._topics[topic] = tid
+            self._types[topic] = type_name
+            self._con.execute(
+                "INSERT INTO topics(id, name, type, serialization_format,"
+                " offered_qos_profiles) VALUES (?, ?, ?, 'cdr', '')",
+                (tid, topic, type_name),
+            )
+        return tid
+
+    def write(self, topic: str, type_name: str, stamp: float, raw: bytes):
+        """Append one CDR-serialized message at ``stamp`` [s]."""
+        tid = self._topic_id(topic, type_name)
+        ts = int(round(stamp * 1e9))
+        self._t_min = ts if self._t_min is None else min(self._t_min, ts)
+        self._t_max = ts if self._t_max is None else max(self._t_max, ts)
+        self._counts[topic] = self._counts.get(topic, 0) + 1
+        self._con.execute(
+            "INSERT INTO messages(topic_id, timestamp, data) VALUES (?, ?, ?)",
+            (tid, ts, sqlite3.Binary(raw)),
+        )
+
+    def _metadata_yaml(self) -> str:
+        t0 = self._t_min or 0
+        dur = (self._t_max or 0) - t0
+        lines = [
+            "rosbag2_bagfile_information:",
+            "  version: 5",
+            "  storage_identifier: sqlite3",
+            "  relative_file_paths:",
+            f"    - {self._rel}",
+            "  duration:",
+            f"    nanoseconds: {dur}",
+            "  starting_time:",
+            f"    nanoseconds_since_epoch: {t0}",
+            f"  message_count: {sum(self._counts.values())}",
+            "  topics_with_message_count:",
+        ]
+        for topic, tid in sorted(self._topics.items(), key=lambda kv: kv[1]):
+            lines += [
+                "    - topic_metadata:",
+                f"        name: {topic}",
+                f"        type: {self._types[topic]}",
+                "        serialization_format: cdr",
+                "        offered_qos_profiles: \"\"",
+                f"      message_count: {self._counts.get(topic, 0)}",
+            ]
+        lines += [
+            "  compression_format: \"\"",
+            "  compression_mode: \"\"",
+            "  files:",
+            f"    - path: {self._rel}",
+            f"      starting_time:",
+            f"        nanoseconds_since_epoch: {t0}",
+            "      duration:",
+            f"        nanoseconds: {dur}",
+            f"      message_count: {sum(self._counts.values())}",
+            "",
+        ]
+        return "\n".join(lines)
+
+    def close(self):
+        if self._con is not None:
+            self._con.commit()
+            self._con.close()
+            self._con = None
+            with open(os.path.join(self._dir, "metadata.yaml"), "w") as fh:
+                fh.write(self._metadata_yaml())
+
+    def __enter__(self) -> "Bag2Writer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

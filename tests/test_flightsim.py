@@ -205,3 +205,42 @@ def test_flight_rosbag_roundtrip(flight, tmp_path):
     # agree with the direct drive (same handoffs, same coverage)
     for phase, cov in rep.per_phase_coverage.items():
         assert cov >= 0.95, (phase, rep.per_phase_coverage)
+
+
+def test_flight_rosbag2_roundtrip(flight, tmp_path):
+    """The flight archives as a ROS2 rosbag2 directory (Bag2Writer: sqlite3
+    storage + metadata.yaml, CDR serialization) and drives the node through
+    the SAME offline path real ROS2 recordings use (``replay_bag2``:
+    Bag2Reader + the CDR decoders) — the ROS2 twin of the ROS1 round trip
+    above, validating writer, parser, converters, and node against
+    trajectory ground truth with one artifact."""
+    from mrs_optic_flow_tpu.runtime.rosbag2 import Bag2Reader, replay_bag2
+
+    sim, samples, frames = flight
+    path = str(tmp_path / "flight_bag2")
+    sim.record_bag2(path, frames)
+
+    with Bag2Reader(path) as reader:
+        by_type = reader.topics_by_type()
+    assert by_type["sensor_msgs/msg/Image"] == ["/image_raw"]
+    assert by_type["mrs_msgs/msg/Float64Stamped"] == ["/height"]
+
+    published = []
+    cfg = load_config(overrides={
+        "mrs_optic_flow": {"long_range_mode": "height_based",
+                           "takeoff_height": 1.2},
+    })
+    node = OpticFlowNode(
+        cfg, publish=lambda t, m: published.append((t, m)),
+        log=lambda s: None, enable_profiler=False,
+    )
+    node.set_transforms((0.0, 0.0, 0.0, 1.0))
+    n_frames = replay_bag2(node, path)
+    assert n_frames == len(samples)
+
+    rep = evaluate_flight(samples, published)
+    assert rep.rmse_xy < 0.15, rep
+    assert rep.nan_published == 0
+    assert len(rep.mode_switches) == 2, rep.mode_switches
+    for phase, cov in rep.per_phase_coverage.items():
+        assert cov >= 0.95, (phase, rep.per_phase_coverage)

@@ -755,3 +755,136 @@ def test_cli_bag_info_rosbag2(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "sensor_msgs/msg/Image" in out
     assert "/uav1/camera/image_raw" in out
+
+
+# ------------------------------------------------------------------ #
+# Bag2Writer (sqlite3 storage + metadata.yaml + CDR encoders)         #
+# ------------------------------------------------------------------ #
+# The module decoders are validated above against the independent
+# test-side serializer (_W), so round-tripping the writer's encoders
+# through them checks the encoders against a known-good reference.
+
+
+def test_bag2_encoders_roundtrip():
+    from mrs_optic_flow_tpu.runtime import rosbag2 as rb2
+    from mrs_optic_flow_tpu.runtime.msgs import (
+        CameraInfo,
+        Float64Stamped,
+        ImageMsg,
+        Imu,
+        Odometry,
+    )
+
+    img = (np.arange(13 * 7, dtype=np.uint8).reshape(13, 7) * 3) % 251
+    m = decode_image_msg(rb2.encode_image_msg(ImageMsg(stamp=4.25, data=img)))
+    assert m.stamp == pytest.approx(4.25)
+    np.testing.assert_array_equal(m.data, img)
+
+    bgr = np.dstack([img, img + 1, img + 2]).astype(np.uint8)
+    m = decode_image_msg(rb2.encode_image_msg(ImageMsg(stamp=1.0, data=bgr)))
+    np.testing.assert_array_equal(m.data, bgr)
+
+    k = [400.0, 0, 376, 0, 410.0, 240, 0, 0, 1]
+    d = [0.1, -0.05, 0.001, 0.002, 0.01]
+    info = decode_camera_info_msg(
+        rb2.encode_camera_info_msg(
+            CameraInfo(k=k, d=d, binning_x=2), 7.5, shape=(480, 752)
+        )
+    )
+    assert list(info.k) == k and list(info.d) == d
+    assert info.binning_x == 2
+
+    imu = decode_imu_msg(rb2.encode_imu_msg(Imu(
+        stamp=3.5, angular_velocity=(0.1, -0.2, 0.3),
+        orientation=(0.0, 0.1, 0.0, 0.995))))
+    assert imu.stamp == pytest.approx(3.5)
+    assert tuple(imu.angular_velocity) == pytest.approx((0.1, -0.2, 0.3))
+    assert tuple(imu.orientation) == pytest.approx((0.0, 0.1, 0.0, 0.995))
+
+    odo = decode_odometry_msg(rb2.encode_odometry_msg(Odometry(
+        stamp=9.0, orientation=(0, 0, 0.383, 0.924),
+        linear_velocity=(1.5, -0.5, 0.1), angular_velocity=(0, 0, 0.2))))
+    assert odo.stamp == pytest.approx(9.0)
+    assert tuple(odo.linear_velocity) == pytest.approx((1.5, -0.5, 0.1))
+
+    h = decode_float64_stamped_msg(rb2.encode_float64_stamped_msg(
+        Float64Stamped(stamp=2.0, value=3.75)))
+    assert (h.stamp, h.value) == (pytest.approx(2.0), pytest.approx(3.75))
+
+
+def test_bag2_writer_reader_roundtrip(tmp_path):
+    """Bag2Writer output is a directory Bag2Reader (and stock rosbag2
+    layout expectations) open: metadata.yaml + one .db3 with the topics/
+    messages/schema tables, messages in timestamp order."""
+    from mrs_optic_flow_tpu.runtime.rosbag2 import Bag2Writer
+
+    path = str(tmp_path / "written_bag")
+    with Bag2Writer(path) as w:
+        w.write("/b", "std_msgs/msg/String", 2.0, b"\x00\x01\x00\x00bb")
+        w.write("/a", "std_msgs/msg/String", 1.0, b"\x00\x01\x00\x00aa")
+        w.write("/a", "std_msgs/msg/String", 3.0, b"\x00\x01\x00\x00cc")
+
+    assert is_rosbag2(path)
+    meta = (tmp_path / "written_bag" / "metadata.yaml").read_text()
+    assert "storage_identifier: sqlite3" in meta
+    assert "written_bag_0.db3" in meta
+    assert "message_count: 3" in meta
+
+    with Bag2Reader(path) as r:
+        topics = dict(r.topic_types)
+        msgs = list(r.messages())
+    assert topics == {"/a": "std_msgs/msg/String", "/b": "std_msgs/msg/String"}
+    # storage yields timestamp order regardless of write order
+    assert [(m[0], m[1]) for m in msgs] == [(1.0, "/a"), (2.0, "/b"), (3.0, "/a")]
+    assert msgs[0][3].endswith(b"aa") and msgs[2][3].endswith(b"cc")
+
+    # metadata.yaml parses as YAML (the reader honors relative_file_paths)
+    import yaml
+
+    info = yaml.safe_load(meta)["rosbag2_bagfile_information"]
+    assert info["relative_file_paths"] == ["written_bag_0.db3"]
+    assert info["message_count"] == 3
+    assert {t["topic_metadata"]["name"]: t["message_count"]
+            for t in info["topics_with_message_count"]} == {"/a": 2, "/b": 1}
+
+
+def test_bag2_writer_replay(tmp_path):
+    """A flight written by Bag2Writer with the module's CDR encoders
+    replays through the standard replay_bag2 path and recovers velocity —
+    writer-side counterpart of test_replay_full_flight."""
+    from mrs_optic_flow_tpu.runtime import rosbag2 as rb2
+    from mrs_optic_flow_tpu.runtime.msgs import (
+        Float64Stamped,
+        ImageMsg,
+        Imu,
+        Odometry,
+    )
+
+    scene = SyntheticScene(uav_height=HEIGHT, seed=2)
+    path = str(tmp_path / "wflight")
+    with rb2.Bag2Writer(path) as w:
+        w.write("/cam/camera_info", "sensor_msgs/msg/CameraInfo", 99.0,
+                rb2.encode_camera_info_msg(scene.camera_info(), 99.0))
+        for i in range(6):
+            t = 100.0 + i * DT
+            w.write("/imu", "sensor_msgs/msg/Imu", t - 1e-4,
+                    rb2.encode_imu_msg(Imu(
+                        stamp=t, angular_velocity=(0.0, 0.0, 0.0),
+                        orientation=(0.0, 0.0, 0.0, 1.0))))
+            w.write("/odom", "nav_msgs/msg/Odometry", t - 1e-4,
+                    rb2.encode_odometry_msg(Odometry(
+                        stamp=t, orientation=(0.0, 0.0, 0.0, 1.0),
+                        linear_velocity=(V_TRUE[0], V_TRUE[1], 0.0))))
+            w.write("/height", "mrs_msgs/msg/Float64Stamped", t - 1e-4,
+                    rb2.encode_float64_stamped_msg(
+                        Float64Stamped(stamp=t, value=HEIGHT)))
+            pos = (V_TRUE[0] * i * DT, V_TRUE[1] * i * DT)
+            frame = np.clip(np.round(scene.render(pos)), 0, 255).astype(np.uint8)
+            w.write("/image", "sensor_msgs/msg/Image", t,
+                    rb2.encode_image_msg(ImageMsg(stamp=t, data=frame)))
+
+    frames, twists = _replay(path)
+    assert frames == 6
+    assert len(twists) >= 3
+    v = np.array([tw.linear[:2] for tw in twists[1:]])
+    assert np.abs(v - np.array(V_TRUE)).max() < 0.15, v
