@@ -12,7 +12,12 @@ echo "== native sanitizer stress (TSAN + ASAN) =="
 make -C native sanitize
 
 echo "== test suite =="
-python -m pytest tests/ -q
+# the FULL serial lane (slow tests included); the per-change fast lane is
+# `python -m pytest tests/ -q -m "not slow"` (see CLAUDE.md).
+# TF_CPP_MIN_LOG_LEVEL silences jaxlib 0.9's spurious AOT-loader ERROR on
+# every jit-cache hit (see tests/conftest.py) — must be set before the
+# interpreter starts, hence here and not in conftest.
+TF_CPP_MIN_LOG_LEVEL=${TF_CPP_MIN_LOG_LEVEL:-3} python -m pytest tests/ -q
 
 echo "== entry compile check =="
 python - <<'EOF'

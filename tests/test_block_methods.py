@@ -182,6 +182,7 @@ def test_scale_rotation_step_batch(rng):
         )
 
 
+@pytest.mark.slow
 def test_block_engines_step_batch(rng):
     """The FlowEngine default batched mode (vmapped step) works for both
     SAD engines and agrees with per-frame stepping."""

@@ -24,6 +24,7 @@ def test_cli_overrides(capsys):
 
 
 @pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+@pytest.mark.slow
 def test_cli_record_and_replay(tmp_path, capsys):
     rec = str(tmp_path / "run.ofrec")
     rc = main(["--synthetic", "--frames", "5", "--velocity", "0.6,0.2",
@@ -35,6 +36,7 @@ def test_cli_record_and_replay(tmp_path, capsys):
     assert "twists from 5 replay frames" in out
 
 
+@pytest.mark.slow
 def test_cli_fleet(capsys):
     # default 480/120 geometry: a 96-px crop gives the homography
     # decomposition a ~13-degree FOV and the velocity estimate falls apart

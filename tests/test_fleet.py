@@ -1,5 +1,7 @@
 """FleetServer: per-stream state + batched dispatch semantics."""
 
+import pytest
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -27,6 +29,7 @@ def _fleet_frames(rng, n, t, base):
     )
 
 
+@pytest.mark.slow
 def test_fleet_recovers_per_stream_velocity(rng):
     n = 4
     base = (smooth_random_image(rng, 64) * 127 + 128).astype(np.uint8)
@@ -269,6 +272,7 @@ def test_fleet_checkpoint_logpolar_carry_validated(tmp_path, rng):
         d.load_state(path)
 
 
+@pytest.mark.slow
 def test_fleet_scale_rotation_fused_in_pipeline(rng):
     """A pipeline built with ``scale_rotation=`` runs the SR leg INSIDE the
     tick program (one dispatch: ``BatchPipeline.step_pre_carried``); the

@@ -496,6 +496,7 @@ def test_middle_singular_value_closed_form(rng):
         np.testing.assert_allclose(got, ref, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_get_rt_batch_matches_per_sample(rng):
     """The batch-last serving geometry (geometry/batched.py) agrees with the
     reference per-sample chain on consensus-stable data — RANSAC draws

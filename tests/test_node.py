@@ -271,6 +271,7 @@ def test_node_gui_headless_disables(monkeypatch):
     assert sum("gui disabled" in s for s in logs) == 1
 
 
+@pytest.mark.slow
 def test_profiler_collects():
     published = []
     node = _make_node(published)
@@ -284,6 +285,7 @@ def test_profiler_collects():
     assert "frame_program" in report
 
 
+@pytest.mark.slow
 def test_diagnostics_topics():
     """The reference advertises velocity_stddev_out / max_velocity_out /
     allsac_chosen_out without ever publishing (src/optic_flow.cpp:1036-1045);
@@ -303,6 +305,7 @@ def test_diagnostics_topics():
     assert stddev and all(len(s) == 3 for s in stddev)
 
 
+@pytest.mark.slow
 def test_checkpoint_resume(tmp_path):
     """save_state/load_state: a restored node continues without the
     first-frame glitch (no checkpointing exists in the reference —
@@ -411,6 +414,7 @@ def test_odometry_diff_ang_rate_source():
     np.testing.assert_allclose(rate_yaw, yaw_rate, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_scale_rotation_through_node():
     """scale_rotation: true -> the log-polar estimator publishes
     scale_rotation_out (wiring the reference left commented out,
@@ -430,6 +434,7 @@ def test_scale_rotation_through_node():
     assert abs(sr[-1]["yaw_rate"]) < 0.5
 
 
+@pytest.mark.slow
 def test_warmup_with_scale_rotation():
     """``warmup()`` pre-compiles the SR-fused frame programs too — every
     program call site must thread the estimator's precomputed log-polar
@@ -458,6 +463,7 @@ def test_warmup_with_scale_rotation():
     assert bool(node.scale_rot_state.first)
 
 
+@pytest.mark.slow
 def test_scale_rotation_yaml_knobs():
     """scale_rot_interp / scale_rot_lp_resolution reach the estimator from
     the YAML surface (CLAUDE.md parity-knob convention) and drive end to
@@ -480,6 +486,7 @@ def test_scale_rotation_yaml_knobs():
     assert len(sr) >= 1 and abs(sr[-1]["scale"] - 1.0) < 0.15
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_scale_rotation(tmp_path):
     """The node checkpoint carries the scale/rotation log-polar state (like
     the FleetServer's prev_lp), so a resume keeps estimating instead of
@@ -572,6 +579,7 @@ def test_e2e_tilted_flight():
     assert np.all(err < 0.2), (v.mean(0), v_true)
 
 
+@pytest.mark.slow
 def test_node_block_matching_method():
     """Methods 3/5 end-to-end through the node (the reference refuses them,
     src/optic_flow.cpp:953-1011; here the single aggregated vector goes
@@ -607,6 +615,7 @@ def test_node_block_matching_method():
         assert np.abs(got - np.array(v)).max() < 0.45, (method, got)
 
 
+@pytest.mark.slow
 def test_filter_method_variants():
     """filter_method (allsac / ransac / average) is live on the
     block-matching path — per-cell velocities consensus-fused."""
@@ -769,6 +778,7 @@ def _run_host_pre_stream(published, *, bgr: bool, host_preprocess: bool):
     return node, spy
 
 
+@pytest.mark.slow
 def test_host_preprocess_matches_device_path():
     """tpu.host_preprocess: the native fused uint8 gray+crop feeds the
     pre-cropped device program and the twists match the on-device
@@ -790,6 +800,7 @@ def test_host_preprocess_matches_device_path():
     assert np.abs(v_h[1:] - np.array(V_TRUE)).max() < 0.15
 
 
+@pytest.mark.slow
 def test_host_preprocess_fallbacks():
     """Ineligible inputs (float32 frames) fall back to device preprocessing;
     an unavailable native library disables the path without breaking the

@@ -243,6 +243,7 @@ def test_frames_pallas_uint8_direct_bit_identical(rng):
     np.testing.assert_array_equal(np.asarray(m8), np.asarray(mf))
 
 
+@pytest.mark.slow
 def test_frames_pallas_stacking_knobs_agree(rng):
     """band_stack / pairs_per_step regroup the matmul streams without
     changing any dot product — outputs must match the default exactly."""

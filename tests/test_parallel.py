@@ -48,6 +48,7 @@ def test_sharded_flow_step(rng):
     assert np.abs(np.nanmedian(s - np.array([2.0, 1.0]), axis=(0, 1))).max() < 0.3
 
 
+@pytest.mark.slow
 def test_batch_pipeline_sharded_matches_unsharded(rng):
     b = 8
     prev = np.stack([smooth_random_image(rng, 64) for _ in range(b)])
@@ -81,6 +82,7 @@ def test_batch_pipeline_sharded_matches_unsharded(rng):
     )
 
 
+@pytest.mark.slow
 def test_batch_pipeline_uint8_sharded(rng):
     """uint8 frames ride the sharded serving path (the 8-bit streaming fast
     path must not break under a mesh) and match the float32 results."""

@@ -337,6 +337,7 @@ def test_builtin_stamp_normalized():
     assert (st.sec, st.nanosec) == (10, 250000000)
 
 
+@pytest.mark.slow
 def test_warmup_spins_for_camera_info():
     """warmup() before any camera_info spins the executor on the topic
     first — the reference's timerCamInit wait; a silent topic raises at

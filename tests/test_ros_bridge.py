@@ -407,6 +407,7 @@ def test_tf_provider_math():
             FakeTfBuffer(fail=1), make_fake_rospy(), "fcu", "camera")()
 
 
+@pytest.mark.slow
 def test_warmup_waits_for_camera_info():
     """warmup() before any camera_info blocks on the topic first — the
     reference's timerCamInit wait (src/optic_flow.cpp:1102-1158)."""
@@ -442,6 +443,7 @@ def _pub(rospy, topic):
     return next(p for p in rospy._pubs if p.topic == "~" + topic)
 
 
+@pytest.mark.slow
 def test_e2e_ros_flight():
     """Synthetic constant-velocity flight pushed through the ROS callbacks:
     the bridge resolves TFs from the (initially failing) fake tf2 buffer,

@@ -299,6 +299,7 @@ def _replay(path, **kw):
     return frames, twists
 
 
+@pytest.mark.slow
 def test_replay_full_flight(tmp_path):
     """All five topics recorded: the node recovers the true velocity from
     the bag alone, like the live graph would feed it."""
@@ -322,12 +323,14 @@ def test_replay_image_only_bag(tmp_path):
     assert np.abs(v - np.array(V_TRUE)).max() < 0.15, v
 
 
+@pytest.mark.slow
 def test_replay_limit(tmp_path):
     path = _flight_bag(tmp_path, full=False, n_frames=5)
     frames, _ = _replay(path, limit=2)
     assert frames == 2
 
 
+@pytest.mark.slow
 def test_cli_replay_bag(tmp_path, capsys):
     from mrs_optic_flow_tpu.__main__ import main
 
@@ -376,6 +379,7 @@ def test_lz4_without_module_raises(tmp_path):
         list(BagReader(str(p)).messages())
 
 
+@pytest.mark.slow
 def test_decode_compressed_image(tmp_path):
     """sensor_msgs/CompressedImage: png-encoded frames decode through cv2
     and replay like raw Image topics."""
@@ -411,6 +415,7 @@ def test_decode_compressed_image(tmp_path):
     assert np.abs(v - np.array(V_TRUE)).max() < 0.15, v
 
 
+@pytest.mark.slow
 def test_cli_bag_topic_pins_role(tmp_path, capsys):
     """--bag-topic image=... resolves an ambiguous two-camera bag."""
     from mrs_optic_flow_tpu.__main__ import main
@@ -615,6 +620,7 @@ def test_tf_tree_composes_chains():
     assert tree.lookup("fcu", "nowhere") is None
 
 
+@pytest.mark.slow
 def test_replay_tf_from_bag(tmp_path):
     """camera->body resolves from /tf_static via a two-hop chain; without
     the frames the node stays gated on transforms (nothing publishes)."""

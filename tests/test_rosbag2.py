@@ -736,6 +736,7 @@ def test_height_accepts_std_msgs_variant(tmp_path):
 # ------------------------------------------------------------------ #
 
 
+@pytest.mark.slow
 def test_cli_replay_db3(tmp_path, capsys):
     from mrs_optic_flow_tpu.__main__ import main
 
@@ -848,6 +849,7 @@ def test_bag2_writer_reader_roundtrip(tmp_path):
             for t in info["topics_with_message_count"]} == {"/a": 2, "/b": 1}
 
 
+@pytest.mark.slow
 def test_bag2_writer_replay(tmp_path):
     """A flight written by Bag2Writer with the module's CDR encoders
     replays through the standard replay_bag2 path and recovers velocity —

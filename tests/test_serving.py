@@ -37,6 +37,7 @@ def test_serving_loop_batches(rng):
     assert sum(r.ok for r in results) >= 5
 
 
+@pytest.mark.slow
 def test_serving_uint8_matches_float32(rng):
     """uint8 frames cross host->device as-is (4x fewer bytes) and must give
     bit-identical results to pre-converted float32 frames (the pipeline casts
@@ -128,6 +129,7 @@ def test_serving_depth_pipelining(rng, depth):
         np.testing.assert_allclose(a.shifts, b.shifts, atol=1e-5, equal_nan=True)
 
 
+@pytest.mark.slow
 def test_serving_carries_scale_rotation(rng):
     """A pipeline built with ``scale_rotation=`` surfaces per-pair scale /
     rotation through ServingLoop (stateless pairs: both frames resampled —
