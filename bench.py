@@ -17,13 +17,24 @@ Set BENCH_MXU_PASSES to pin a single mode.  Per-frame latency percentiles
   PIPELINE batches in flight (a streaming consumer's shape); every batch's
   shifts are materialized on the host.
 
-Prints ONE JSON line:
+Wedge resilience (the round-3 lesson: one stuck device pool erased the
+round's entire hardware evidence):
+
+- a PRE-FLIGHT LINK PROBE (tiny matmul + host readback in a child process
+  under its own alarm) detects a wedged pool in seconds and names it in the
+  JSON instead of burning the whole budget hanging, with a bounded
+  backoff-and-retry loop inside the alarm budget (``bench_guard``);
+- INCREMENTAL EMISSION: every milestone prints the full current record as a
+  flushed JSON line (``"provisional": true`` until the final one), so a
+  late wedge can never erase an early measurement — consumers take the
+  last line on stdout.
+
+The final line is the complete record:
   {"metric": "flow_frame_pairs_per_sec", "value": N, "unit": "fps",
-   "vs_baseline": N / 2000}
+   "vs_baseline": N / 2000, ...}
 (baseline: BASELINE.md target of 2,000 frame-pairs/sec/chip.)
 """
 
-import json
 import os
 import sys
 
@@ -31,7 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # fail fast instead of hanging the driver if the device link is wedged —
 # with a raising handler so partial results still print as the JSON line
-from bench_guard import install_alarm
+from bench_guard import Emitter, install_alarm, probe_link_with_retry
 
 _BUDGET_S = install_alarm(540)
 
@@ -63,7 +74,7 @@ PIPELINE = int(os.environ.get("BENCH_PIPELINE", "8"))
 BASELINE_FPS = 2000.0
 
 
-def _measure_fps(passes: int, prev, curr) -> float:
+def _measure_fps(passes: int, prev, curr, progress=None) -> float:
     on_tpu = jax.default_backend() == "tpu"
     engine = FftMethod(
         FftMethodConfig(backend="dft", use_pallas=on_tpu, mxu_passes=passes)
@@ -80,7 +91,8 @@ def _measure_fps(passes: int, prev, curr) -> float:
 
     chained = make_chained(step)
     return measure_chained(
-        chained, prev, curr, items_per_call=BATCH, iters=ITERS, pipeline=PIPELINE
+        chained, prev, curr, items_per_call=BATCH, iters=ITERS,
+        pipeline=PIPELINE, progress=progress,
     )
 
 
@@ -90,6 +102,22 @@ def main():
     # the fast mode (1 = 0.02 px) measured alongside
     pinned = os.environ.get("BENCH_MXU_PASSES")
     passes = int(pinned) if pinned else 3
+
+    em = Emitter({
+        "metric": "flow_frame_pairs_per_sec",
+        "unit": "fps",
+        "mxu_passes": passes,
+    })
+
+    # ---- pre-flight link probe (BENCH_PROBE=0 skips, e.g. CPU runs) ----
+    # A wedged pool hangs every device touch including backend init; the
+    # probe detects that in a child process in seconds, names it in the
+    # JSON, and retries after backoff inside the alarm budget instead of
+    # silently burning the whole budget (the BENCH_r03 failure mode).
+    if os.environ.get("BENCH_PROBE", "1") != "0":
+        if not probe_link_with_retry(em, _remaining):
+            em.emit(final=True)  # carries the last probe failure
+            raise SystemExit(1)
 
     # 752x480 capture -> 480x480 crop happens upstream; the flow engine's
     # input contract is the cropped frame.  Frames are uint8 — the camera
@@ -107,34 +135,33 @@ def main():
         return (jax.random.bits(kp, shape, jnp.uint8),
                 jax.random.bits(kc, shape, jnp.uint8))
 
-    record = {
-        "metric": "flow_frame_pairs_per_sec",
-        "unit": "fps",
-        "mxu_passes": passes,
-    }
     try:
-        # first device touch: a wedged pool hangs HERE (inside backend init),
-        # not in the measurement — name the phase so an infra failure can't
+        # first device touch in THIS process: a wedge that develops after
+        # the probe hangs here — name the phase so an infra failure can't
         # be mistaken for a perf regression
         prev, curr = _make_inputs(jax.random.PRNGKey(0))
-        record["backend"] = jax.default_backend()
+        em.update(backend=jax.default_backend())
     except Exception as e:  # noqa: BLE001 — init must report, whatever broke
-        record["error"] = f"device init failed: {type(e).__name__}: {e}"
-        print(json.dumps(record))
+        em.emit(final=True, error=f"device init failed: {type(e).__name__}: {e}")
         raise SystemExit(1)
     try:
-        fps = _measure_fps(passes, prev, curr)
-        record["value"] = round(fps, 1)
-        record["vs_baseline"] = round(fps / BASELINE_FPS, 3)
+        # the first timed window's rate is emitted immediately (provisional)
+        # — a wedge during refinement can no longer erase the measurement
+        fps = _measure_fps(
+            passes, prev, curr,
+            progress=lambda r: em.emit(
+                value=round(r, 1), vs_baseline=round(r / BASELINE_FPS, 3)
+            ),
+        )
+        em.update(value=round(fps, 1), vs_baseline=round(fps / BASELINE_FPS, 3))
+        em.emit()
     except TimeoutError as e:
-        record["error"] = str(e)
-        print(json.dumps(record))
+        em.emit(final=True, error=str(e))
         raise SystemExit(1)
-    except Exception as e:  # noqa: BLE001 — the one-JSON-line contract
-        # holds for every phase: a transient runtime/RPC failure mid-headline
+    except Exception as e:  # noqa: BLE001 — the JSON-line contract holds
+        # for every phase: a transient runtime/RPC failure mid-headline
         # must still print a parseable record naming the failing phase
-        record["error"] = f"headline failed: {type(e).__name__}: {e}"
-        print(json.dumps(record))
+        em.emit(final=True, error=f"headline failed: {type(e).__name__}: {e}")
         raise SystemExit(1)
     # the optional sections each pay fresh compiles (the tunnelled axon
     # backend cannot persist executables — utils/cache.py), so gate them on
@@ -143,19 +170,18 @@ def main():
     if not pinned:
         if _remaining() > 90:
             try:
-                record["value_fast"] = round(_measure_fps(1, prev, curr), 1)
+                em.emit(value_fast=round(_measure_fps(1, prev, curr), 1))
             except TimeoutError as e:
                 # the alarm fires ONCE — swallowing it here would leave the
                 # rest of the run unprotected against a wedged device link
-                record["value_fast_error"] = str(e)
-                print(json.dumps(record))
+                em.emit(final=True, value_fast_error=str(e))
                 raise SystemExit(1)
             except Exception as e:  # noqa: BLE001 — headline must still print
-                record["value_fast_error"] = f"{type(e).__name__}: {e}"
+                em.update(value_fast_error=f"{type(e).__name__}: {e}")
         else:
-            record["value_fast_skipped"] = "budget"
+            em.update(value_fast_skipped="budget")
     if os.environ.get("BENCH_LATENCY", "1") != "0" and _remaining() < 210:
-        record["latency_skipped"] = "budget"
+        em.update(latency_skipped="budget")
     elif os.environ.get("BENCH_LATENCY", "1") != "0":
         try:
             from mrs_optic_flow_tpu.utils.benchlib import (
@@ -166,19 +192,21 @@ def main():
             dev = measure_device_chain_latency(
                 int(os.environ.get("BENCH_LATENCY_K", "100"))
             )
+            em.emit(
+                latency_device_ms=round(dev["per_frame_ms"], 4),
+                # BASELINE.md's second target (<= 2 ms device-side per-frame
+                # chain) re-proven per round, as a ratio like vs_baseline:
+                # >1 = under target by that factor
+                latency_vs_target=round(2.0 / max(dev["per_frame_ms"], 1e-9), 2),
+            )
             # 300 frames keeps the driver bench inside its timeout; the full
             # >=1000-frame artifact lives in bench_latency.py
             e2e = measure_node_latency(
                 int(os.environ.get("BENCH_LATENCY_FRAMES", "300"))
             )
-            record.update(
-                latency_device_ms=round(dev["per_frame_ms"], 4),
+            em.emit(
                 latency_p50_ms=round(e2e["p50_ms"], 3),
                 latency_p99_ms=round(e2e["p99_ms"], 3),
-                # BASELINE.md's second target (<= 2 ms device-side per-frame
-                # chain) re-proven per round, as a ratio like vs_baseline:
-                # >1 = under target by that factor
-                latency_vs_target=round(2.0 / max(dev["per_frame_ms"], 1e-9), 2),
             )
             if _remaining() > 150:
                 # tpu.host_preprocess: the native fused gray+crop uploads
@@ -189,16 +217,15 @@ def main():
                     int(os.environ.get("BENCH_LATENCY_FRAMES", "300")),
                     overrides={"tpu": {"host_preprocess": True}},
                 )
-                record["latency_p50_hostpre_ms"] = round(hp["p50_ms"], 3)
+                em.update(latency_p50_hostpre_ms=round(hp["p50_ms"], 3))
             else:
-                record["latency_hostpre_skipped"] = "budget"
+                em.update(latency_hostpre_skipped="budget")
         except TimeoutError as e:  # see above — never swallow the one alarm
-            record["latency_error"] = str(e)
-            print(json.dumps(record))
+            em.emit(final=True, latency_error=str(e))
             raise SystemExit(1)
         except Exception as e:  # noqa: BLE001 — headline must still print
-            record["latency_error"] = f"{type(e).__name__}: {e}"
-    print(json.dumps(record))
+            em.update(latency_error=f"{type(e).__name__}: {e}")
+    em.emit(final=True)
 
 
 if __name__ == "__main__":

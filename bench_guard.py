@@ -19,8 +19,12 @@ only works before ``import jax``.
 
 from __future__ import annotations
 
+import json
 import os
 import signal
+import sys
+import tempfile
+import time
 
 
 def _timeout(signum, frame):
@@ -42,3 +46,145 @@ def clear_axon_env() -> None:
     TPU through the registered plugin."""
     if os.environ.get("JAX_PLATFORMS") == "axon":
         os.environ["JAX_PLATFORMS"] = ""
+
+
+class Emitter:
+    """Incremental one-JSON-line benchmark record.
+
+    Round 3's whole hardware evidence was erased by a single device-pool
+    wedge because the benchmark was all-or-nothing: one record printed at
+    the very end, nothing if any phase hung.  This emitter inverts that:
+    every ``emit()`` prints the FULL current record as one flushed JSON
+    line, so however the process dies afterwards (alarm, wedge, driver
+    kill), the LAST complete line on stdout is the best measurement so
+    far.  Non-final emissions carry ``"provisional": true``; the final one
+    drops the flag.  Consumers that take the last JSON line (or the only
+    one, when nothing interrupts the run) see a parseable record either
+    way.
+    """
+
+    def __init__(self, record: dict | None = None, stream=None):
+        self.record = dict(record or {})
+        self.stream = stream if stream is not None else sys.stdout
+
+    def update(self, **fields) -> None:
+        self.record.update(fields)
+
+    def emit(self, final: bool = False, **fields) -> None:
+        self.record.update(fields)
+        rec = dict(self.record)
+        if final:
+            rec.pop("provisional", None)
+        else:
+            rec["provisional"] = True
+        print(json.dumps(rec), file=self.stream, flush=True)
+
+
+#: the probe child: a tiny matmul + HOST READBACK (the only wait that truly
+#: covers execution through the tunnelled backend) under its own raising
+#: alarm, so it always exits cleanly and releases its pool claim.  Run as a
+#: SUBPROCESS: the pool claim is per-process, and a wedge detected here
+#: leaves the parent's own (not-yet-created) client untouched.
+_PROBE_SOURCE = """
+import os, signal, sys, time
+def _h(signum, frame):
+    print("PROBE_TIMEOUT", flush=True)
+    raise SystemExit(3)
+signal.signal(signal.SIGALRM, _h)
+signal.alarm(int(os.environ.get("PROBE_BUDGET_S", "90")))
+t0 = time.time()
+import jax, jax.numpy as jnp
+x = jnp.ones((256, 256)) @ jnp.ones((256, 256))
+v = float(x[0, 0])
+print("PROBE_OK value=%s backend=%s total=%.1fs"
+      % (v, jax.default_backend(), time.time() - t0), flush=True)
+sys.exit(0)
+"""
+
+
+def probe_link(budget_s: int = 90, *, wait_slack_s: int = 25,
+               _argv=None) -> tuple:
+    """Pre-flight device-link health probe in a child process.
+
+    Returns ``(status, detail)`` with status one of:
+
+    - ``"ok"`` — matmul + readback completed; the pool is healthy;
+    - ``"timeout"`` — the child's alarm fired (pool wedged / claim stuck);
+    - ``"abandoned"`` — the child did not exit even past its alarm (SIGALRM
+      delivery can be deferred while blocked inside an init RPC).  The
+      child is LEFT RUNNING — killing a TPU client mid-claim is exactly
+      what wedges the pool for every later process (verify SKILL.md) — and
+      it exits on its own when the signal finally lands;
+    - ``"error"`` — the child failed some other way (import error, ...).
+
+    ``_argv`` overrides the child command line (tests substitute a stub).
+    """
+    import subprocess
+
+    env = dict(os.environ, PROBE_BUDGET_S=str(int(budget_s)))
+    argv = _argv or [sys.executable, "-c", _PROBE_SOURCE]
+    # stdout to a real file, not a pipe: an abandoned child writing to a
+    # closed pipe would die of SIGPIPE mid-RPC — itself a wedge risk
+    with tempfile.NamedTemporaryFile(
+        mode="w+", suffix=".probe.log", delete=False
+    ) as logf:
+        proc = subprocess.Popen(
+            argv, env=env, stdout=logf, stderr=subprocess.STDOUT
+        )
+        try:
+            rc = proc.wait(timeout=budget_s + wait_slack_s)
+        except subprocess.TimeoutExpired:
+            return "abandoned", (
+                "probe stuck past its internal alarm (pool wedged; "
+                "child left running to exit cleanly on its own)"
+            )
+        logf.seek(0)
+        tail = logf.read().strip().splitlines()
+    last = tail[-1] if tail else ""
+    if rc == 0:
+        return "ok", last
+    if rc == 3:
+        return "timeout", "pool wedged (probe timeout)"
+    return "error", f"probe rc={rc}: {last[-300:]}"
+
+
+def probe_link_with_retry(
+    emitter: "Emitter",
+    remaining_s,
+    *,
+    budget_s: int = 90,
+    backoff_s: int = 75,
+    reserve_s: int = 60,
+    sleep=time.sleep,
+    _probe=None,
+) -> bool:
+    """Bounded probe → backoff → retry loop in front of the measurement.
+
+    ``remaining_s``: zero-arg callable returning seconds left in the outer
+    alarm budget.  Each failed attempt is emitted as a provisional record
+    naming the failure (so even a never-recovering pool leaves parseable
+    evidence), then the loop backs off — a killed/hammered claim-wait can
+    EXTEND a wedge — and retries while enough budget remains for another
+    attempt plus ``reserve_s`` to report.  Returns True once a probe
+    passes; False when the budget is exhausted (the caller should emit the
+    final error record and exit nonzero)."""
+    probe = _probe or probe_link
+    attempt = 0
+    while True:
+        attempt += 1
+        left = remaining_s()
+        if attempt > 1 and left < budget_s + reserve_s:
+            return False
+        status, detail = probe(min(budget_s, max(int(left - reserve_s), 30)))
+        if status == "ok":
+            # a recovered pool clears the earlier attempts' error field —
+            # the final record must not carry a stale failure
+            emitter.record.pop("error", None)
+            emitter.update(probe=detail, probe_attempts=attempt)
+            return True
+        emitter.emit(error=f"link probe failed ({status}): {detail}",
+                     probe_attempts=attempt)
+        left = remaining_s()
+        if left < backoff_s + budget_s + reserve_s:
+            return False
+        sleep(backoff_s)

@@ -300,12 +300,17 @@ def measure_chained(
     iters: int = 16,
     pipeline: int = 1,
     warmup: int = 3,
+    progress: Callable[[float], None] | None = None,
 ) -> float:
     """Steady-state items/sec of a :func:`make_chained` function.
 
     ``pipeline`` calls are kept in flight per timed window (a streaming
     consumer's shape); every window's results are materialized on the host.
     Returns the p50 of per-window rates (robust to scheduler jitter).
+
+    ``progress``, when given, is called ONCE with the first timed window's
+    rate as soon as it lands — the incremental-emission hook that lets
+    ``bench.py`` print a provisional headline a wedge can no longer erase.
     """
     p, s = chained(prev, curr)
     np.asarray(s)
@@ -322,5 +327,7 @@ def measure_chained(
         for s in pending:
             np.asarray(s)
         times.append(time.perf_counter() - t0)
+        if progress is not None and len(times) == 1:
+            progress(items_per_call * pipeline / times[0])
     times.sort()
     return items_per_call * pipeline / times[len(times) // 2]

@@ -1,0 +1,270 @@
+"""Wedge-resilience of the benchmark harness (``bench_guard`` + ``bench.py``).
+
+Round 3's hardware evidence was erased by a single device-pool wedge: the
+benchmark was one all-or-nothing measurement inside one alarm, so a hang
+yielded a JSON line with no value at all (VERDICT round 3, weak item 1).
+These tests pin the three defenses on CPU:
+
+- the incremental :class:`bench_guard.Emitter` (every emission a full,
+  parseable, flushed JSON line; ``provisional`` dropped only on the final);
+- the child-process link probe (:func:`bench_guard.probe_link`) and its
+  bounded backoff-retry loop, including the never-kill-a-TPU-client rule
+  (an over-alarm child is ABANDONED, not killed — a kill mid-claim is what
+  wedges the pool, .claude/skills/verify/SKILL.md);
+- ``bench.py``'s orchestration: a run interrupted mid-flight (TimeoutError
+  after the first measured window) still leaves a parseable record carrying
+  the provisional headline value.
+"""
+
+import io
+import json
+import os
+import signal
+import sys
+import textwrap
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench_guard
+from bench_guard import Emitter, probe_link, probe_link_with_retry
+
+
+# ---------------------------------------------------------------------- #
+# Emitter                                                                #
+# ---------------------------------------------------------------------- #
+
+
+def test_emitter_every_line_parseable_and_provisional_flagged():
+    buf = io.StringIO()
+    em = Emitter({"metric": "m", "unit": "fps"}, stream=buf)
+    em.emit(value=1.0)
+    em.emit(value_fast=2.0)
+    em.emit(final=True)
+    lines = buf.getvalue().strip().splitlines()
+    recs = [json.loads(line) for line in lines]
+    assert len(recs) == 3
+    assert recs[0] == {"metric": "m", "unit": "fps", "value": 1.0,
+                       "provisional": True}
+    # fields accumulate: every line is the FULL record so far
+    assert recs[1]["value"] == 1.0 and recs[1]["value_fast"] == 2.0
+    assert recs[1]["provisional"] is True
+    # the final line carries everything and drops the flag
+    assert "provisional" not in recs[-1]
+    assert recs[-1]["value"] == 1.0 and recs[-1]["value_fast"] == 2.0
+
+
+def test_emitter_interrupted_run_leaves_best_measurement():
+    """The partial-emission contract: die at ANY point after the first
+    emission and the last stdout line is a parseable record with the
+    measurement."""
+    buf = io.StringIO()
+    em = Emitter({"metric": "m"}, stream=buf)
+    try:
+        em.emit(value=59931.7)
+        raise TimeoutError("wedge mid-refinement")
+    except TimeoutError:
+        pass
+    last = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert last["value"] == 59931.7
+    assert last["provisional"] is True
+
+
+# ---------------------------------------------------------------------- #
+# probe_link (stub children — no device anywhere near these)             #
+# ---------------------------------------------------------------------- #
+
+
+def _stub(code: str):
+    return [sys.executable, "-c", textwrap.dedent(code)]
+
+
+def test_probe_link_ok():
+    status, detail = probe_link(5, _argv=_stub(
+        "print('PROBE_OK value=256.0 backend=stub total=0.0s')"
+    ))
+    assert status == "ok"
+    assert "PROBE_OK" in detail
+
+
+def test_probe_link_timeout_names_the_wedge():
+    # rc=3 is the child's own-alarm exit — the wedge signature
+    status, detail = probe_link(5, _argv=_stub(
+        "print('PROBE_TIMEOUT'); raise SystemExit(3)"
+    ))
+    assert status == "timeout"
+    assert "wedged" in detail
+
+
+def test_probe_link_error_reports_tail():
+    status, detail = probe_link(5, _argv=_stub(
+        "print('boom: no such backend'); raise SystemExit(5)"
+    ))
+    assert status == "error"
+    assert "rc=5" in detail and "no such backend" in detail
+
+
+def test_probe_link_abandons_stuck_child_without_killing():
+    """A child that outlives its alarm (SIGALRM deferred inside an RPC) is
+    abandoned, not killed: the parent returns promptly and the child exits
+    on its own — asserted via a marker file the child writes at its natural
+    exit."""
+    import tempfile
+    import time
+
+    marker = tempfile.mktemp(suffix=".probe-exit")
+    status, detail = probe_link(
+        0, wait_slack_s=1,
+        _argv=_stub(f"""
+            import time, atexit
+            atexit.register(lambda: open({marker!r}, 'w').write('clean'))
+            time.sleep(3)
+        """),
+    )
+    assert status == "abandoned"
+    assert "left running" in detail
+    # the child was NOT killed: it finishes its sleep and exits cleanly
+    deadline = time.time() + 10
+    while not os.path.exists(marker) and time.time() < deadline:
+        time.sleep(0.1)
+    assert os.path.exists(marker), "stuck child should exit on its own"
+    os.remove(marker)
+
+
+# ---------------------------------------------------------------------- #
+# probe_link_with_retry                                                  #
+# ---------------------------------------------------------------------- #
+
+
+def test_retry_loop_recovers_and_clears_error():
+    em = Emitter({"metric": "m"}, stream=io.StringIO())
+    outcomes = iter([("timeout", "pool wedged (probe timeout)"),
+                     ("ok", "PROBE_OK")])
+    slept = []
+    ok = probe_link_with_retry(
+        em, lambda: 1000.0, budget_s=5, backoff_s=7,
+        sleep=slept.append, _probe=lambda b: next(outcomes),
+    )
+    assert ok
+    assert slept == [7]
+    assert em.record["probe_attempts"] == 2
+    # the recovered pool must not leave a stale failure in the final record
+    assert "error" not in em.record
+    # the failed attempt WAS emitted (evidence even if the pool never
+    # recovered)
+    lines = em.stream.getvalue().strip().splitlines()
+    assert json.loads(lines[0])["error"].startswith("link probe failed")
+
+
+def test_retry_loop_gives_up_inside_budget():
+    em = Emitter({"metric": "m"}, stream=io.StringIO())
+    remaining = [400.0]
+
+    def fake_probe(budget):
+        remaining[0] -= 100.0
+        return "timeout", "pool wedged (probe timeout)"
+
+    def fake_sleep(s):
+        remaining[0] -= s
+
+    ok = probe_link_with_retry(
+        em, lambda: remaining[0], budget_s=90, backoff_s=75,
+        sleep=fake_sleep, _probe=fake_probe,
+    )
+    assert not ok
+    assert "pool wedged" in em.record["error"]
+    assert em.record["probe_attempts"] >= 2
+    # it stopped while there was still budget to report (reserve honored)
+    assert remaining[0] > 0
+
+
+# ---------------------------------------------------------------------- #
+# bench.py orchestration (CPU, measurement stubbed)                      #
+# ---------------------------------------------------------------------- #
+
+
+@pytest.fixture
+def bench_module(monkeypatch):
+    import time
+
+    import bench  # arms a real 540 s SIGALRM at import — disarm for the suite
+
+    signal.alarm(0)
+    monkeypatch.setattr(bench, "BATCH", 2)  # _make_inputs stays trivial
+    # the module-level budget clock started at import, long before this
+    # test — reset it so the in-test budget gates behave as at process start
+    monkeypatch.setattr(bench, "_T0", time.monotonic())
+    monkeypatch.setattr(bench, "_BUDGET_S", 10_000)
+    monkeypatch.setenv("BENCH_PROBE", "0")
+    monkeypatch.setenv("BENCH_LATENCY", "0")
+    monkeypatch.delenv("BENCH_MXU_PASSES", raising=False)
+    yield bench
+    signal.alarm(0)
+
+
+def test_bench_interrupted_midflight_keeps_provisional_value(
+    bench_module, monkeypatch, capsys
+):
+    """The VERDICT round-3 scenario: the pool wedges AFTER the first
+    measured window.  The run dies nonzero, but stdout's last line is a
+    parseable record carrying the provisional headline."""
+
+    def fake_measure(passes, prev, curr, progress=None):
+        if progress is not None:
+            progress(1234.5)  # first window landed -> provisional emission
+        raise TimeoutError("BENCH_TIMEOUT_S exceeded")
+
+    monkeypatch.setattr(bench_module, "_measure_fps", fake_measure)
+    with pytest.raises(SystemExit) as exc:
+        bench_module.main()
+    assert exc.value.code == 1
+    lines = [line for line in capsys.readouterr().out.splitlines()
+             if line.startswith("{")]
+    recs = [json.loads(line) for line in lines]
+    assert recs[-2]["value"] == 1234.5 and recs[-2]["provisional"] is True
+    # the final error record still carries the measured value
+    assert recs[-1]["value"] == 1234.5
+    assert "error" in recs[-1] and "provisional" not in recs[-1]
+
+
+def test_bench_clean_run_emits_final_record(bench_module, monkeypatch, capsys):
+    rates = iter([50000.0, 80000.0])
+    monkeypatch.setattr(
+        bench_module, "_measure_fps",
+        lambda passes, prev, curr, progress=None: next(rates),
+    )
+    bench_module.main()
+    lines = [line for line in capsys.readouterr().out.splitlines()
+             if line.startswith("{")]
+    recs = [json.loads(line) for line in lines]
+    final = recs[-1]
+    assert "provisional" not in final
+    assert final["value"] == 50000.0 and final["value_fast"] == 80000.0
+    assert final["vs_baseline"] == 25.0
+    # every earlier line parseable and marked provisional
+    for r in recs[:-1]:
+        assert r["provisional"] is True
+
+
+def test_bench_wedged_probe_reports_and_exits(bench_module, monkeypatch, capsys):
+    monkeypatch.setenv("BENCH_PROBE", "1")
+    monkeypatch.setattr(
+        bench_guard, "probe_link",
+        lambda budget, **kw: ("timeout", "pool wedged (probe timeout)"),
+    )
+    # bench calls probe_link_with_retry which defaults _probe=None ->
+    # bench_guard.probe_link, so the patch above takes effect; shrink the
+    # budget so the loop gives up after one backoff-less attempt
+    import time
+
+    monkeypatch.setattr(bench_module, "_T0", time.monotonic())
+    monkeypatch.setattr(bench_module, "_BUDGET_S", 1)
+    with pytest.raises(SystemExit) as exc:
+        bench_module.main()
+    assert exc.value.code == 1
+    lines = [line for line in capsys.readouterr().out.splitlines()
+             if line.startswith("{")]
+    final = json.loads(lines[-1])
+    assert "pool wedged" in final["error"]
+    assert "value" not in final
