@@ -78,6 +78,18 @@ class ScaleRotationConfig:
     #: the dense one-hot weight temporaries (``ops/logpolar.py``); tuned by
     #: ``scripts/tune_scale_rotation.py``
     lp_rows_per_chunk: int = 8
+    #: streams per ``lax.map`` step of the BATCHED resample
+    #: (``step_batch*``): a plain vmap multiplies the x-pass ``t1``
+    #: temporaries by the stream count ([B, p8, yln, cc] — ~240 MB at 16
+    #: streams x production geometry), pushing the y-pass to HBM; the
+    #: per-stream matmuls are already MXU-sized (M = p8*cc ~ 7.8k), so
+    #: chunking streams recovers the single-stream rate (measured in
+    #: ``scripts/tune_scale_rotation.py``; docs/PERFORMANCE.md).  0 disables
+    #: chunking (plain vmap) — the right mode under a MESH, where the batch
+    #: axis is sharded (a ``lax.map`` over chunks would serialize across
+    #: devices) and the per-device slice is small anyway; ``BatchPipeline``
+    #: selects that automatically.
+    lp_batch_chunk: int = 2
     #: round incoming float grays to uint8 before the log-polar resample —
     #: the reference feeds its 8-bit gray pipeline into ``cv::logPolar``
     #: (``src/scaleRotationEstimator.cpp:108-113`` on the CV_8UC1 imCurr),
@@ -188,6 +200,33 @@ class ScaleRotationEstimator:
 
         return quantize_u8(lp)
 
+    def _logpolar_batch_w(
+        self, frames: jnp.ndarray, weights: tuple
+    ) -> jnp.ndarray:
+        """Batched resample ``[B, n, n] -> [B, lp, lp]``, processed
+        ``lp_batch_chunk`` streams per ``lax.map`` step.
+
+        The round-3 fleet penalty (0.816 vs 0.315 ms/frame/stream at 16
+        streams, docs/PERFORMANCE.md) was a plain ``vmap``: the x-pass
+        ``t1`` temporaries scale with the stream batch and spill the y-pass
+        to HBM.  Chunking bounds them at ``lp_batch_chunk`` streams; the
+        MXU utilization is carried by the per-stream matmul sizes, not the
+        stream batch, so small chunks cost nothing."""
+        b = frames.shape[0]
+        g = min(int(self.config.lp_batch_chunk), b)
+        one = lambda f: self._logpolar_w(f, weights)  # noqa: E731
+        if g <= 0 or b <= g:
+            return jax.vmap(one)(frames)
+        n_chunks = -(-b // g)
+        pad = n_chunks * g - b
+        if pad:
+            frames = jnp.concatenate(
+                [frames, jnp.zeros((pad,) + frames.shape[1:], frames.dtype)]
+            )
+        chunked = frames.reshape((n_chunks, g) + frames.shape[1:])
+        out = jax.lax.map(jax.vmap(one), chunked)
+        return out.reshape((n_chunks * g,) + out.shape[2:])[:b]
+
     def _correlate(self, lp_c: jnp.ndarray, lp_p: jnp.ndarray):
         """Phase-correlate log-polar images ``[..., N, N]`` on the MXU path;
         returns ``(shift [..., 2], maxval [...])``."""
@@ -247,10 +286,11 @@ class ScaleRotationEstimator:
         per-pair (scale [B], rotation [B]).  The throughput/fleet analogue
         of :meth:`step` (no reference equivalent — the reference is strictly
         frame-to-frame); same decode as ``src/scaleRotationEstimator.cpp:
-        117-124``.  The log-polar resample is vmapped; the correlation runs
-        as ONE batched MXU program."""
-        lp_p = jax.vmap(lambda f: self._logpolar_w(f, weights))(prev_frames)
-        lp_c = jax.vmap(lambda f: self._logpolar_w(f, weights))(curr_frames)
+        117-124``.  The log-polar resample runs ``lp_batch_chunk`` streams
+        per ``lax.map`` step (:meth:`_logpolar_batch_w`); the correlation
+        runs as ONE batched MXU program."""
+        lp_p = self._logpolar_batch_w(prev_frames, weights)
+        lp_c = self._logpolar_batch_w(curr_frames, weights)
         shift, _resp = self._correlate(lp_c, lp_p)
         scale, rot = self._decode(shift, jnp.zeros(shift.shape[:-1], bool))
         return ScaleRotResult(scale=scale, rotation=rot)
@@ -263,7 +303,7 @@ class ScaleRotationEstimator:
         FleetServer's preprocessed ``prev``), so each tick pays ONE log-polar
         resample per stream instead of two.  Returns ``(curr_lp, result)``;
         feed ``curr_lp`` back as the next tick's ``prev_lp``."""
-        lp_c = jax.vmap(lambda f: self._logpolar_w(f, weights))(curr_frames)
+        lp_c = self._logpolar_batch_w(curr_frames, weights)
         shift, _resp = self._correlate(lp_c, prev_lp)
         scale, rot = self._decode(shift, jnp.zeros(shift.shape[:-1], bool))
         return lp_c, ScaleRotResult(scale=scale, rotation=rot)
@@ -303,7 +343,7 @@ class ScaleRotationEstimator:
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def _logpolar_batch_jit(self, frames, weights):
-        return jax.vmap(lambda f: self._logpolar_w(f, weights))(frames)
+        return self._logpolar_batch_w(frames, weights)
 
     def logpolar_batch(self, frames: jnp.ndarray) -> jnp.ndarray:
         """Jitted batched resample ``[B, N, N] -> [B, lp, lp]`` — the fleet

@@ -101,14 +101,32 @@ class BatchPipeline:
         self.ransac_iterations = ransac_iterations
         self.mesh = mesh
         self.axis_name = axis_name
-        self.scale_rotation = scale_rotation
-        self._srw_replicated = None
         if scale_rotation is not None and (
             scale_rotation.config.resolution != self.frame_size
         ):
             raise ValueError(
                 "scale_rotation.resolution must equal the pipeline frame size"
             )
+        if (
+            mesh is not None
+            and scale_rotation is not None
+            and scale_rotation.config.lp_batch_chunk
+        ):
+            # stream chunking is a SINGLE-DEVICE HBM-pressure fix (a lax.map
+            # over chunks would serialize across the sharded batch axis, and
+            # the per-device slice under a mesh is small anyway) — swap in a
+            # vmap-mode clone; plan/weight caches are shared by geometry
+            import dataclasses as _dc
+
+            from mrs_optic_flow_tpu.models.scale_rotation import (
+                ScaleRotationEstimator as _SRE,
+            )
+
+            scale_rotation = _SRE(
+                _dc.replace(scale_rotation.config, lp_batch_chunk=0)
+            )
+        self.scale_rotation = scale_rotation
+        self._srw_replicated = None
 
         step = self._build_step(pre=False)
         step_pre = self._build_step(pre=True)

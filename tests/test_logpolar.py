@@ -355,6 +355,56 @@ def test_scale_rotation_estimator_weight_paths(rng):
     assert np.isfinite(float(r.scale))
 
 
+def test_scale_rotation_batch_chunking_matches_vmap(rng):
+    """The stream-chunked batched resample (``lp_batch_chunk``, the round-4
+    fix for the 2.6x carried-SR fleet penalty — docs/PERFORMANCE.md) is a
+    pure scheduling change: chunked, vmap (chunk 0), odd-batch (padded), and
+    chunk>batch modes must produce identical log-polar images and identical
+    batched/carried decodes."""
+    import dataclasses
+
+    from mrs_optic_flow_tpu.models import ScaleRotationConfig, ScaleRotationEstimator
+
+    base = _texture(rng, 64)
+    frames = jnp.asarray(
+        np.stack([np.roll(base, i, axis=1) for i in range(5)])  # odd batch
+    )
+    cfg = ScaleRotationConfig(resolution=64, magnitude=12.0, lp_batch_chunk=2)
+    engines = {
+        "chunk2": ScaleRotationEstimator(cfg),
+        "vmap": ScaleRotationEstimator(
+            dataclasses.replace(cfg, lp_batch_chunk=0)
+        ),
+        "chunk_big": ScaleRotationEstimator(
+            dataclasses.replace(cfg, lp_batch_chunk=16)
+        ),
+    }
+    lps = {k: np.asarray(e.logpolar_batch(frames)) for k, e in engines.items()}
+    np.testing.assert_array_equal(lps["chunk2"], lps["vmap"])
+    np.testing.assert_array_equal(lps["chunk_big"], lps["vmap"])
+
+    prev = jnp.asarray(np.stack([base] * 5))
+    res = {
+        k: e.step_batch(prev, frames) for k, e in engines.items()
+    }
+    np.testing.assert_allclose(
+        np.asarray(res["chunk2"].scale), np.asarray(res["vmap"].scale),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res["chunk2"].rotation), np.asarray(res["vmap"].rotation),
+        atol=1e-6,
+    )
+    # carried mode chunks too
+    lp_prev = engines["vmap"].logpolar_batch(prev)
+    lp_c2, r_c2 = engines["chunk2"].step_batch_carried(lp_prev, frames)
+    lp_v, r_v = engines["vmap"].step_batch_carried(lp_prev, frames)
+    np.testing.assert_array_equal(np.asarray(lp_c2), np.asarray(lp_v))
+    np.testing.assert_allclose(
+        np.asarray(r_c2.rotation), np.asarray(r_v.rotation), atol=1e-6
+    )
+
+
 def test_scale_rotation_decode_accuracy_by_interp(rng):
     """Quantify the decode-accuracy cost of bilinear vs Lanczos4 log-polar
     resampling (VERDICT.md round 1, item 9): rotation and scale recovery on
