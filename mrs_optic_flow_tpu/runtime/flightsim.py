@@ -46,13 +46,21 @@ class FlightSample:
     yaw: float  # [rad]
     yaw_rate: float  # [rad/s] over the preceding interval
     tracker: str  # active MRS tracker name
-    phase: str  # "takeoff" | "cruise" | "descent"
+    phase: str  # "takeoff" | "cruise" | "descent" | "climb" | "brake"
+    #: bank attitude (acceleration-consistent roll/pitch; zero on the
+    #: level-flight profile) and its rates — rendered into the frames AND
+    #: fed to the IMU stream, so the detilt chain
+    #: (``src/optic_flow.cpp:1692-1746``) is exercised for real
+    roll: float = 0.0
+    pitch: float = 0.0
+    roll_rate: float = 0.0
+    pitch_rate: float = 0.0
 
     @property
     def vel_body(self) -> np.ndarray:
-        """World velocity expressed in the yaw-rotated body frame — the
-        frame the node's published twist lives in (c2b = identity, detilt
-        removes only roll/pitch: ``src/optic_flow.cpp:1694-1702``)."""
+        """World velocity expressed in the yaw-rotated UNTILTED body frame —
+        the frame the node's published twist lives in (detilt removes
+        roll/pitch, keeps yaw: ``src/optic_flow.cpp:1694-1702``)."""
         c, s = np.cos(self.yaw), np.sin(self.yaw)
         r_wb = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
         return r_wb.T @ self.vel
@@ -125,6 +133,125 @@ def takeoff_cruise_descent_profile(
     return samples
 
 
+def _attitude_from_accel(a_xy: np.ndarray, yaw: float, g: float = 9.81):
+    """Acceleration-consistent bank attitude (roll, pitch) [rad].
+
+    A multirotor accelerates by tilting its thrust axis: with gravity +z
+    (the scene's z-down world), hover thrust is along -z and an
+    acceleration ``a`` needs thrust along ``(a_x, a_y, -g)``, i.e. body
+    z-axis along ``(-a_x, -a_y, g)``.  Solving
+    ``Rz(yaw)·Ry(pitch)·Rx(roll) @ z = that direction`` gives, with
+    ``u = Rz(yaw)^T @ (-a_x, -a_y, g)`` normalized:
+    ``roll = -asin(u_y)``, ``pitch = atan2(u_x, u_z)``."""
+    c, s = np.cos(yaw), np.sin(yaw)
+    ax_b = c * a_xy[0] + s * a_xy[1]
+    ay_b = -s * a_xy[0] + c * a_xy[1]
+    u = np.array([-ax_b, -ay_b, g])
+    u = u / np.linalg.norm(u)
+    roll = -np.arcsin(np.clip(u[1], -1.0, 1.0))
+    pitch = np.arctan2(u[0], u[2])
+    return float(roll), float(pitch)
+
+
+def banked_flight_profile(
+    *,
+    dt: float = 0.05,
+    t0: float = 100.0,
+    climb_frames: int = 16,
+    cruise_frames: int = 10,
+    brake_frames: int = 14,
+    descent_frames: int = 20,
+    h0: float = 1.5,
+    h_cruise: float = 2.0,
+    h_final: float = 1.4,
+    v_cruise_xy: Tuple[float, float] = (0.9, 0.3),
+    descent_yaw_rate: float = 0.35,
+    g: float = 9.81,
+) -> List[FlightSample]:
+    """An acceleration-rich flight whose attitude BANKS with every commanded
+    acceleration — the trajectory-level exercise of the detilt chain
+    (``src/optic_flow.cpp:1692-1746``) that the level
+    :func:`takeoff_cruise_descent_profile` never produces (its phases fly
+    constant velocities, so roll = pitch = 0 on every frame):
+
+    - **climb**: accelerate 0 -> ``v_cruise_xy`` (cosine-eased velocity, so
+      the acceleration — and the bank — ramps smoothly to ~``pi/2 *
+      |v_cruise| / (climb_frames*dt) / g`` rad, ~0.19 rad at the defaults)
+      WHILE climbing ``h0 -> h_cruise``.  The simultaneous vz is what makes
+      detilt measurable: without it the un-detilted xy error is only
+      second-order (``v*(1-cos(tilt))``), with it first-order
+      (``vz*sin(tilt)``);
+    - **cruise**: constant velocity, level attitude;
+    - **brake**: decelerate to hover — bank of the opposite sign;
+    - **descent**: yawing descent as in the level profile.
+
+    Attitude follows :func:`_attitude_from_accel` on the centered
+    acceleration; the same roll/pitch (and their rates) render the frames
+    and feed the IMU stream, so the estimator sees exactly what a banking
+    UAV's camera and IMU would agree on.
+    """
+
+    def ease01(i: int, k: int) -> float:
+        return 0.5 * (1.0 - np.cos(np.pi * min(max(i, 0), k) / k))
+
+    n = climb_frames + cruise_frames + brake_frames + descent_frames + 1
+    v = np.zeros((n, 3))
+    h = np.full(n, h0)
+    yaw = np.zeros(n)
+    meta: List[Tuple[str, str]] = [("climb", "MpcTracker")]
+    vc = np.asarray(v_cruise_xy)
+    i = 1
+    for k in range(1, climb_frames + 1):
+        # velocity during the interval ending at this frame
+        v[i, :2] = vc * ease01(k, climb_frames)
+        h[i] = h0 + (h_cruise - h0) * ease01(k, climb_frames)
+        v[i, 2] = (h[i] - h[i - 1]) / dt
+        meta.append(("climb", "MpcTracker"))
+        i += 1
+    for _ in range(cruise_frames):
+        v[i, :2] = vc
+        h[i] = h_cruise
+        meta.append(("cruise", "MpcTracker"))
+        i += 1
+    for k in range(1, brake_frames + 1):
+        v[i, :2] = vc * (1.0 - ease01(k, brake_frames))
+        h[i] = h_cruise
+        meta.append(("brake", "MpcTracker"))
+        i += 1
+    for k in range(1, descent_frames + 1):
+        h[i] = h_cruise + (h_final - h_cruise) * ease01(k, descent_frames)
+        v[i, 2] = (h[i] - h[i - 1]) / dt
+        yaw[i] = yaw[i - 1] + descent_yaw_rate * dt
+        meta.append(("descent", "MpcTracker"))
+        i += 1
+
+    pos = np.zeros((n, 3))
+    pos[0, 2] = h[0]
+    for j in range(1, n):
+        pos[j, :2] = pos[j - 1, :2] + v[j, :2] * dt
+        pos[j, 2] = h[j]
+
+    # centered acceleration -> attitude, then attitude rates
+    rp = np.zeros((n, 2))
+    for j in range(n):
+        a = (v[min(j + 1, n - 1), :2] - v[max(j - 1, 0), :2]) / (
+            dt * (min(j + 1, n - 1) - max(j - 1, 0) or 1)
+        )
+        rp[j] = _attitude_from_accel(a, yaw[j], g)
+
+    samples: List[FlightSample] = []
+    for j in range(n):
+        yr = (yaw[j] - yaw[j - 1]) / dt if j else 0.0
+        rr = (rp[j, 0] - rp[j - 1, 0]) / dt if j else 0.0
+        pr = (rp[j, 1] - rp[j - 1, 1]) / dt if j else 0.0
+        samples.append(FlightSample(
+            t=t0 + j * dt, pos=pos[j].copy(), vel=v[j].copy(), yaw=yaw[j],
+            yaw_rate=yr, tracker=meta[j][1], phase=meta[j][0],
+            roll=rp[j, 0], pitch=rp[j, 1], roll_rate=rr, pitch_rate=pr,
+        ))
+    return samples
+
+
 class FlightSimulator:
     """Render a :func:`takeoff_cruise_descent_profile`-style trajectory and
     feed it — frames plus consistent sensor streams — into an
@@ -138,16 +265,37 @@ class FlightSimulator:
         scene: Optional[SyntheticScene] = None,
         seed: int = 7,
         texture_cutoff: float = 0.3,
+        mount_rpy: Tuple[float, float, float] = (0.0, 0.0, 0.0),
     ):
+        """``mount_rpy``: static camera->body mount rotation (fixed-axis
+        RPY).  The rendered camera orientation is the body attitude composed
+        with the mount, and :meth:`c2b_quat` is what the node's
+        ``set_transforms`` must be fed — the reference's camera->base TF
+        (``timerTf``, ``src/optic_flow.cpp:1176-1208``; its real camera is
+        mounted with ``cam_yaw = yaw + pi/2``)."""
         self.samples = list(samples)
         self.scene = scene or SyntheticScene(
             seed=seed, texture_cutoff=texture_cutoff
         )
+        self.mount_rpy = tuple(float(a) for a in mount_rpy)
+
+    @property
+    def c2b_quat(self) -> Tuple[float, float, float, float]:
+        """Camera->body rotation quaternion ``[x, y, z, w]`` of the mount —
+        feed to ``OpticFlowNode.set_transforms``."""
+        return tuple(np_quat_from_rpy(*self.mount_rpy))
 
     def render(self, s: FlightSample) -> np.ndarray:
+        if any(self.mount_rpy):
+            from scipy.spatial.transform import Rotation
+
+            r_wb = Rotation.from_euler("xyz", (s.roll, s.pitch, s.yaw))
+            r_bc = Rotation.from_euler("xyz", self.mount_rpy)
+            rpy = (r_wb * r_bc).as_matrix()  # world <- camera
+        else:
+            rpy = (s.roll, s.pitch, s.yaw)
         return self.scene.render_pose(
-            (float(s.pos[0]), float(s.pos[1])), (0.0, 0.0, s.yaw),
-            height=float(s.pos[2]),
+            (float(s.pos[0]), float(s.pos[1])), rpy, height=float(s.pos[2]),
         )
 
     def frames(self) -> List[np.ndarray]:
@@ -166,16 +314,16 @@ class FlightSimulator:
         stream.add("camera_info", self.samples[0].t - 1.0,
                    self.scene.camera_info())
         for s, img in zip(self.samples, frames):
-            q = tuple(np_quat_from_rpy(0.0, 0.0, s.yaw))
+            q = tuple(np_quat_from_rpy(s.roll, s.pitch, s.yaw))
+            rates = (s.roll_rate, s.pitch_rate, s.yaw_rate)
             stream.add("tracker", s.t - 2e-4, TrackerStatus(
                 active_tracker=s.tracker))
             stream.add("imu", s.t - 1e-4, Imu(
-                stamp=s.t, angular_velocity=(0.0, 0.0, s.yaw_rate),
-                orientation=q))
+                stamp=s.t, angular_velocity=rates, orientation=q))
             stream.add("odometry", s.t - 1e-4, Odometry(
                 stamp=s.t, orientation=q,
                 linear_velocity=tuple(s.vel),
-                angular_velocity=(0.0, 0.0, s.yaw_rate)))
+                angular_velocity=rates))
             stream.add("height", s.t - 1e-4, Float64Stamped(
                 stamp=s.t, value=float(s.pos[2])))
             stream.add("image", s.t, ImageMsg(stamp=s.t, data=img))
@@ -215,17 +363,19 @@ class FlightSimulator:
                 ),
             )
             for s, img in zip(self.samples, frames):
-                q = tuple(np_quat_from_rpy(0.0, 0.0, s.yaw))
+                q = tuple(np_quat_from_rpy(s.roll, s.pitch, s.yaw))
                 bag.write("/imu", "sensor_msgs/Imu", s.t - 1e-4,
                           rb.encode_imu_msg(Imu(
                               stamp=s.t,
-                              angular_velocity=(0.0, 0.0, s.yaw_rate),
+                              angular_velocity=(s.roll_rate, s.pitch_rate,
+                                                s.yaw_rate),
                               orientation=q)))
                 bag.write("/odometry", "nav_msgs/Odometry", s.t - 1e-4,
                           rb.encode_odometry_msg(Odometry(
                               stamp=s.t, orientation=q,
                               linear_velocity=tuple(s.vel),
-                              angular_velocity=(0.0, 0.0, s.yaw_rate))))
+                              angular_velocity=(s.roll_rate, s.pitch_rate,
+                                                s.yaw_rate))))
                 bag.write("/height", "mrs_msgs/Float64Stamped", s.t - 1e-4,
                           rb.encode_float64_stamped_msg(Float64Stamped(
                               stamp=s.t, value=float(s.pos[2]))))
@@ -252,17 +402,19 @@ class FlightSimulator:
                 ),
             )
             for s, img in zip(self.samples, frames):
-                q = tuple(np_quat_from_rpy(0.0, 0.0, s.yaw))
+                q = tuple(np_quat_from_rpy(s.roll, s.pitch, s.yaw))
                 bag.write("/imu", "sensor_msgs/msg/Imu", s.t - 1e-4,
                           rb2.encode_imu_msg(Imu(
                               stamp=s.t,
-                              angular_velocity=(0.0, 0.0, s.yaw_rate),
+                              angular_velocity=(s.roll_rate, s.pitch_rate,
+                                                s.yaw_rate),
                               orientation=q)))
                 bag.write("/odometry", "nav_msgs/msg/Odometry", s.t - 1e-4,
                           rb2.encode_odometry_msg(Odometry(
                               stamp=s.t, orientation=q,
                               linear_velocity=tuple(s.vel),
-                              angular_velocity=(0.0, 0.0, s.yaw_rate))))
+                              angular_velocity=(s.roll_rate, s.pitch_rate,
+                                                s.yaw_rate))))
                 bag.write("/height", "mrs_msgs/msg/Float64Stamped", s.t - 1e-4,
                           rb2.encode_float64_stamped_msg(Float64Stamped(
                               stamp=s.t, value=float(s.pos[2]))))
@@ -283,6 +435,19 @@ class FlightReport:
     mode_switches: List[int]  # frame indices where SR<->LR mode flipped
     dropped_at_switches: int  # invalid frames adjacent to a mode switch
     per_phase_coverage: dict  # phase -> published / frames
+    #: mean normalized estimation error squared, ``mean(|err|^2 / cov_xy)``
+    #: — the TWO-SIDED covariance-calibration statistic.  A perfectly
+    #: calibrated 2-dof estimate scores 2.0; the reference's 5-px error
+    #: model (``src/optic_flow.cpp:1757-1763``) deliberately over-covers
+    #: the <1 px estimator, so healthy flights score ~0.05-0.5.  Tests
+    #: bound it BELOW (over-confidence: sigma too small -> nees >> 2) and
+    #: ABOVE zero-ish (absurd under-confidence: sigma 10x too large ->
+    #: nees < 0.005) — unlike ``within_3sigma`` alone, which only ever
+    #: catches catastrophic over-confidence.
+    nees_xy: float = float("nan")
+    #: phase -> velocity RMSE [m/s] — isolates phase-local effects (e.g.
+    #: the banked climb's detilt error) that the whole-flight RMSE dilutes
+    per_phase_rmse: dict = dataclasses.field(default_factory=dict)
 
 
 def evaluate_flight(
@@ -290,17 +455,35 @@ def evaluate_flight(
     published: Sequence[Tuple[str, object]],
     *,
     warmup_frames: int = 2,
+    stamp_tol: float = 1e-3,
 ) -> FlightReport:
     """Score a flight: match each published twist (``velocity_out`` or
-    ``velocity_out_longrange``) to its ground-truth sample by stamp and
-    compute trajectory metrics.  ``published`` is the node's collected
-    ``(topic, msg)`` stream."""
-    by_stamp = {}
-    for topic, msg in published:
-        if topic in ("velocity_out", "velocity_out_longrange"):
-            by_stamp[round(float(msg.stamp), 6)] = (topic, msg)
+    ``velocity_out_longrange``) to its ground-truth sample by NEAREST stamp
+    within ``stamp_tol`` seconds (exact matching silently scored jittered
+    or resampled replays as unpublished) and compute trajectory metrics.
+    ``published`` is the node's collected ``(topic, msg)`` stream."""
+    pub = sorted(
+        ((float(msg.stamp), topic, msg) for topic, msg in published
+         if topic in ("velocity_out", "velocity_out_longrange")),
+        key=lambda r: r[0],
+    )
+    pub_stamps = np.asarray([r[0] for r in pub])
+
+    def _match(t: float):
+        if not len(pub_stamps):
+            return None
+        j = int(np.searchsorted(pub_stamps, t))
+        best = None
+        for k in (j - 1, j):
+            if 0 <= k < len(pub_stamps) and abs(pub_stamps[k] - t) <= stamp_tol:
+                if best is None or abs(pub_stamps[k] - t) < abs(
+                    pub_stamps[best] - t
+                ):
+                    best = k
+        return None if best is None else (pub[best][1], pub[best][2])
 
     errs, sigmas, phases_pub = [], [], {}
+    phase_errs: dict = {}
     n_pub = nan_pub = 0
     topics_seq = []
     phase_counts = {}
@@ -308,7 +491,7 @@ def evaluate_flight(
         if i < warmup_frames:
             continue
         phase_counts[s.phase] = phase_counts.get(s.phase, 0) + 1
-        hit = by_stamp.get(round(s.t, 6))
+        hit = _match(s.t)
         topics_seq.append(hit[0] if hit else None)
         if hit is None:
             continue
@@ -321,6 +504,7 @@ def evaluate_flight(
             continue
         err = float(np.linalg.norm(v - s.vel_body[:2]))
         errs.append(err)
+        phase_errs.setdefault(s.phase, []).append(err)
         sigmas.append(float(np.sqrt(max(np.asarray(tw.covariance)[0], 1e-12))))
 
     # mode switches: consecutive published frames on different topic families
@@ -354,5 +538,10 @@ def evaluate_flight(
         dropped_at_switches=dropped,
         per_phase_coverage={
             k: phases_pub.get(k, 0) / v for k, v in phase_counts.items()
+        },
+        nees_xy=float(np.mean((errs_a / sig_a) ** 2)),
+        per_phase_rmse={
+            k: float(np.sqrt(np.mean(np.square(v))))
+            for k, v in phase_errs.items()
         },
     )

@@ -670,7 +670,21 @@ class OpticFlowNode:
         # NOTE: the RANSAC key stream evolves inside the frame programs (one
         # less host->device dispatch per frame); self._key is a device array
         # returned by the last program invocation.
-        detilt = np_quat_from_rpy(self.imu_roll, self.imu_pitch, 0.0)  # (:1702)
+        #
+        # detilt (src/optic_flow.cpp:1702): the reference node detilts
+        # unconditionally — its tilt_correction / minimum_tilt_correction
+        # params are loaded but DEAD (FftMethod receives
+        # tilt_corr_enable=false at :1001).  Here they are LIVE:
+        # ``tilt_correction: false`` publishes in the tilted body frame, and
+        # tilts inside the ``minimum_tilt_correction`` deadband (IMU-noise
+        # suppression, the reference's config comment) are left uncorrected.
+        # The shipped defaults (true, 0.0) reproduce the reference's actual
+        # behavior; ARCHITECTURE.md deviation list.
+        tilt = float(np.hypot(self.imu_roll, self.imu_pitch))
+        if c.tilt_correction and tilt >= c.minimum_tilt_correction:
+            detilt = np_quat_from_rpy(self.imu_roll, self.imu_pitch, 0.0)
+        else:
+            detilt = np.asarray([0.0, 0.0, 0.0, 1.0])
         c2b = jnp.asarray(self.c2b_quat, jnp.float32)
 
         if not isinstance(self.engine, FftMethod):

@@ -162,6 +162,12 @@ class SyntheticScene:
     ) -> np.ndarray:
         """Frame for a camera at ``cam_xy`` with orientation ``rpy``
         (fixed-axis roll/pitch/yaw of the body; camera looks along +z down).
+        ``rpy`` may also be a 3x3 world<-camera rotation MATRIX — the
+        mounted-camera case, where the camera orientation is the body
+        attitude composed with a static mount rotation
+        (:class:`~mrs_optic_flow_tpu.runtime.flightsim.FlightSimulator`'s
+        ``mount_rpy``; the reference's camera->base TF,
+        ``src/optic_flow.cpp:1203-1208``).
 
         Rays are cast through the (un)distortion model, rotated by the body
         attitude, and intersected with the ground plane — tilted flight with
@@ -182,7 +188,11 @@ class SyntheticScene:
         else:
             xn, yn = xd, yd
         rays = np.stack([xn, yn, np.ones_like(xn)], axis=-1)  # camera frame
-        r_wc = Rotation.from_euler("xyz", rpy).as_matrix()
+        rpy_arr = np.asarray(rpy, np.float64)
+        if rpy_arr.shape == (3, 3):
+            r_wc = rpy_arr
+        else:
+            r_wc = Rotation.from_euler("xyz", rpy).as_matrix()
         d = rays @ r_wc.T  # world frame
         h = self.uav_height if height is None else float(height)
         t = h / d[..., 2]  # ground plane at +height below
