@@ -16,21 +16,30 @@ reproducible artifact.  Two measurements:
   lengths), per-frame time = the slope between the two — per-dispatch link
   overhead cancels exactly (``benchlib.measure_scan_slope``).
 
-Prints ONE JSON line with both (milliseconds).  ``BENCH_LATENCY_FRAMES`` /
-``BENCH_LATENCY_K`` override the sample counts.
+Wedge-resilient like ``bench.py``: a pre-flight child-process link probe
+with bounded backoff-retry (BENCH_PROBE=0 skips), and every completed
+measurement is emitted immediately as a flushed provisional JSON line so a
+late wedge cannot erase it — the LAST line on stdout is the best record.
+``BENCH_LATENCY_FRAMES`` / ``BENCH_LATENCY_K`` override the sample counts.
 """
 
-import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # a raising handler (not the default SIGALRM kill) so a wedged device link
 # still yields a JSON error line instead of a silent 142 exit
-from bench_guard import install_alarm
+from bench_guard import Emitter, install_alarm, probe_link_with_retry
 
-install_alarm(540)
+_BUDGET_S = install_alarm(540)
+_T0 = time.monotonic()
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.monotonic() - _T0)
+
 
 import jax  # noqa: E402
 
@@ -47,9 +56,29 @@ from mrs_optic_flow_tpu.utils.benchlib import (  # noqa: E402
 def main():
     n_frames = int(os.environ.get("BENCH_LATENCY_FRAMES", "1000"))
     k = int(os.environ.get("BENCH_LATENCY_K", "100"))
+    em = Emitter({"metric": "frame_latency_p50_ms", "unit": "ms"})
+    if os.environ.get("BENCH_PROBE", "1") != "0":
+        if not probe_link_with_retry(em, _remaining):
+            em.emit(final=True)
+            raise SystemExit(1)
     try:
         dev = measure_device_chain_latency(k)
+        em.emit(
+            value=round(dev["per_frame_ms"], 4),
+            vs_baseline=round(2.0 / max(dev["per_frame_ms"], 1e-9), 3),
+            device_per_frame_ms=round(dev["per_frame_ms"], 4),
+            device_chain_k=dev["k"],
+            backend=jax.default_backend(),
+        )
         e2e = measure_node_latency(n_frames)
+        em.emit(
+            e2e_p50_ms=round(e2e["p50_ms"], 3),
+            e2e_p90_ms=round(e2e["p90_ms"], 3),
+            e2e_p95_ms=round(e2e["p95_ms"], 3),
+            e2e_p99_ms=round(e2e["p99_ms"], 3),
+            e2e_mean_ms=round(e2e["mean_ms"], 3),
+            e2e_frames=e2e["n"],
+        )
         # tpu.host_preprocess: native fused gray+crop on the host — the
         # dispatch uploads the 480² gray window instead of the full 1.08 MB
         # BGR frame (4.7x fewer bytes; the win scales with how
@@ -57,30 +86,17 @@ def main():
         hp = measure_node_latency(
             n_frames, overrides={"tpu": {"host_preprocess": True}}
         )
-    except TimeoutError as e:
-        print(json.dumps({"metric": "frame_latency_p50_ms", "error": str(e)}))
-        raise SystemExit(1)
-    print(
-        json.dumps(
-            {
-                "metric": "frame_latency_p50_ms",
-                "value": round(dev["per_frame_ms"], 4),
-                "unit": "ms",
-                "vs_baseline": round(2.0 / max(dev["per_frame_ms"], 1e-9), 3),
-                "device_per_frame_ms": round(dev["per_frame_ms"], 4),
-                "device_chain_k": dev["k"],
-                "e2e_p50_ms": round(e2e["p50_ms"], 3),
-                "e2e_p90_ms": round(e2e["p90_ms"], 3),
-                "e2e_p95_ms": round(e2e["p95_ms"], 3),
-                "e2e_p99_ms": round(e2e["p99_ms"], 3),
-                "e2e_mean_ms": round(e2e["mean_ms"], 3),
-                "e2e_frames": e2e["n"],
-                "e2e_hostpre_p50_ms": round(hp["p50_ms"], 3),
-                "e2e_hostpre_p99_ms": round(hp["p99_ms"], 3),
-                "backend": jax.default_backend(),
-            }
+        em.update(
+            e2e_hostpre_p50_ms=round(hp["p50_ms"], 3),
+            e2e_hostpre_p99_ms=round(hp["p99_ms"], 3),
         )
-    )
+    except TimeoutError as e:
+        em.emit(final=True, error=str(e))
+        raise SystemExit(1)
+    except Exception as e:  # noqa: BLE001 — the JSON-line contract holds
+        em.emit(final=True, error=f"{type(e).__name__}: {e}")
+        raise SystemExit(1)
+    em.emit(final=True)
 
 
 if __name__ == "__main__":

@@ -166,6 +166,24 @@ def main():
             row["batch_carried"] = round(measure_batch_carried(eng), 4)
         else:
             row["batch_carried_skipped"] = "budget"
+        # BENCH_LP_CHUNKS="0,1,2,4": sweep the stream-chunked batched
+        # resample (``lp_batch_chunk`` — 0 is the round-3 plain-vmap mode,
+        # whose t1 temporaries spill the y-pass to HBM at fleet batch;
+        # docs/PERFORMANCE.md) on this tag's geometry
+        chunks = os.environ.get("BENCH_LP_CHUNKS")
+        if chunks and tag == "lanczos4_480":
+            import dataclasses
+
+            for g in (int(x) for x in chunks.split(",")):
+                key = f"batch_carried_chunk{g}"
+                if _remaining() < 200:
+                    row[key + "_skipped"] = "budget"
+                    continue
+                e2 = ScaleRotationEstimator(
+                    dataclasses.replace(cfg, lp_batch_chunk=g)
+                )
+                row[key] = round(measure_batch_carried(e2), 4)
+                print(json.dumps(row), flush=True)  # incremental (bench.py rule)
         print(json.dumps(row), flush=True)
 
 

@@ -116,6 +116,91 @@ def test_batch_pipeline_uint8_sharded(rng):
     )
 
 
+@pytest.mark.slow
+def test_fleet_carried_sr_production_geometry_under_mesh(rng):
+    """Carried scale/rotation at PRODUCTION geometry (480 px frames,
+    optimM 49.9 — ``src/scaleRotationEstimator.cpp:34-148``) under the
+    8-way mesh (VERDICT round 3, missing 4: the dryrun drops to 128²/20,
+    so the ~64 MB replicated weight tuple never crossed the sharding
+    machinery in CI).  Asserts:
+
+    - the SR weight tuple is device-put ONCE, fully replicated over the
+      mesh, and the SAME buffers ride every dispatch (no per-dispatch
+      host re-put / resharding — ``BatchPipeline._srw`` cache);
+    - two fleet ticks produce finite carried decodes that track a known
+      per-stream rotation;
+    - sharded == unsharded on identical inputs."""
+    import scipy.ndimage as ndi
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mrs_optic_flow_tpu.models import (
+        ScaleRotationConfig,
+        ScaleRotationEstimator,
+    )
+    from mrs_optic_flow_tpu.runtime import FleetServer
+
+    frame, patch, b = 480, 120, 8
+    cam = np.array(
+        [[420.0, 0, 240.0], [0, 420.0, 240.0], [0, 0, 1.0]], np.float32
+    )
+    sr = ScaleRotationEstimator(ScaleRotationConfig())  # 480 / 49.9 / lanczos4
+    assert sr.config.resolution == 480 and sr.config.magnitude == 49.9
+
+    def make_pipe(mesh_arg):
+        return BatchPipeline(
+            frame_size=frame, sample_point_size=patch, camera_matrix=cam,
+            dist_coeffs=np.zeros(5, np.float32), ransac_iterations=32,
+            scale_rotation=sr, mesh=mesh_arg,
+        )
+
+    mesh = make_mesh(8)
+    pipe = make_pipe(mesh)
+
+    # --- replicated-once weight layout ---
+    w = pipe._srw()
+    assert len(w) > 0
+    rep = NamedSharding(mesh, P())
+    total_mb = sum(x.size * x.dtype.itemsize for x in w) / 2**20
+    assert total_mb > 20, total_mb  # genuinely the production-size tensors
+    for x in w:
+        assert x.sharding.is_equivalent_to(rep, x.ndim), x.sharding
+        assert x.committed  # pjit cannot silently re-lay it out per call
+    assert pipe._srw() is w  # cached: the same buffers every dispatch
+
+    # --- two carried ticks, per-stream rotation ground truth ---
+    base = smooth_random_image(rng, frame, cutoff=0.3)
+    degs = np.linspace(-3.0, 3.0, b)
+    t0_frames = np.stack([np.roll(base, i, axis=1) for i in range(b)])
+    t1_frames = np.stack([
+        ndi.rotate(t0_frames[i], degs[i], reshape=False, mode="wrap")
+        for i in range(b)
+    ])
+
+    def run(pipe_arg):
+        srv = FleetServer(pipe_arg, b)
+        assert srv._sr_fused
+        srv.tick(t0_frames, np.zeros(b), np.full(b, 2.0))
+        return srv.tick(
+            t1_frames, np.full(b, 0.05), np.full(b, 2.0)
+        ).materialize()
+
+    tick = run(pipe)
+    assert pipe._srw() is w  # still the same replicated buffers after ticks
+    assert np.all(np.isfinite(tick.scale)) and np.all(np.isfinite(tick.rotation))
+    # log-polar decode recovers each stream's own rotation (centre-crop
+    # content rotates rigidly; sub-degree accuracy at 480/49.9)
+    np.testing.assert_allclose(
+        np.rad2deg(tick.rotation), degs, atol=0.5
+    )
+    np.testing.assert_allclose(tick.scale, 1.0, atol=0.02)
+
+    # --- sharded == unsharded ---
+    tick_ref = run(make_pipe(None))
+    np.testing.assert_allclose(tick.scale, tick_ref.scale, atol=1e-5)
+    np.testing.assert_allclose(tick.rotation, tick_ref.rotation, atol=1e-5)
+    np.testing.assert_array_equal(tick.ok, tick_ref.ok)
+
+
 def test_batch_pipeline_long_range(rng):
     """Batched long-range serving path: 4x-downsampled flow + vmapped
     get2DT must agree with the per-sample geometry."""
