@@ -99,6 +99,56 @@ def _run_bag_info(path):
     return 0
 
 
+def _run_flight(args, cfg):
+    """``--flight``: the closed-loop flight simulator as a CLI regression
+    gate (``runtime/flightsim.py`` — the reference's only system-level
+    validation was flying the real UAV; this is the re-runnable stand-in).
+    Prints the :class:`FlightReport` as one JSON line; exit 0 iff the
+    trajectory budgets hold."""
+    import dataclasses
+
+    from mrs_optic_flow_tpu.runtime import FrameStream, OpticFlowNode
+    from mrs_optic_flow_tpu.runtime.flightsim import (
+        FlightSimulator,
+        banked_flight_profile,
+        evaluate_flight,
+        takeoff_cruise_descent_profile,
+    )
+
+    samples = (
+        banked_flight_profile() if args.flight == "banked"
+        else takeoff_cruise_descent_profile()
+    )
+    mount = (
+        tuple(float(x) for x in args.mount.split(","))
+        if args.mount else (0.0, 0.0, 0.0)
+    )
+    sim = FlightSimulator(samples, mount_rpy=mount)
+    frames = sim.frames()
+    if args.record:
+        sim.record_ofrec(args.record, frames)
+    published = []
+    node = OpticFlowNode(
+        cfg, publish=lambda t, m: published.append((t, m)),
+        log=(lambda s: None) if args.quiet else print,
+    )
+    node.set_transforms(sim.c2b_quat)
+    stream = FrameStream(node)
+    sim.events_into(stream, frames)
+    stream.run()
+    rep = evaluate_flight(samples, published)
+    print(json.dumps(dataclasses.asdict(rep)))
+    if args.profile:
+        print(node.profiler.report(), file=sys.stderr)
+    ok = (
+        rep.rmse_xy < args.flight_rmse_budget
+        and rep.nan_published == 0
+        and all(v >= 0.9 for v in rep.per_phase_coverage.values())
+        and 0.005 < rep.nees_xy < 2.5
+    )
+    return 0 if ok else 1
+
+
 def _run_ros(args, cfg):
     """``--ros``: bring the node up on a live ROS1 graph — the deployment
     shape of the reference nodelet (``launch/optic_flow.launch:29``), minus
@@ -175,6 +225,19 @@ def main(argv=None):
     src.add_argument("--fleet", type=int, metavar="N",
                      help="synthetic fleet-serving demo: N camera streams, "
                           "one batched device dispatch per tick")
+    src.add_argument("--flight", choices=["level", "banked"],
+                     help="closed-loop flight-sim regression gate: render "
+                          "the trajectory (level = takeoff/cruise/yawing "
+                          "descent; banked = acceleration-consistent "
+                          "roll/pitch with vz), drive the node end-to-end, "
+                          "print the FlightReport as one JSON line; exit 1 "
+                          "when the trajectory budgets fail")
+    ap.add_argument("--mount", default=None, metavar="R,P,Y",
+                    help="--flight camera mount rotation, fixed-axis RPY "
+                         "[rad] (e.g. 0,0,1.5708 for the reference's "
+                         "90-deg-yawed mounting)")
+    ap.add_argument("--flight-rmse-budget", type=float, default=0.15,
+                    help="--flight xy-velocity RMSE gate [m/s]")
     src.add_argument("--ros", action="store_true",
                      help="run as a ROS1 node (runtime.RosBridge; needs rospy)")
     src.add_argument("--ros2", action="store_true",
@@ -218,6 +281,9 @@ def main(argv=None):
         return _run_ros(args, cfg)
     if args.ros2:
         return _run_ros2(args, cfg)
+
+    if args.flight:
+        return _run_flight(args, cfg)
 
     if args.fleet is not None:
         from mrs_optic_flow_tpu.parallel import BatchPipeline

@@ -83,13 +83,15 @@ class ScaleRotationConfig:
     #: temporaries by the stream count ([B, p8, yln, cc] — ~240 MB at 16
     #: streams x production geometry), pushing the y-pass to HBM; the
     #: per-stream matmuls are already MXU-sized (M = p8*cc ~ 7.8k), so
-    #: chunking streams recovers the single-stream rate (measured in
-    #: ``scripts/tune_scale_rotation.py``; docs/PERFORMANCE.md).  0 disables
-    #: chunking (plain vmap) — the right mode under a MESH, where the batch
-    #: axis is sharded (a ``lax.map`` over chunks would serialize across
-    #: devices) and the per-device slice is small anyway; ``BatchPipeline``
-    #: selects that automatically.
-    lp_batch_chunk: int = 2
+    #: chunking streams recovers the single-stream rate.  Measured on v5e
+    #: at 16 streams x 480²/49.9 (``scripts/tune_scale_rotation.py``,
+    #: BENCH_LP_CHUNKS sweep): chunk 1 = 0.310 ms/frame/stream (the
+    #: single-stream step's own 0.311), 2 = 0.365, 4 = 0.539, vmap =
+    #: 0.803 — hence 1.  0 disables chunking (plain vmap) — the right mode
+    #: under a MESH, where the batch axis is sharded (a ``lax.map`` over
+    #: chunks would serialize across devices) and the per-device slice is
+    #: small anyway; ``BatchPipeline`` selects that automatically.
+    lp_batch_chunk: int = 1
     #: round incoming float grays to uint8 before the log-polar resample —
     #: the reference feeds its 8-bit gray pipeline into ``cv::logPolar``
     #: (``src/scaleRotationEstimator.cpp:108-113`` on the CV_8UC1 imCurr),

@@ -14,6 +14,28 @@ def test_cli_synthetic(capsys):
     assert "fcu_untilted" in out and "health" in out
 
 
+def test_cli_flight_gate(capsys):
+    """``--flight banked``: the closed-loop flight simulator as a CLI
+    regression gate — FlightReport JSON on stdout, exit code by budgets."""
+    import json
+
+    rc = main(["--flight", "banked", "--quiet"])
+    out = capsys.readouterr().out.strip().splitlines()
+    rep = json.loads(out[-1])
+    assert rc == 0, rep
+    assert rep["rmse_xy"] < 0.15
+    assert rep["nan_published"] == 0
+    assert set(rep["per_phase_coverage"]) == {
+        "climb", "cruise", "brake", "descent"}
+    assert 0.005 < rep["nees_xy"] < 2.5
+
+    # an impossible budget flips the exit code (the gate actually gates)
+    rc_bad = main(["--flight", "banked", "--quiet",
+                   "--flight-rmse-budget", "0.001"])
+    capsys.readouterr()
+    assert rc_bad == 1
+
+
 def test_cli_overrides(capsys):
     rc = main([
         "--synthetic", "--frames", "4", "--quiet",
