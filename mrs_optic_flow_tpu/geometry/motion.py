@@ -229,6 +229,23 @@ def get_2dt(
     (``avgShift += corr`` happens twice, ``:486-505``), so
     ``tran_diff = -corr * height/f * ratio / dt`` — the topic published as
     ``velocity_out_longrange_diff`` (``src/optic_flow.cpp:1831``).
+
+    DEVIATION 21 (ARCHITECTURE.md): the rate feed-forward AXIS MAP is
+    rebuilt from first principles instead of transcribing ``:478-488``.
+    A camera rotating with camera-frame angular velocity ``w`` shifts the
+    image centre's content by ``f * (-w_y, +w_x) * dt`` (small-rotation
+    flow of ``d2 = R(-w dt) d1`` at ``d = z``), so the cancelling
+    correction is ``(+fx tan(w_y dt), -fy tan(w_x dt)) / ratio`` — a
+    det(+1) map from (roll, pitch) to (x, y).  The reference's
+    ``(-fx tan(roll dt), +fy tan(pitch dt))`` rotated by ``cam_yaw`` is a
+    det(-1) family: NO cam_yaw value can cancel rotational flow for any
+    mounting — on a banked low-altitude flight it grows the error it is
+    meant to remove (closed-loop evidence: tests/test_flightsim.py's
+    banked long-range flight; the brake-phase velocity RMSE triples with
+    the transcribed formula).  ``cam_yaw`` keeps the reference's
+    convention (``cam_yaw = yaw(base->camera) + pi/2``,
+    ``src/optic_flow.cpp:1203-1208``), i.e. a pure-z mount yaw of
+    ``psi = pi/2 - cam_yaw`` maps body rates to camera rates.
     """
     fx = camera_matrix[0, 0]
     fy = camera_matrix[1, 1]
@@ -252,12 +269,16 @@ def get_2dt(
         first = jnp.argmax(valid)
         avg = jnp.where(valid[first], shifts[first], jnp.zeros((2,), shifts.dtype))
 
-    # roll/pitch rate feed-forward, rotated by cam_yaw (:478-488)
-    x_corr = -jnp.tan(imu_roll_rate * dt) * fx / mult
-    y_corr = jnp.tan(imu_pitch_rate * dt) * fy / mult
-    t_corr = jnp.sqrt(x_corr * x_corr + y_corr * y_corr)
-    yaw_corr = jnp.arctan2(y_corr, x_corr) + cam_yaw
-    corr = jnp.stack([jnp.cos(yaw_corr) * t_corr, jnp.sin(yaw_corr) * t_corr])
+    # roll/pitch rate feed-forward (:478-488, axis map rebuilt — see
+    # DEVIATION 21 in the docstring): body rates -> camera rates through
+    # the pure-z mount yaw implied by the reference's cam_yaw convention,
+    # then the centre-flow cancelling correction
+    psi = jnp.pi / 2 - cam_yaw  # mount yaw (identity mount -> 0)
+    w_cx = jnp.cos(psi) * imu_roll_rate + jnp.sin(psi) * imu_pitch_rate
+    w_cy = -jnp.sin(psi) * imu_roll_rate + jnp.cos(psi) * imu_pitch_rate
+    x_corr = jnp.tan(w_cy * dt) * fx / mult
+    y_corr = -jnp.tan(w_cx * dt) * fy / mult
+    corr = jnp.stack([x_corr, y_corr])
 
     scale = jnp.stack([height / fx * mult, height / fy * mult])
 

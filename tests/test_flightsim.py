@@ -202,6 +202,39 @@ def test_flight_banked_mounted_camera(banked_flight):
     _assert_banked_budgets(rep, node)
 
 
+def test_flight_banked_long_range():
+    """Banked LOW-ALTITUDE flight with the long-range path active the
+    whole time: trajectory-level validation of get2DT's roll/pitch-rate
+    feed-forward (``src/optic_flow.cpp:478-490``) under real, nonzero
+    rates — the correction's only prior coverage was zero-rate flights.
+    This flight is what exposed the reference's det(-1) axis-map defect
+    (deviation 21): with the transcribed formula the brake phase measured
+    1.28 m/s RMSE (the correction GROWS the rotational error); the
+    rebuilt map measures ~0.061."""
+    samples = banked_flight_profile(
+        climb_frames=24, h0=0.9, h_cruise=1.3, h_final=1.0,
+        v_cruise_xy=(0.7, 0.2), descent_frames=16, descent_yaw_rate=0.25,
+    )
+    sim = FlightSimulator(samples)
+    node, published = _drive(
+        sim, sim.frames(), mrs_optic_flow={"long_range_mode": "always_on"},
+    )
+    rep = evaluate_flight(samples, published)
+    assert {t for t, _ in published
+            if t.startswith("velocity_out")} >= {"velocity_out_longrange",
+                                                 "velocity_out_longrange_diff"}
+    assert rep.rmse_xy < 0.08, rep
+    assert rep.max_err_xy < 0.20, rep
+    # the brake phase carries the largest pitch rates (~0.67 rad/s): the
+    # phase budget is what fails if the feed-forward stops cancelling
+    assert rep.per_phase_rmse["brake"] < 0.12, rep.per_phase_rmse
+    assert rep.nan_published == 0, rep
+    assert 0.005 < rep.nees_xy < 2.0, rep.nees_xy
+    for phase, cov in rep.per_phase_coverage.items():
+        assert cov >= 0.95, (phase, rep.per_phase_coverage)
+    assert node.health["consecutive_failures"] <= 1
+
+
 def test_flight_mini_smoke():
     """Fast-lane mini-flight: a short profile on small frames through the
     FULL closed loop (node, sensor streams, LR<->SR handoff) so the

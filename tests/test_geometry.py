@@ -306,6 +306,46 @@ def test_get_2dt_rate_correction():
     np.testing.assert_allclose(np.asarray(res.tran_diff), np.asarray(res.tran), rtol=1e-5)
 
 
+def test_get_2dt_rate_correction_axis_map():
+    """The rebuilt feed-forward (deviation 21): a camera pitching at +p
+    with ZERO measured flow implies translational flow that cancelled the
+    rotational flow, i.e. v_x = -p*h (and roll r -> v_y = +r*h) at the
+    identity mount (cam_yaw = pi/2).  The reference's transcribed map
+    (det -1) cannot produce this for any cam_yaw
+    (``src/optic_flow.cpp:478-488``; geometry/motion.py docstring)."""
+    h, dt = 2.0, 0.1
+    zero = np.zeros((1, 2), np.float32)
+
+    def run(roll, pitch, cam_yaw):
+        res = get_2dt(
+            jnp.asarray(zero), jnp.float32(h), jnp.float32(dt),
+            jnp.float32(0.0), jnp.asarray(K, jnp.float32),
+            jnp.float32(roll), jnp.float32(pitch), jnp.float32(cam_yaw),
+        )
+        return np.asarray(res.tran)
+
+    p = 0.5
+    tran = run(0.0, p, np.pi / 2)
+    np.testing.assert_allclose(
+        tran[:2], [-np.tan(p * dt) * h / dt, 0.0], rtol=1e-5, atol=1e-6
+    )
+    r = 0.4
+    tran = run(r, 0.0, np.pi / 2)
+    np.testing.assert_allclose(
+        tran[:2], [0.0, np.tan(r * dt) * h / dt], rtol=1e-5, atol=1e-6
+    )
+    # a 90-deg z mount (cam_yaw = 0): body pitch becomes camera -roll,
+    # body roll becomes camera +pitch
+    tran = run(r, 0.0, 0.0)
+    np.testing.assert_allclose(
+        tran[:2], [np.tan(r * dt) * h / dt, 0.0], rtol=1e-5, atol=1e-6
+    )
+    tran = run(0.0, p, 0.0)
+    np.testing.assert_allclose(
+        tran[:2], [0.0, np.tan(p * dt) * h / dt], rtol=1e-5, atol=1e-6
+    )
+
+
 def test_get_inliers():
     shifts = jnp.asarray(
         np.array([[1, 1], [1.1, 0.9], [0.9, 1.0], [5, 5], [1.05, 1.0]], np.float32)
