@@ -660,7 +660,20 @@ class OpticFlowNode:
         img = msg.data
         channels = img.shape[2] if img.ndim == 3 else 1
         cx = float(self.camera_matrix[0, 2])
-        cx_eff = int(cx / c.scale_factor) if abs(c.scale_factor - 1.0) > 0.01 else int(cx)
+        if abs(c.scale_factor - 1.0) > 0.01:
+            cx_eff = int(cx / c.scale_factor)
+            # intrinsics of the DOWNSCALED image (rows 0-1 of K scale with
+            # the pixels; distortion coefficients act on normalized coords
+            # and are unaffected).  The reference decodes scaled-pixel
+            # shifts with the raw calibration (camMatrixLocal = camMatrix_,
+            # src/optic_flow.cpp:398, after the :1604 resize), which biases
+            # every velocity by exactly scale_factor — ARCHITECTURE.md
+            # deviation 22.
+            cam_eff = np.array(self.camera_matrix, float)
+            cam_eff[:2, :] /= c.scale_factor
+        else:
+            cx_eff = int(cx)
+            cam_eff = self.camera_matrix
         if c.host_preprocess:
             img, channels = self._maybe_host_preprocess(img, channels, cx_eff)
         pre_cropped = channels == 1 and img.shape[:2] == (c.frame_size, c.frame_size)
@@ -698,7 +711,7 @@ class OpticFlowNode:
                     jnp.asarray(img),
                     jnp.float32(height),
                     jnp.float32(self.dt),
-                    jnp.asarray(self.camera_matrix, jnp.float32),
+                    jnp.asarray(cam_eff, jnp.float32),
                     c2b,
                 )
             if c.raw_output:
@@ -713,7 +726,7 @@ class OpticFlowNode:
             if not np.all(np.isfinite(tran_b[:2])):
                 self._note_result(False)
                 return None
-            fx = float(self.camera_matrix[0, 0])
+            fx = float(cam_eff[0, 0])
             twist = TwistWithCovarianceStamped.make(
                 frame_id=self.uav_frame,
                 stamp=msg.stamp,
@@ -740,7 +753,7 @@ class OpticFlowNode:
                     jnp.asarray(img),
                     jnp.float32(height),
                     jnp.float32(self.dt),
-                    jnp.asarray(self.camera_matrix, jnp.float32),
+                    jnp.asarray(cam_eff, jnp.float32),
                     jnp.asarray(self.dist_coeffs, jnp.float32),
                     c2b,
                     jnp.asarray(self.angular_rate_quat, jnp.float32),
@@ -782,7 +795,7 @@ class OpticFlowNode:
             if np.linalg.norm(tran_b) > 7.0:
                 self.log(f"[OpticFlow]: LARGE SPEED: {tran_b}")
 
-            fx = float(self.camera_matrix[0, 0])
+            fx = float(cam_eff[0, 0])
             twist = TwistWithCovarianceStamped.make(
                 frame_id=self.uav_untilted_frame,
                 stamp=msg.stamp,
@@ -809,7 +822,7 @@ class OpticFlowNode:
                 jnp.asarray(img),
                 jnp.float32(height / (np.cos(self.imu_pitch) * np.cos(self.imu_roll))),
                 jnp.float32(self.dt),
-                jnp.asarray(self.camera_matrix, jnp.float32),
+                jnp.asarray(cam_eff, jnp.float32),
                 c2b,
                 jnp.float32(self.imu_roll_rate),
                 jnp.float32(self.imu_pitch_rate),
@@ -840,7 +853,7 @@ class OpticFlowNode:
             self._note_result(False)
             return None
 
-        fx = float(self.camera_matrix[0, 0])
+        fx = float(cam_eff[0, 0])
         twists = []
         for topic, vec_b in (
             ("velocity_out_longrange", tran_b),

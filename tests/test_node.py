@@ -383,6 +383,39 @@ def test_e2e_with_lens_distortion():
     assert np.all(err < 0.15), (v.mean(0), V_TRUE)
 
 
+def test_e2e_scale_factor():
+    """``scale_factor: 2`` end-to-end: the node halves the image before
+    crop/flow, and the geometry stage must decode with the DOWNSCALED
+    intrinsics (deviation 22 — the reference decodes scaled pixels with
+    the raw calibration, src/optic_flow.cpp:398 after :1604, biasing every
+    velocity by exactly scale_factor; with the raw matrix this test reads
+    ~half the true speed)."""
+    published = []
+    # config normalization divides frame/patch by scale_factor
+    # (src/optic_flow.cpp:867-874): ask for 256/64 to land at 128/32
+    node = _make_node(published, mrs_optic_flow={
+        "scale_factor": 2.0, "frame_size": 256, "sample_point_size": 64,
+    })
+    assert node.config.frame_size == 128
+    scene = SyntheticScene(width=320, height_px=320, fx=240.0, fy=240.0,
+                           uav_height=HEIGHT, seed=23, texture_cutoff=0.3,
+                           texture_scale=120.0)
+    stream = FrameStream(node)
+    v_true = (0.5, -0.3)
+    scene.trajectory_events(stream, velocity=v_true, n_frames=6, dt=DT)
+    stream.run()
+    twists = [m for t, m in published if t == "velocity_out"]
+    assert len(twists) >= 3, node.health
+    v = np.array([tw.linear[:2] for tw in twists[1:]])
+    err = np.abs(v - np.array(v_true)).max(0)
+    # effective focal is 120 px after the halving: ~0.5 px of correlation
+    # noise maps to ~0.017 m/s; the un-fixed bias would be 0.25 m/s in x
+    assert np.all(err < 0.15), (v.mean(0), v_true)
+    # covariance follows the effective intrinsics
+    assert twists[-1].covariance[0] == pytest.approx(
+        (50.0 * HEIGHT / 120.0) ** 2)
+
+
 def test_odometry_diff_ang_rate_source():
     """ang_rate_source=odometry_diff: per-frame orientation delta feeds the
     solution selection (src/optic_flow.cpp:1453-1464)."""
