@@ -198,6 +198,12 @@ def main():
                 # chain) re-proven per round, as a ratio like vs_baseline:
                 # >1 = under target by that factor
                 latency_vs_target=round(2.0 / max(dev["per_frame_ms"], 1e-9), 2),
+                # raw chain medians: a link-jitter-corrupted slope is
+                # self-evident instead of silently optimistic (benchlib)
+                latency_chain_medians_ms={
+                    k_: round(v, 2)
+                    for k_, v in dev["chain_medians_ms"].items()
+                },
             )
             # 300 frames keeps the driver bench inside its timeout; the full
             # >=1000-frame artifact lives in bench_latency.py

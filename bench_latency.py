@@ -68,6 +68,11 @@ def main():
             vs_baseline=round(2.0 / max(dev["per_frame_ms"], 1e-9), 3),
             device_per_frame_ms=round(dev["per_frame_ms"], 4),
             device_chain_k=dev["k"],
+            # raw chain medians make a jitter-corrupted slope self-evident
+            # (benchlib.measure_scan_slope)
+            device_chain_medians_ms={
+                k_: round(v, 2) for k_, v in dev["chain_medians_ms"].items()
+            },
             backend=jax.default_backend(),
         )
         e2e = measure_node_latency(n_frames)

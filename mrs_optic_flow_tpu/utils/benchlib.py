@@ -70,6 +70,13 @@ def measure_scan_slope(build, k_pair=(25, 100), *, reps: int = 7, warmup: int = 
         "per_item_ms": per * 1e3,
         "overhead_ms": (med[k_lo] - per * k_lo) * 1e3,
         "k_pair": list(k_pair),
+        # raw chain medians: a slope is only as good as the two points it
+        # is drawn through — under heavy shared-link load the medians can
+        # sit inside the jitter band and the slope turns implausible
+        # (observed: 0.064 ms/frame during a 4x-degraded-link window vs
+        # 0.296 under a quiet link).  Publishing them makes a bad capture
+        # self-evident instead of silently optimistic.
+        "med_ms": {int(k): med[k] * 1e3 for k in k_pair},
     }
 
 
@@ -288,6 +295,7 @@ def measure_device_chain_latency(
         "k": k,
         "per_frame_ms": slope["per_item_ms"],
         "dispatch_overhead_ms": slope["overhead_ms"],
+        "chain_medians_ms": slope["med_ms"],
     }
 
 
