@@ -202,7 +202,8 @@ def test_flight_banked_mounted_camera(banked_flight):
     _assert_banked_budgets(rep, node)
 
 
-def test_flight_banked_long_range():
+@pytest.mark.parametrize("mount_yaw", [0.0, np.pi / 2])
+def test_flight_banked_long_range(mount_yaw):
     """Banked LOW-ALTITUDE flight with the long-range path active the
     whole time: trajectory-level validation of get2DT's roll/pitch-rate
     feed-forward (``src/optic_flow.cpp:478-490``) under real, nonzero
@@ -210,14 +211,17 @@ def test_flight_banked_long_range():
     This flight is what exposed the reference's det(-1) axis-map defect
     (deviation 21): with the transcribed formula the brake phase measured
     1.28 m/s RMSE (the correction GROWS the rotational error); the
-    rebuilt map measures ~0.061."""
+    rebuilt map measures ~0.061.  Parametrized over the camera mount
+    (identity -> cam_yaw pi/2; 90-deg z mount -> cam_yaw 0) so the
+    body->camera rate mapping is flown, not just unit-tested."""
     samples = banked_flight_profile(
         climb_frames=24, h0=0.9, h_cruise=1.3, h_final=1.0,
         v_cruise_xy=(0.7, 0.2), descent_frames=16, descent_yaw_rate=0.25,
     )
-    sim = FlightSimulator(samples)
+    sim = FlightSimulator(samples, mount_rpy=(0.0, 0.0, mount_yaw))
     node, published = _drive(
-        sim, sim.frames(), mrs_optic_flow={"long_range_mode": "always_on"},
+        sim, sim.frames(), c2b=sim.c2b_quat,
+        mrs_optic_flow={"long_range_mode": "always_on"},
     )
     rep = evaluate_flight(samples, published)
     assert {t for t, _ in published
