@@ -203,19 +203,24 @@ class ScaleRotationEstimator:
         return quantize_u8(lp)
 
     def _logpolar_batch_w(
-        self, frames: jnp.ndarray, weights: tuple
+        self, frames: jnp.ndarray, weights: tuple, *, chunk: Optional[int] = None
     ) -> jnp.ndarray:
         """Batched resample ``[B, n, n] -> [B, lp, lp]``, processed
-        ``lp_batch_chunk`` streams per ``lax.map`` step.
+        ``lp_batch_chunk`` streams per ``lax.map`` step (``chunk``
+        overrides the config — ``BatchPipeline`` forces vmap mode (0) when
+        the batch axis is GSPMD-sharded and runs the chunked form inside
+        ``shard_map`` instead).
 
         The round-3 fleet penalty (0.816 vs 0.315 ms/frame/stream at 16
         streams, docs/PERFORMANCE.md) was a plain ``vmap``: the x-pass
         ``t1`` temporaries scale with the stream batch and spill the y-pass
         to HBM.  Chunking bounds them at ``lp_batch_chunk`` streams; the
         MXU utilization is carried by the per-stream matmul sizes, not the
-        stream batch, so small chunks cost nothing."""
+        stream batch, so small chunks cost nothing (measured: chunk 1
+        equals the single-stream rate)."""
         b = frames.shape[0]
-        g = min(int(self.config.lp_batch_chunk), b)
+        g = int(self.config.lp_batch_chunk if chunk is None else chunk)
+        g = min(g, b)
         one = lambda f: self._logpolar_w(f, weights)  # noqa: E731
         if g <= 0 or b <= g:
             return jax.vmap(one)(frames)
@@ -282,7 +287,9 @@ class ScaleRotationEstimator:
 
     def step_batch_w(
         self, prev_frames: jnp.ndarray, curr_frames: jnp.ndarray,
-        weights: tuple,
+        weights: tuple, *,
+        lp_p: Optional[jnp.ndarray] = None,
+        lp_c: Optional[jnp.ndarray] = None,
     ) -> ScaleRotResult:
         """Stateless batched mode: ``[B, N, N]`` frame pairs ->
         per-pair (scale [B], rotation [B]).  The throughput/fleet analogue
@@ -290,22 +297,30 @@ class ScaleRotationEstimator:
         frame-to-frame); same decode as ``src/scaleRotationEstimator.cpp:
         117-124``.  The log-polar resample runs ``lp_batch_chunk`` streams
         per ``lax.map`` step (:meth:`_logpolar_batch_w`); the correlation
-        runs as ONE batched MXU program."""
-        lp_p = self._logpolar_batch_w(prev_frames, weights)
-        lp_c = self._logpolar_batch_w(curr_frames, weights)
+        runs as ONE batched MXU program.  ``lp_p``/``lp_c`` accept
+        already-resampled log-polar images (``BatchPipeline`` computes them
+        under ``shard_map`` when the batch is mesh-sharded)."""
+        if lp_p is None:
+            lp_p = self._logpolar_batch_w(prev_frames, weights)
+        if lp_c is None:
+            lp_c = self._logpolar_batch_w(curr_frames, weights)
         shift, _resp = self._correlate(lp_c, lp_p)
         scale, rot = self._decode(shift, jnp.zeros(shift.shape[:-1], bool))
         return ScaleRotResult(scale=scale, rotation=rot)
 
     def step_batch_carried_w(
-        self, prev_lp: jnp.ndarray, curr_frames: jnp.ndarray, weights: tuple
+        self, prev_lp: jnp.ndarray, curr_frames: jnp.ndarray, weights: tuple,
+        *, lp_c: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, ScaleRotResult]:
         """Fleet-serving variant: previous frames enter as already-computed
         log-polar images (carried on device across ticks, like the
         FleetServer's preprocessed ``prev``), so each tick pays ONE log-polar
         resample per stream instead of two.  Returns ``(curr_lp, result)``;
-        feed ``curr_lp`` back as the next tick's ``prev_lp``."""
-        lp_c = self._logpolar_batch_w(curr_frames, weights)
+        feed ``curr_lp`` back as the next tick's ``prev_lp``.  ``lp_c``
+        accepts an already-resampled current batch (the mesh path — see
+        :meth:`step_batch_w`)."""
+        if lp_c is None:
+            lp_c = self._logpolar_batch_w(curr_frames, weights)
         shift, _resp = self._correlate(lp_c, prev_lp)
         scale, rot = self._decode(shift, jnp.zeros(shift.shape[:-1], bool))
         return lp_c, ScaleRotResult(scale=scale, rotation=rot)

@@ -107,24 +107,6 @@ class BatchPipeline:
             raise ValueError(
                 "scale_rotation.resolution must equal the pipeline frame size"
             )
-        if (
-            mesh is not None
-            and scale_rotation is not None
-            and scale_rotation.config.lp_batch_chunk
-        ):
-            # stream chunking is a SINGLE-DEVICE HBM-pressure fix (a lax.map
-            # over chunks would serialize across the sharded batch axis, and
-            # the per-device slice under a mesh is small anyway) — swap in a
-            # vmap-mode clone; plan/weight caches are shared by geometry
-            import dataclasses as _dc
-
-            from mrs_optic_flow_tpu.models.scale_rotation import (
-                ScaleRotationEstimator as _SRE,
-            )
-
-            scale_rotation = _SRE(
-                _dc.replace(scale_rotation.config, lp_batch_chunk=0)
-            )
         self.scale_rotation = scale_rotation
         self._srw_replicated = None
 
@@ -181,6 +163,16 @@ class BatchPipeline:
             self.preprocess = jax.jit(
                 self._preprocess, in_shardings=(batch,), out_shardings=batch
             )
+            if scale_rotation is not None:
+                # the initial / checkpoint-rebuild log-polar carry must come
+                # out with EXACTLY the sharding the carried step declares
+                # for prev_lp — the estimator's own jit would let GSPMD
+                # infer something else and the next dispatch would reject
+                # the arg (FleetServer builds the tick-1 carry through this)
+                self.logpolar_carry = _inject_srw(jax.jit(
+                    lambda f, w: self._sr_resample(f, w),
+                    in_shardings=(batch, rep), out_shardings=batch,
+                ))
         else:
             self.step = _inject_srw(jax.jit(step))
             self.step_pre = _inject_srw(jax.jit(step_pre))
@@ -191,6 +183,10 @@ class BatchPipeline:
             #: jitted preprocess alone — for callers (FleetServer) that cache
             #: the preprocessed frame as carried state and dispatch step_pre
             self.preprocess = jax.jit(self._preprocess)
+            if scale_rotation is not None:
+                self.logpolar_carry = _inject_srw(
+                    jax.jit(lambda f, w: self._sr_resample(f, w))
+                )
 
     def _srw(self) -> tuple:
         sr = self.scale_rotation
@@ -206,6 +202,38 @@ class BatchPipeline:
                 jax.device_put(w, rep) for w in sr.lp_weights
             )
         return self._srw_replicated
+
+    def _sr_resample(self, frames: jnp.ndarray, sr_w: tuple) -> jnp.ndarray:
+        """Batched log-polar resample of the SR leg, mesh-aware.
+
+        Stream chunking (``lp_batch_chunk`` — the fix for the vmap
+        resample's HBM spill, docs/PERFORMANCE.md rule 12) is a
+        per-device schedule: a ``lax.map`` over a GSPMD-sharded batch axis
+        would SERIALIZE across devices.  Under a mesh the chunked form
+        therefore runs inside ``shard_map`` — each device chunks its LOCAL
+        slice (a 128-stream fleet over 8 chips still has 16 streams per
+        device, exactly the measured spill regime) — falling back to plain
+        vmap when the batch does not divide the mesh or chunking is off.
+        The correlation stays in the outer GSPMD program (it is one
+        batched MXU dispatch with no cross-stream work)."""
+        sr = self.scale_rotation
+        if self.mesh is None:
+            return sr._logpolar_batch_w(frames, sr_w)
+        n = int(np.prod(self.mesh.devices.shape))
+        b = frames.shape[0]
+        g = int(sr.config.lp_batch_chunk)
+        if g <= 0 or b % n or b // n <= 1:
+            # vmap under GSPMD: per-device slices of <= 1 stream cannot
+            # spill, and uneven batches cannot shard_map
+            return sr._logpolar_batch_w(frames, sr_w, chunk=0)
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec
+
+        p = PartitionSpec(self.axis_name)
+        return shard_map(
+            lambda f, w: sr._logpolar_batch_w(f, w),
+            mesh=self.mesh, in_specs=(p, PartitionSpec()), out_specs=p,
+        )(frames, sr_w)
 
     def _preprocess(self, raw: jnp.ndarray) -> jnp.ndarray:
         # grayscale inputs keep their dtype: the flow kernel streams uint8
@@ -257,7 +285,10 @@ class BatchPipeline:
             # threaded as arguments (ops/logpolar.py module comment)
             def step_carried(prev, curr, prev_lp, heights, dts, rate_quats,
                              c2b, keys, sr_w):
-                lp_c, sr_res = sr.step_batch_carried_w(prev_lp, curr, sr_w)
+                lp_c, sr_res = sr.step_batch_carried_w(
+                    prev_lp, curr, sr_w,
+                    lp_c=self._sr_resample(curr, sr_w),
+                )
                 out = core(prev, curr, heights, dts, rate_quats, c2b, keys,
                            (sr_res.scale, sr_res.rotation))
                 return out, lp_c
@@ -273,7 +304,11 @@ class BatchPipeline:
             sr_pair = (None, None)
             if sr is not None:
                 # stateless pairs (ServingLoop): both frames resampled
-                sr_res = sr.step_batch_w(prev, curr, sr_w)
+                sr_res = sr.step_batch_w(
+                    prev, curr, sr_w,
+                    lp_p=self._sr_resample(prev, sr_w),
+                    lp_c=self._sr_resample(curr, sr_w),
+                )
                 sr_pair = (sr_res.scale, sr_res.rotation)
             return core(prev, curr, heights, dts, rate_quats, c2b, keys,
                         sr_pair)

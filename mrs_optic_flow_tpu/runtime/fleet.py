@@ -119,6 +119,17 @@ class FleetServer:
         self._prev_stamps = np.zeros(n_streams)
         self._seen = np.zeros(n_streams, bool)
 
+    def _build_lp_carry(self, frames: jnp.ndarray) -> jnp.ndarray:
+        """Initial / checkpoint-rebuild log-polar carry.  When the SR leg
+        is fused into the pipeline program, the carry must be produced by
+        the PIPELINE's resample (``BatchPipeline.logpolar_carry``) so its
+        sharding matches exactly what ``step_pre_carried`` declares for
+        ``prev_lp`` under a mesh; the estimator's own jit lets GSPMD infer
+        a sharding the next dispatch can reject."""
+        if self._sr_fused and hasattr(self.pipeline, "logpolar_carry"):
+            return self.pipeline.logpolar_carry(frames)
+        return self.scale_rotation.logpolar_batch(frames)
+
     def reset(self, stream_id: Optional[int] = None):
         """Drop carried state (all streams, or one) — e.g. after a camera
         reconnect, so the next frame becomes a fresh first frame."""
@@ -221,7 +232,7 @@ class FleetServer:
             self._seen = mask.copy()
             sr_scale = sr_rot = None
             if self.scale_rotation is not None:
-                self._prev_lp = self.scale_rotation.logpolar_batch(frames)
+                self._prev_lp = self._build_lp_carry(frames)
                 sr_scale = jnp.full((n,), jnp.nan)
                 sr_rot = jnp.full((n,), jnp.nan)
             zeros = jnp.zeros
@@ -266,7 +277,7 @@ class FleetServer:
             if self.scale_rotation is not None and self._prev_lp is None:
                 # e.g. resumed from a pre-scale-rotation checkpoint: rebuild
                 # the log-polar carry from the carried prev frames
-                self._prev_lp = self.scale_rotation.logpolar_batch(self._prev)
+                self._prev_lp = self._build_lp_carry(self._prev)
             if self._sr_fused:
                 # ONE device program per tick: flow + geometry + carried SR
                 out, lp_c = self.pipeline.step_pre_carried(

@@ -116,6 +116,69 @@ def test_batch_pipeline_uint8_sharded(rng):
     )
 
 
+def test_sr_shard_map_chunked_matches_unsharded(rng):
+    """The SR resample's stream chunking under a mesh runs inside
+    ``shard_map`` (each device chunks its LOCAL slice — a lax.map over a
+    GSPMD-sharded axis would serialize across devices;
+    docs/PERFORMANCE.md rule 12).  16 streams over 8 devices (2 local,
+    chunk 1 -> the shard_map path is active) must match the unsharded
+    pipeline exactly, carried and stateless."""
+    from mrs_optic_flow_tpu.models import (
+        ScaleRotationConfig,
+        ScaleRotationEstimator,
+    )
+    from mrs_optic_flow_tpu.runtime import FleetServer
+
+    frame, patch, b = 64, 16, 16
+    sr = ScaleRotationEstimator(
+        ScaleRotationConfig(resolution=frame, magnitude=12.0,
+                            lp_batch_chunk=1)
+    )
+
+    def make_pipe(mesh_arg):
+        return BatchPipeline(
+            frame_size=frame, sample_point_size=patch, camera_matrix=K,
+            dist_coeffs=np.zeros(5, np.float32), ransac_iterations=16,
+            scale_rotation=sr, mesh=mesh_arg,
+        )
+
+    base = smooth_random_image(rng, frame, cutoff=0.4)
+    t0 = np.stack([np.roll(base, i % 5, axis=1) for i in range(b)])
+    t1 = np.stack([np.roll(base, (i % 5) + 2, axis=0) for i in range(b)])
+
+    def run(pipe):
+        srv = FleetServer(pipe, b)
+        assert srv._sr_fused
+        srv.tick(t0, np.zeros(b), np.full(b, 2.0))
+        return srv.tick(t1, np.full(b, 0.05), np.full(b, 2.0)).materialize()
+
+    tick_m = run(make_pipe(make_mesh(8)))
+    tick_u = run(make_pipe(None))
+    np.testing.assert_allclose(tick_m.scale, tick_u.scale, atol=1e-5)
+    np.testing.assert_allclose(tick_m.rotation, tick_u.rotation, atol=1e-5)
+
+    # stateless serving leg too (both frames resampled under shard_map)
+    pipe_m, pipe_u = make_pipe(make_mesh(8)), make_pipe(None)
+    heights = jnp.full((b,), 2.0, jnp.float32)
+    dts = jnp.full((b,), 0.05, jnp.float32)
+    rates = jnp.tile(jnp.asarray([0, 0, 0, 1], jnp.float32), (b, 1))
+    c2b = jnp.asarray([0, 0, 0, 1], jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), b)
+    out_m = pipe_m.step(
+        shard_batch(jnp.asarray(t0), pipe_m.mesh),
+        shard_batch(jnp.asarray(t1), pipe_m.mesh),
+        heights, dts, rates, c2b, keys,
+    )
+    out_u = pipe_u.step(jnp.asarray(t0), jnp.asarray(t1), heights, dts,
+                        rates, c2b, keys)
+    np.testing.assert_allclose(
+        np.asarray(out_m.scale), np.asarray(out_u.scale), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_m.rotation), np.asarray(out_u.rotation), atol=1e-5
+    )
+
+
 @pytest.mark.slow
 def test_fleet_carried_sr_production_geometry_under_mesh(rng):
     """Carried scale/rotation at PRODUCTION geometry (480 px frames,
