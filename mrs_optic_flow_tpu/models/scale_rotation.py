@@ -87,10 +87,11 @@ class ScaleRotationConfig:
     #: at 16 streams x 480²/49.9 (``scripts/tune_scale_rotation.py``,
     #: BENCH_LP_CHUNKS sweep): chunk 1 = 0.310 ms/frame/stream (the
     #: single-stream step's own 0.311), 2 = 0.365, 4 = 0.539, vmap =
-    #: 0.803 — hence 1.  0 disables chunking (plain vmap) — the right mode
-    #: under a MESH, where the batch axis is sharded (a ``lax.map`` over
-    #: chunks would serialize across devices) and the per-device slice is
-    #: small anyway; ``BatchPipeline`` selects that automatically.
+    #: 0.803 — hence 1.  0 disables chunking (plain vmap).  Under a MESH a
+    #: ``lax.map`` over the GSPMD-sharded batch axis would serialize
+    #: across devices, so ``BatchPipeline._sr_resample`` runs the chunked
+    #: form inside ``shard_map`` (per-device local chunking) and falls
+    #: back to vmap for uneven batches or <=1 local stream.
     lp_batch_chunk: int = 1
     #: round incoming float grays to uint8 before the log-polar resample —
     #: the reference feeds its 8-bit gray pipeline into ``cv::logPolar``

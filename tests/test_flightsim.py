@@ -453,6 +453,41 @@ def test_flight_rosbag2_roundtrip(flight, tmp_path):
         assert cov >= 0.95, (phase, rep.per_phase_coverage)
 
 
+def test_flight_banked_bag_roundtrips(banked_flight, tmp_path):
+    """The BANKED flight through both bag formats: the writers encode the
+    attitude quaternions and roll/pitch/yaw rates (new with the banked
+    profile), and the replay paths must decode them well enough that the
+    detilt chain still works — the climb-phase budget is the
+    discriminator (it triples if the IMU orientation is lost in
+    transport, see the tilt A/B test)."""
+    from mrs_optic_flow_tpu.runtime.rosbag import replay_bag
+    from mrs_optic_flow_tpu.runtime.rosbag2 import replay_bag2
+
+    sim, samples, frames = banked_flight
+    cases = (
+        (sim.record_bag, replay_bag, str(tmp_path / "banked.bag")),
+        (sim.record_bag2, replay_bag2, str(tmp_path / "banked_bag2")),
+    )
+    for record, replay, path in cases:
+        record(path, frames)
+        published = []
+        cfg = load_config(overrides={
+            "mrs_optic_flow": {"long_range_mode": "always_off"},
+        })
+        node = OpticFlowNode(
+            cfg, publish=lambda t, m: published.append((t, m)),
+            log=lambda s: None, enable_profiler=False,
+        )
+        node.set_transforms((0.0, 0.0, 0.0, 1.0))
+        assert replay(node, path) == len(samples)
+        rep = evaluate_flight(samples, published)
+        assert rep.rmse_xy < 0.12, (path, rep)
+        assert rep.per_phase_rmse["climb"] < 0.10, (path, rep.per_phase_rmse)
+        assert rep.nan_published == 0, (path, rep)
+        for phase, cov in rep.per_phase_coverage.items():
+            assert cov >= 0.95, (path, phase, rep.per_phase_coverage)
+
+
 @pytest.mark.slow
 def test_fleet_flight_closed_loop():
     """Three UAVs fly simultaneous closed-loop trajectories through ONE
