@@ -42,18 +42,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # fail fast instead of hanging the driver if the device link is wedged —
 # with a raising handler so partial results still print as the JSON line
-from bench_guard import Emitter, install_alarm, probe_link_with_retry
+from bench_guard import Emitter, budget_clock, install_alarm, probe_link_with_retry
 
-_BUDGET_S = install_alarm(540)
-
-import time
-
-_T0 = time.monotonic()
-
-
-def _remaining() -> float:
-    """Seconds left before the alarm fires."""
-    return _BUDGET_S - (time.monotonic() - _T0)
+#: seconds left before the alarm fires (shared helper — bench_guard)
+_remaining = budget_clock(install_alarm(540))
 
 # prefer the real TPU when the axon sitecustomize is active; JAX_PLATFORMS
 # from the sandbox env ("axon") is fine as-is

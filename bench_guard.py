@@ -40,6 +40,18 @@ def install_alarm(default_s: int = 540) -> int:
     return budget
 
 
+def budget_clock(budget_s: int):
+    """Zero-arg callable returning seconds left of a ``budget_s`` window
+    starting NOW — the ``remaining()`` companion to :func:`install_alarm`,
+    shared by the entry scripts instead of each keeping its own copy."""
+    t0 = time.monotonic()
+
+    def remaining() -> float:
+        return budget_s - (time.monotonic() - t0)
+
+    return remaining
+
+
 def clear_axon_env() -> None:
     """Clear exactly the sandbox's ``JAX_PLATFORMS=axon`` pin (preserving
     deliberate overrides like ``"cpu"``) so jax's auto-pick resolves the
@@ -134,12 +146,14 @@ def probe_link(budget_s: int = 90, *, wait_slack_s: int = 25,
         try:
             rc = proc.wait(timeout=budget_s + wait_slack_s)
         except subprocess.TimeoutExpired:
+            # the abandoned child still owns the log file — leave it
             return "abandoned", (
                 "probe stuck past its internal alarm (pool wedged; "
                 "child left running to exit cleanly on its own)"
             )
         logf.seek(0)
         tail = logf.read().strip().splitlines()
+    os.unlink(logf.name)  # child exited; don't leak one log per attempt
     last = tail[-1] if tail else ""
     if rc == 0:
         return "ok", last

@@ -25,20 +25,15 @@ late wedge cannot erase it — the LAST line on stdout is the best record.
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # a raising handler (not the default SIGALRM kill) so a wedged device link
 # still yields a JSON error line instead of a silent 142 exit
-from bench_guard import Emitter, install_alarm, probe_link_with_retry
+from bench_guard import Emitter, budget_clock, install_alarm, probe_link_with_retry
 
-_BUDGET_S = install_alarm(540)
-_T0 = time.monotonic()
-
-
-def _remaining() -> float:
-    return _BUDGET_S - (time.monotonic() - _T0)
+#: seconds left before the alarm fires (shared helper — bench_guard)
+_remaining = budget_clock(install_alarm(540))
 
 
 import jax  # noqa: E402

@@ -73,7 +73,7 @@ class FleetServer:
         *,
         c2b_quat=(0.0, 0.0, 0.0, 1.0),
         long_range: bool = False,
-        cam_yaw: float = 0.0,
+        cam_yaw: Optional[float] = None,
         seed: int = 0,
         scale_rotation=None,
     ):
@@ -96,6 +96,21 @@ class FleetServer:
         self.n = n_streams
         self.c2b = jnp.asarray(c2b_quat, jnp.float32)
         self.long_range = long_range
+        if cam_yaw is None:
+            # derive like OpticFlowNode.set_transforms: cam_yaw =
+            # yaw(inverse(c2b)) + pi/2 (src/optic_flow.cpp:1206-1208) — the
+            # identity mount maps to pi/2, which get_2dt's rebuilt rate
+            # feed-forward reads as mount yaw 0 (deviation 21); the old 0.0
+            # default silently meant "camera yawed 90 deg on the body"
+            from mrs_optic_flow_tpu.utils.quat_np import (
+                np_quat_inverse,
+                np_rpy_from_quat,
+            )
+
+            _, _, inv_yaw = np_rpy_from_quat(
+                np_quat_inverse(np.asarray(c2b_quat, float))
+            )
+            cam_yaw = float(inv_yaw) + np.pi / 2
         self.cam_yaw = float(cam_yaw)
         if scale_rotation is None:
             scale_rotation = getattr(pipeline, "scale_rotation", None)

@@ -694,10 +694,15 @@ class OpticFlowNode:
         # The shipped defaults (true, 0.0) reproduce the reference's actual
         # behavior; ARCHITECTURE.md deviation list.
         tilt = float(np.hypot(self.imu_roll, self.imu_pitch))
-        if c.tilt_correction and tilt >= c.minimum_tilt_correction:
+        detilted = c.tilt_correction and tilt >= c.minimum_tilt_correction
+        if detilted:
             detilt = np_quat_from_rpy(self.imu_roll, self.imu_pitch, 0.0)
         else:
             detilt = np.asarray([0.0, 0.0, 0.0, 1.0])
+        # an un-detilted vector lives in the TILTED body frame — label it
+        # so (frame_id is the consumer's transform key; publishing a tilted
+        # vector as fcu_untilted would make an EKF rotate it wrongly)
+        sr_frame_id = self.uav_untilted_frame if detilted else self.uav_frame
         c2b = jnp.asarray(self.c2b_quat, jnp.float32)
 
         if not isinstance(self.engine, FftMethod):
@@ -797,7 +802,7 @@ class OpticFlowNode:
 
             fx = float(cam_eff[0, 0])
             twist = TwistWithCovarianceStamped.make(
-                frame_id=self.uav_untilted_frame,
+                frame_id=sr_frame_id,
                 stamp=msg.stamp,
                 linear=tuple(float(x) for x in tran_b),
                 angular=tuple(ang),

@@ -186,16 +186,13 @@ def test_retry_loop_gives_up_inside_budget():
 
 @pytest.fixture
 def bench_module(monkeypatch):
-    import time
-
     import bench  # arms a real 540 s SIGALRM at import — disarm for the suite
 
     signal.alarm(0)
     monkeypatch.setattr(bench, "BATCH", 2)  # _make_inputs stays trivial
     # the module-level budget clock started at import, long before this
-    # test — reset it so the in-test budget gates behave as at process start
-    monkeypatch.setattr(bench, "_T0", time.monotonic())
-    monkeypatch.setattr(bench, "_BUDGET_S", 10_000)
+    # test — swap in a fresh one so budget gates behave as at process start
+    monkeypatch.setattr(bench, "_remaining", lambda: 10_000.0)
     monkeypatch.setenv("BENCH_PROBE", "0")
     monkeypatch.setenv("BENCH_LATENCY", "0")
     monkeypatch.delenv("BENCH_MXU_PASSES", raising=False)
@@ -256,10 +253,7 @@ def test_bench_wedged_probe_reports_and_exits(bench_module, monkeypatch, capsys)
     # bench calls probe_link_with_retry which defaults _probe=None ->
     # bench_guard.probe_link, so the patch above takes effect; shrink the
     # budget so the loop gives up after one backoff-less attempt
-    import time
-
-    monkeypatch.setattr(bench_module, "_T0", time.monotonic())
-    monkeypatch.setattr(bench_module, "_BUDGET_S", 1)
+    monkeypatch.setattr(bench_module, "_remaining", lambda: 1.0)
     with pytest.raises(SystemExit) as exc:
         bench_module.main()
     assert exc.value.code == 1

@@ -15,8 +15,12 @@ def test_cli_synthetic(capsys):
 
 
 def test_cli_flight_gate(capsys):
-    """``--flight banked``: the closed-loop flight simulator as a CLI
-    regression gate — FlightReport JSON on stdout, exit code by budgets."""
+    """``--flight``: the closed-loop flight simulator as a CLI regression
+    gate — FlightReport JSON on stdout, exit code by budgets.  Both
+    profiles are driven: banked against the default budgets, and LEVEL
+    with an impossible budget — one run covers the level branch AND the
+    gate flip, while its report proves the level flight would pass the
+    defaults (no second banked render on the fast lane)."""
     import json
 
     rc = main(["--flight", "banked", "--quiet"])
@@ -29,11 +33,18 @@ def test_cli_flight_gate(capsys):
         "climb", "cruise", "brake", "descent"}
     assert 0.005 < rep["nees_xy"] < 2.5
 
-    # an impossible budget flips the exit code (the gate actually gates)
-    rc_bad = main(["--flight", "banked", "--quiet",
-                   "--flight-rmse-budget", "0.001"])
-    capsys.readouterr()
-    assert rc_bad == 1
+    rc_level = main(["--flight", "level", "--quiet",
+                     "--flight-rmse-budget", "0.001"])
+    out = capsys.readouterr().out.strip().splitlines()
+    rep_level = json.loads(out[-1])
+    assert rc_level == 1  # the gate actually gates
+    # ...but the level flight itself is healthy against the DEFAULT gates
+    assert rep_level["rmse_xy"] < 0.15, rep_level
+    assert rep_level["nan_published"] == 0
+    assert 0.005 < rep_level["nees_xy"] < 2.5
+    assert all(v >= 0.9 for v in rep_level["per_phase_coverage"].values())
+    assert set(rep_level["per_phase_coverage"]) == {
+        "takeoff", "cruise", "descent"}
 
 
 def test_cli_overrides(capsys):

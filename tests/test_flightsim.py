@@ -169,6 +169,15 @@ def test_flight_banked_tilt_correction_ab(banked_flight):
     )
     assert rep_off.rmse_xy > rep_on.rmse_xy
 
+    # frame_id tells the truth: a detilted vector is published in the
+    # untilted frame, an un-detilted one in the (tilted) body frame — a
+    # consumer transforming by frame_id must not rotate by the wrong
+    # attitude
+    assert {m.frame_id for t, m in pub_on
+            if t == "velocity_out"} == {"fcu_untilted"}
+    assert {m.frame_id for t, m in pub_off
+            if t == "velocity_out"} == {"fcu"}
+
     # the deadband suppresses correction below the configured tilt
     # (minimum_tilt_correction, the reference's IMU-noise knob — dead
     # there, live here): a deadband above the flight's max bank (~0.21
