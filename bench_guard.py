@@ -114,7 +114,7 @@ sys.exit(0)
 """
 
 
-def probe_link(budget_s: int = 90, *, wait_slack_s: int = 25,
+def probe_link(budget_s: int = 120, *, wait_slack_s: int = 25,
                _argv=None) -> tuple:
     """Pre-flight device-link health probe in a child process.
 
@@ -166,7 +166,7 @@ def probe_link_with_retry(
     emitter: "Emitter",
     remaining_s,
     *,
-    budget_s: int = 90,
+    budget_s: int = 120,
     backoff_s: int = 75,
     reserve_s: int = 60,
     sleep=time.sleep,
