@@ -325,3 +325,48 @@ def test_fleet_scale_rotation_fused_in_pipeline(rng):
                 ScaleRotationConfig(resolution=48)
             ),
         )
+
+
+def test_fleet_long_range_rate_feed_forward(rng):
+    """Fleet LR wiring of the per-stream roll/pitch-rate feed-forward
+    (deviation 21): identical frames per tick measure ZERO flow, so every
+    stream's published velocity is exactly get_2dt's correction for its
+    own rates — catching any axis swap or ordering bug between
+    FleetServer.tick, the pipeline's vmapped step, and get_2dt (incl. the
+    derived identity-mount cam_yaw = pi/2 default)."""
+    import jax.numpy as jnp
+
+    from mrs_optic_flow_tpu.geometry.motion import get_2dt
+
+    n, h, dt = 4, 2.0, 0.05
+    base = (smooth_random_image(rng, 64, cutoff=0.4) * 0.5 + 64).astype(np.uint8)
+    frames = np.stack([base] * n)
+    pipe = _pipeline()
+    fleet = FleetServer(pipe, n, long_range=True)
+    assert fleet.cam_yaw == pytest.approx(np.pi / 2)  # identity mount
+
+    fleet.tick(frames, np.zeros(n), np.full(n, h))
+    roll_rates = np.array([0.2, 0.0, -0.1, 0.05], np.float32)
+    pitch_rates = np.array([0.0, 0.3, 0.1, -0.2], np.float32)
+    tick = fleet.tick(
+        frames, np.full(n, dt), np.full(n, h),
+        roll_rates=roll_rates, pitch_rates=pitch_rates,
+    ).materialize()
+    assert tick.ok.all()
+
+    p_lr = pipe.engine.num_windows_lr
+    for i in range(n):
+        exp = get_2dt(
+            jnp.zeros((p_lr, 2), jnp.float32), jnp.float32(h),
+            jnp.float32(dt), jnp.float32(pipe.ul_x),
+            jnp.asarray(K, jnp.float32),
+            jnp.float32(roll_rates[i]), jnp.float32(pitch_rates[i]),
+            jnp.float32(np.pi / 2),
+            long_range_ratio=pipe.engine.config.long_range_ratio,
+        )
+        np.testing.assert_allclose(
+            tick.tran[i], np.asarray(exp.tran), atol=1e-4,
+            err_msg=f"stream {i}",
+        )
+    # and the rates genuinely differ per stream (the map is not constant)
+    assert np.std(tick.tran[:, 0]) > 1e-3 or np.std(tick.tran[:, 1]) > 1e-3

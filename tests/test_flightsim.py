@@ -462,6 +462,28 @@ def test_flight_rosbag2_roundtrip(flight, tmp_path):
         assert cov >= 0.95, (phase, rep.per_phase_coverage)
 
 
+@pytest.mark.slow
+def test_flight_banked_with_lens_distortion():
+    """Banked flight through a DISTORTED camera (the reference's ~90 deg
+    mvBlueFOX-style coefficients): undistortion, detilt, and the
+    homography decomposition are stressed jointly — rays bend, the
+    principal-axis geometry shifts, and the attitude changes every frame.
+    Measured baseline: RMSE 0.050 (the level undistorted budget holds)."""
+    from mrs_optic_flow_tpu.runtime.stream import SyntheticScene
+
+    scene = SyntheticScene(
+        seed=7, texture_cutoff=0.3,
+        dist_coeffs=(-0.25, 0.06, 1e-4, -2e-4, -0.004),
+    )
+    samples = banked_flight_profile()
+    sim = FlightSimulator(samples, scene=scene)
+    node, published = _drive(
+        sim, sim.frames(), mrs_optic_flow={"long_range_mode": "always_off"},
+    )
+    rep = evaluate_flight(samples, published)
+    _assert_banked_budgets(rep, node)
+
+
 def test_flight_banked_bag_roundtrips(banked_flight, tmp_path):
     """The BANKED flight through both bag formats: the writers encode the
     attitude quaternions and roll/pitch/yaw rates (new with the banked
