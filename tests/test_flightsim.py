@@ -463,18 +463,20 @@ def test_flight_rosbag2_roundtrip(flight, tmp_path):
 
 
 @pytest.mark.slow
-def test_flight_banked_with_lens_distortion():
-    """Banked flight through a DISTORTED camera (the reference's ~90 deg
-    mvBlueFOX-style coefficients): undistortion, detilt, and the
-    homography decomposition are stressed jointly — rays bend, the
-    principal-axis geometry shifts, and the attitude changes every frame.
-    Measured baseline: RMSE 0.050 (the level undistorted budget holds)."""
+@pytest.mark.parametrize("scene_kwargs", [
+    # the reference's ~90 deg mvBlueFOX-style coefficients: undistortion,
+    # detilt, and the decomposition stressed jointly (measured RMSE 0.050)
+    {"dist_coeffs": (-0.25, 0.06, 1e-4, -2e-4, -0.004)},
+    # principal point well off the image centre — the camera-centred crop
+    # (src/optic_flow.cpp:1610-1612) under banking (measured RMSE 0.069)
+    {"cx": 420.0, "cy": 230.0},
+], ids=["lens_distortion", "offcentre_principal"])
+def test_flight_banked_scene_variants(scene_kwargs):
+    """Banked flight through non-ideal camera geometries: every budget of
+    the nominal banked flight must hold."""
     from mrs_optic_flow_tpu.runtime.stream import SyntheticScene
 
-    scene = SyntheticScene(
-        seed=7, texture_cutoff=0.3,
-        dist_coeffs=(-0.25, 0.06, 1e-4, -2e-4, -0.004),
-    )
+    scene = SyntheticScene(seed=7, texture_cutoff=0.3, **scene_kwargs)
     samples = banked_flight_profile()
     sim = FlightSimulator(samples, scene=scene)
     node, published = _drive(
