@@ -154,7 +154,7 @@ def test_decompose_vs_opencv(rng):
         t = 0.3 * rng.standard_normal(3)
         h = _make_h(r, t, n)
         nsol, rs_cv, ts_cv, ns_cv = cv2.decomposeHomographyMat(h, np.eye(3))
-        dec = decompose_homography(jnp.asarray(h, jnp.float64))
+        dec = decompose_homography(jnp.asarray(h, jnp.float32))
         assert int(dec.n_solutions) == 4
         # same solution *set* (order may differ): match each cv solution
         ours = [
@@ -185,7 +185,7 @@ def test_decompose_negative_det_yields_proper_rotations(rng):
             h = h * np.sign(np.linalg.det(h))  # make h22's sign disagree
         if h[2, 2] < 0:
             continue  # both negative: not the failure shape
-        dec = decompose_homography(jnp.asarray(h, jnp.float64))
+        dec = decompose_homography(jnp.asarray(h, jnp.float32))
         for i in range(int(dec.n_solutions)):
             d = np.linalg.det(np.asarray(dec.rotations[i]))
             assert d > 0.5, (trial, i, d)
@@ -198,7 +198,7 @@ def test_decompose_negative_det_yields_proper_rotations(rng):
 
 def test_decompose_pure_rotation(rng):
     r = _rot(rng)
-    dec = decompose_homography(jnp.asarray(r, jnp.float64))
+    dec = decompose_homography(jnp.asarray(r, jnp.float32))
     assert int(dec.n_solutions) == 1
     np.testing.assert_allclose(np.asarray(dec.rotations[0]), r, atol=1e-6)
 
