@@ -183,6 +183,9 @@ def probe_link_with_retry(
     passes; False when the budget is exhausted (the caller should emit the
     final error record and exit nonzero)."""
     probe = _probe or probe_link
+    # driver-tunable without code changes (the child reads PROBE_BUDGET_S;
+    # this is the parent's per-attempt allowance)
+    budget_s = int(os.environ.get("BENCH_PROBE_BUDGET_S", budget_s))
     attempt = 0
     while True:
         attempt += 1
