@@ -184,12 +184,8 @@ def main():
             dev = measure_device_chain_latency(
                 int(os.environ.get("BENCH_LATENCY_K", "100"))
             )
-            em.emit(
+            lat_fields = dict(
                 latency_device_ms=round(dev["per_frame_ms"], 4),
-                # BASELINE.md's second target (<= 2 ms device-side per-frame
-                # chain) re-proven per round, as a ratio like vs_baseline:
-                # >1 = under target by that factor
-                latency_vs_target=round(2.0 / max(dev["per_frame_ms"], 1e-9), 2),
                 # raw chain medians: a link-jitter-corrupted slope is
                 # self-evident instead of silently optimistic (benchlib)
                 latency_chain_medians_ms={
@@ -197,6 +193,18 @@ def main():
                     for k_, v in dev["chain_medians_ms"].items()
                 },
             )
+            if dev["slope_ok"]:
+                # BASELINE.md's second target (<= 2 ms device-side per-frame
+                # chain) re-proven per round, as a ratio like vs_baseline:
+                # >1 = under target by that factor
+                lat_fields["latency_vs_target"] = round(
+                    2.0 / max(dev["per_frame_ms"], 1e-9), 2
+                )
+            else:
+                # ratios off a non-positive slope are meaningless (a live
+                # capture once read -0.69 ms/frame under link jitter)
+                lat_fields["latency_slope_unreliable"] = True
+            em.emit(**lat_fields)
             # 300 frames keeps the driver bench inside its timeout; the full
             # >=1000-frame artifact lives in bench_latency.py
             e2e = measure_node_latency(

@@ -58,9 +58,8 @@ def main():
             raise SystemExit(1)
     try:
         dev = measure_device_chain_latency(k)
-        em.emit(
+        fields = dict(
             value=round(dev["per_frame_ms"], 4),
-            vs_baseline=round(2.0 / max(dev["per_frame_ms"], 1e-9), 3),
             device_per_frame_ms=round(dev["per_frame_ms"], 4),
             device_chain_k=dev["k"],
             # raw chain medians make a jitter-corrupted slope self-evident
@@ -70,6 +69,14 @@ def main():
             },
             backend=jax.default_backend(),
         )
+        if dev["slope_ok"]:
+            fields["vs_baseline"] = round(2.0 / max(dev["per_frame_ms"], 1e-9), 3)
+        else:
+            # link jitter pushed the two chain medians past each other — a
+            # ratio off a non-positive slope is meaningless (a live capture
+            # once read -0.69 ms/frame -> vs_baseline 2e9)
+            fields["slope_unreliable"] = True
+        em.emit(**fields)
         e2e = measure_node_latency(n_frames)
         em.emit(
             e2e_p50_ms=round(e2e["p50_ms"], 3),

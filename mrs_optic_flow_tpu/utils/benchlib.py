@@ -296,6 +296,11 @@ def measure_device_chain_latency(
         "per_frame_ms": slope["per_item_ms"],
         "dispatch_overhead_ms": slope["overhead_ms"],
         "chain_medians_ms": slope["med_ms"],
+        # a physical slope is strictly positive; a loaded shared link can
+        # jitter the two medians past each other (a NEGATIVE -0.69 ms/frame
+        # was captured live) — callers must not publish ratios off an
+        # unreliable slope
+        "slope_ok": slope["per_item_ms"] > 0,
     }
 
 
