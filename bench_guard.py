@@ -114,6 +114,28 @@ sys.exit(0)
 """
 
 
+#: abandoned probe children still waiting on the pool claim: (Popen, log
+#: path).  Killing them would wedge the pool (verify SKILL.md), so they are
+#: tracked and reaped — log file unlinked — once they exit on their own.
+_abandoned_probes: list = []
+
+
+def _reap_abandoned() -> int:
+    """Reap abandoned probe children that have since exited (unlink their
+    log files); returns how many are STILL alive."""
+    alive = []
+    for proc, log_path in _abandoned_probes:
+        if proc.poll() is None:
+            alive.append((proc, log_path))
+        else:
+            try:
+                os.unlink(log_path)
+            except OSError:
+                pass
+    _abandoned_probes[:] = alive
+    return len(alive)
+
+
 def probe_link(budget_s: int = 120, *, wait_slack_s: int = 25,
                _argv=None) -> tuple:
     """Pre-flight device-link health probe in a child process.
@@ -146,7 +168,11 @@ def probe_link(budget_s: int = 120, *, wait_slack_s: int = 25,
         try:
             rc = proc.wait(timeout=budget_s + wait_slack_s)
         except subprocess.TimeoutExpired:
-            # the abandoned child still owns the log file — leave it
+            # the abandoned child still owns the log file — leave it, but
+            # TRACK it so the retry loop can avoid stacking a second
+            # claim-waiter on top (overlapping waiters extend a wedge) and
+            # can reap the log once the child exits
+            _abandoned_probes.append((proc, logf.name))
             return "abandoned", (
                 "probe stuck past its internal alarm (pool wedged; "
                 "child left running to exit cleanly on its own)"
@@ -179,14 +205,19 @@ def probe_link_with_retry(
     naming the failure (so even a never-recovering pool leaves parseable
     evidence), then the loop backs off — a killed/hammered claim-wait can
     EXTEND a wedge — and retries while enough budget remains for another
-    attempt plus ``reserve_s`` to report.  Returns True once a probe
-    passes; False when the budget is exhausted (the caller should emit the
-    final error record and exit nonzero)."""
+    attempt plus ``reserve_s`` to report.  Two failure modes cut the loop
+    short: a DETERMINISTIC child failure (``status == "error"``, e.g. an
+    import/plugin break that no amount of backoff repairs) retries at most
+    once; and after an "abandoned" attempt the next probe is deferred
+    until the stuck child has actually exited (overlapping claim-waiters
+    can extend a wedge — verify SKILL.md), its log reaped once it does.
+    Returns True once a probe passes; False when the budget is exhausted
+    (the caller should emit the final error record and exit nonzero)."""
     probe = _probe or probe_link
     # driver-tunable without code changes (the child reads PROBE_BUDGET_S;
     # this is the parent's per-attempt allowance)
     budget_s = int(os.environ.get("BENCH_PROBE_BUDGET_S", budget_s))
-    attempt = 0
+    attempt = errors = 0
     while True:
         attempt += 1
         left = remaining_s()
@@ -201,7 +232,21 @@ def probe_link_with_retry(
             return True
         emitter.emit(error=f"link probe failed ({status}): {detail}",
                      probe_attempts=attempt)
+        if status == "error":
+            # deterministic failures (import error, broken plugin) don't
+            # recover with backoff: one retry covers a transient crash,
+            # then bail instead of burning the measurement budget
+            errors += 1
+            if errors > 1:
+                return False
         left = remaining_s()
         if left < backoff_s + budget_s + reserve_s:
             return False
         sleep(backoff_s)
+        # never stack a fresh claim-waiter on an abandoned child that is
+        # still blocked on the pool: extend the backoff in slices until it
+        # exits (reaping its log) or the budget forces giving up
+        while _reap_abandoned() > 0:
+            if remaining_s() < 15 + budget_s + reserve_s:
+                return False
+            sleep(15)

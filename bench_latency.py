@@ -45,6 +45,7 @@ enable_persistent_cache()
 from mrs_optic_flow_tpu.utils.benchlib import (  # noqa: E402
     measure_device_chain_latency,
     measure_node_latency,
+    measure_node_latency_ab,
 )
 
 
@@ -57,24 +58,32 @@ def main():
             em.emit(final=True)
             raise SystemExit(1)
     try:
-        dev = measure_device_chain_latency(k)
+        # jitter-aware + self-escalating slope (benchlib); reserve budget
+        # for the two e2e stages below
+        dev = measure_device_chain_latency(
+            k, budget_s=lambda: _remaining() - 180
+        )
         fields = dict(
             value=round(dev["per_frame_ms"], 4),
             device_per_frame_ms=round(dev["per_frame_ms"], 4),
             device_chain_k=dev["k"],
-            # raw chain medians make a jitter-corrupted slope self-evident
-            # (benchlib.measure_scan_slope)
+            # raw chain medians + jitter scale make a corrupted slope
+            # self-evident AND machine-checked (benchlib.measure_scan_slope)
             device_chain_medians_ms={
                 k_: round(v, 2) for k_, v in dev["chain_medians_ms"].items()
             },
+            device_delta_ms=round(dev["delta_ms"], 2),
+            device_jitter_ms=round(dev["jitter_ms"], 2),
+            device_escalations=dev["escalations"],
             backend=jax.default_backend(),
         )
         if dev["slope_ok"]:
             fields["vs_baseline"] = round(2.0 / max(dev["per_frame_ms"], 1e-9), 3)
         else:
-            # link jitter pushed the two chain medians past each other — a
-            # ratio off a non-positive slope is meaningless (a live capture
-            # once read -0.69 ms/frame -> vs_baseline 2e9)
+            # the chain-median delta never cleared the measured jitter band
+            # even at the escalated chain length (or the slope came out
+            # non-positive — a live capture once read -0.69 ms/frame):
+            # no ratio may be built on it
             fields["slope_unreliable"] = True
         em.emit(**fields)
         e2e = measure_node_latency(n_frames)
@@ -88,14 +97,19 @@ def main():
         )
         # tpu.host_preprocess: native fused gray+crop on the host — the
         # dispatch uploads the 480² gray window instead of the full 1.08 MB
-        # BGR frame (4.7x fewer bytes; the win scales with how
-        # bandwidth-bound the host->device link is)
-        hp = measure_node_latency(
-            n_frames, overrides={"tpu": {"host_preprocess": True}}
+        # BGR frame (4.7x fewer bytes).  INTERLEAVED A/B: the knob
+        # alternates every 10 frames within ONE run, so the shared-link
+        # drift that made sequential A-then-B captures flip-flop cancels in
+        # the paired per-round deltas (docs/PERFORMANCE.md; VERDICT r4
+        # weak 4).  delta < 0 = host_preprocess wins.
+        ab = measure_node_latency_ab(
+            n_frames, overrides_b={"tpu": {"host_preprocess": True}}
         )
         em.update(
-            e2e_hostpre_p50_ms=round(hp["p50_ms"], 3),
-            e2e_hostpre_p99_ms=round(hp["p99_ms"], 3),
+            e2e_hostpre_p50_ms=round(ab["b_p50_ms"], 3),
+            e2e_hostpre_delta_ms=round(ab["delta_p50_ms"], 3),
+            e2e_hostpre_sign_consistency=round(ab["sign_consistency"], 2),
+            e2e_hostpre_rounds=ab["n_rounds"],
         )
     except TimeoutError as e:
         em.emit(final=True, error=str(e))

@@ -51,8 +51,17 @@ def measure_scan_slope(build, k_pair=(25, 100), *, reps: int = 7, warmup: int = 
     the median wall times, which cancels the per-dispatch link overhead
     (RTT, dispatch setup, readback sync) exactly; dividing one chain's
     total by ``k`` would smear those constants into every item.
+
+    The slope is only as good as the two medians it is drawn through, so
+    the per-rep times are kept and turned into a JITTER SCALE (the
+    interquartile spread of the reps, worst of the two chain lengths); the
+    result carries ``reliable`` = "the chain-median separation ``delta_ms``
+    clears 3x that jitter AND the slope is positive".  BENCH_r04 published
+    0.0655 ms/frame off two ~65 ms medians 4.9 ms apart — link jitter, not
+    physics (docs/PERFORMANCE.md rule 8); a positivity check alone waves
+    exactly that artifact through.
     """
-    med = {}
+    med, iqr = {}, {}
     for k in k_pair:
         run = build(k)
         for i in range(warmup):
@@ -64,8 +73,11 @@ def measure_scan_slope(build, k_pair=(25, 100), *, reps: int = 7, warmup: int = 
             times.append(time.perf_counter() - t0)
         times.sort()
         med[k] = times[len(times) // 2]
+        iqr[k] = times[(3 * len(times)) // 4] - times[len(times) // 4]
     k_lo, k_hi = k_pair
     per = (med[k_hi] - med[k_lo]) / (k_hi - k_lo)
+    delta = med[k_hi] - med[k_lo]
+    jitter = max(iqr[k_lo], iqr[k_hi])
     return {
         "per_item_ms": per * 1e3,
         "overhead_ms": (med[k_lo] - per * k_lo) * 1e3,
@@ -77,6 +89,9 @@ def measure_scan_slope(build, k_pair=(25, 100), *, reps: int = 7, warmup: int = 
         # 0.296 under a quiet link).  Publishing them makes a bad capture
         # self-evident instead of silently optimistic.
         "med_ms": {int(k): med[k] * 1e3 for k in k_pair},
+        "delta_ms": delta * 1e3,
+        "jitter_ms": jitter * 1e3,
+        "reliable": bool(per > 0 and delta >= 3.0 * jitter),
     }
 
 
@@ -120,11 +135,35 @@ def measure_node_latency(
     program plus the host readbacks of the tiny result arrays.  Returns
     p50/p90/p95/p99/mean in milliseconds.
     """
+    node = _make_latency_node(overrides)
+    frames = make_latency_frames(n_distinct)
+    times = []
+    stamp = 100.0
+    for i in range(warmup + n_frames):
+        stamp += dt
+        elapsed = _time_node_frame(node, stamp, frames[i % n_distinct])
+        if i >= warmup:
+            times.append(elapsed)
+    arr = np.asarray(times) * 1e3
+    arr.sort()
+    pct = lambda p: float(arr[min(int(len(arr) * p), len(arr) - 1)])  # noqa: E731
+    return {
+        "n": len(arr),
+        "p50_ms": pct(0.50),
+        "p90_ms": pct(0.90),
+        "p95_ms": pct(0.95),
+        "p99_ms": pct(0.99),
+        "mean_ms": float(arr.mean()),
+    }
+
+
+def _make_latency_node(overrides=None):
+    """A ready-to-measure ``OpticFlowNode`` (camera info + sensor snapshots
+    seeded, null publish/log) — shared by the latency harnesses."""
     from mrs_optic_flow_tpu.config import load_config
     from mrs_optic_flow_tpu.runtime.msgs import (
         CameraInfo,
         Float64Stamped,
-        ImageMsg,
         Imu,
         Odometry,
     )
@@ -142,28 +181,79 @@ def measure_node_latency(
     node.on_odometry(Odometry(stamp=t0, orientation=(0.0, 0.0, 0.0, 1.0),
                               linear_velocity=(0.0, 0.0, 0.0)))
     node.on_height(Float64Stamped(stamp=t0, value=2.0))
+    return node
 
+
+def _time_node_frame(node, stamp: float, img) -> float:
+    """Wall seconds of one ``on_image`` call."""
+    from mrs_optic_flow_tpu.runtime.msgs import ImageMsg
+
+    t_start = time.perf_counter()
+    node.on_image(ImageMsg(stamp=stamp, data=img))
+    return time.perf_counter() - t_start
+
+
+def measure_node_latency_ab(
+    n_frames: int = 600,
+    *,
+    overrides_a=None,
+    overrides_b=None,
+    block: int = 10,
+    warmup: int = 32,
+    n_distinct: int = 64,
+    dt: float = 0.02,
+) -> dict:
+    """INTERLEAVED A/B of two node configurations within ONE run.
+
+    End-to-end latency through this sandbox's tunnelled link drifts with
+    shared-link load on the tens-of-seconds scale, so a sequential
+    A-then-B comparison measures the drift as much as the knob (the
+    ``host_preprocess`` default flip-flopped across three captures for
+    exactly this reason — docs/PERFORMANCE.md).  Here the two configs
+    alternate every ``block`` frames against their own stamp streams, the
+    per-round paired delta ``median(B round) − median(A round)`` cancels
+    drift to first order, and ``sign_consistency`` (fraction of rounds
+    agreeing with the median's sign) says whether the verdict is stable
+    inside the run.  Both nodes are warmed (compile + link) before timing.
+
+    Returns ``delta_p50_ms`` (negative = B faster), per-round deltas, the
+    per-config p50s, and ``sign_consistency``.
+    """
+    node_a = _make_latency_node(overrides_a)
+    node_b = _make_latency_node(overrides_b)
     frames = make_latency_frames(n_distinct)
-    times = []
-    stamp = t0
-    for i in range(warmup + n_frames):
-        stamp += dt
-        img = frames[i % n_distinct]
-        t_start = time.perf_counter()
-        node.on_image(ImageMsg(stamp=stamp, data=img))
-        elapsed = time.perf_counter() - t_start
-        if i >= warmup:
-            times.append(elapsed)
-    arr = np.asarray(times) * 1e3
-    arr.sort()
-    pct = lambda p: float(arr[min(int(len(arr) * p), len(arr) - 1)])  # noqa: E731
+    stamps = {id(node_a): 100.0, id(node_b): 100.0}
+
+    def run_block(node, n, i0, record=None):
+        for i in range(n):
+            stamps[id(node)] += dt
+            el = _time_node_frame(
+                node, stamps[id(node)], frames[(i0 + i) % n_distinct]
+            )
+            if record is not None:
+                record.append(el)
+
+    run_block(node_a, warmup, 0)
+    run_block(node_b, warmup, 0)
+    rounds = max(n_frames // (2 * block), 1)
+    deltas, all_a, all_b = [], [], []
+    for r in range(rounds):
+        ta, tb = [], []
+        run_block(node_a, block, r * block, ta)
+        run_block(node_b, block, r * block, tb)
+        deltas.append((float(np.median(tb)) - float(np.median(ta))) * 1e3)
+        all_a += ta
+        all_b += tb
+    med_delta = float(np.median(deltas))
+    agree = [d for d in deltas if (d < 0) == (med_delta < 0) or d == 0]
     return {
-        "n": len(arr),
-        "p50_ms": pct(0.50),
-        "p90_ms": pct(0.90),
-        "p95_ms": pct(0.95),
-        "p99_ms": pct(0.99),
-        "mean_ms": float(arr.mean()),
+        "delta_p50_ms": med_delta,
+        "round_deltas_ms": [float(d) for d in deltas],
+        "sign_consistency": len(agree) / len(deltas),
+        "a_p50_ms": float(np.median(all_a)) * 1e3,
+        "b_p50_ms": float(np.median(all_b)) * 1e3,
+        "n_rounds": rounds,
+        "block": block,
     }
 
 
@@ -177,6 +267,8 @@ def measure_device_chain_latency(
     width: int = 752,
     height: int = 480,
     scale_rotation=None,
+    max_k: int | None = None,
+    budget_s=None,
 ) -> dict:
     """Device-program-only per-frame latency of the full single-frame chain
     (grayscale -> crop -> FftMethod.step -> getRT -> detilt).
@@ -196,7 +288,19 @@ def measure_device_chain_latency(
     (``lax.while_loop`` indexing a fixed frame stack), so both lengths share
     a single compile — under a backend that cannot persist executables (the
     tunnelled axon plugin) the two-``lax.scan`` formulation paid the large
-    fused program's compile twice per process."""
+    fused program's compile twice per process.
+
+    SELF-POLICING: when the chain-median separation does not clear the
+    measured rep jitter (``measure_scan_slope.reliable`` — a loaded shared
+    link can leave both medians inside one jitter band, which is how
+    BENCH_r04 published a 4.5x-optimistic 0.0655 ms/frame), the chain
+    length ESCALATES (k doubles, up to ``max_k``, default ``4*k``; at
+    0.3 ms/frame a 100 -> 400 chain adds ~90 ms of separation) and
+    remeasures, while ``budget_s`` (a zero-arg seconds-remaining callable
+    or a float; None = no budget limit) allows.  The frame stack is
+    allocated at ``max_k`` up front so every escalation reuses the ONE
+    compiled program.  The result's ``slope_ok`` is the final reliability
+    verdict — callers must not publish ratios off ``slope_ok=False``."""
     import jax
     import jax.numpy as jnp
 
@@ -260,17 +364,23 @@ def measure_device_chain_latency(
         )
         return st, chk
 
+    if k < 2:
+        raise ValueError(f"k must be >= 2 to fit a slope, got {k}")
+    max_k = max(int(max_k) if max_k is not None else 4 * k, k)
+
     @jax.jit
     def _make_frames(key):
         # distinct uint8 BGR frames generated ON DEVICE: this sandbox's single
         # weak vCPU and slow tunnelled link would otherwise spend minutes
         # synthesizing + uploading the ~100 MB stack (host-side costs that
-        # don't belong in a device-program latency number)
-        g = jax.random.bits(key, (k, height, width), jnp.uint8)
+        # don't belong in a device-program latency number).  Sized at max_k
+        # so an escalated chain length reuses the same compiled program
+        # (the frames shape is baked into the HLO).
+        g = jax.random.bits(key, (max_k, height, width), jnp.uint8)
         return jnp.repeat(g[..., None], 3, axis=-1)
 
     frames = _make_frames(jax.random.PRNGKey(1))
-    keys = jax.random.split(jax.random.PRNGKey(0), k)
+    keys = jax.random.split(jax.random.PRNGKey(0), max_k)
 
     sr_state0 = None if scale_rotation is None else scale_rotation.init_state()
     sr_w = () if scale_rotation is None else scale_rotation.lp_weights
@@ -286,25 +396,47 @@ def measure_device_chain_latency(
 
         return run
 
-    if k < 2:
-        raise ValueError(f"k must be >= 2 to fit a slope, got {k}")
-    # k_lo stays strictly below k (and within the k-frame stack both chain
-    # lengths share), so the slope denominator can never degenerate
-    slope = measure_scan_slope(build, (max(k // 4, 1), k), reps=reps, warmup=warmup)
+    def _budget_left():
+        if budget_s is None:
+            return float("inf")
+        return budget_s() if callable(budget_s) else float(budget_s)
+
+    # k_lo stays strictly below k (and within the max_k-frame stack every
+    # chain length shares), so the slope denominator can never degenerate
+    k_cur, escalations = k, 0
+    while True:
+        slope = measure_scan_slope(
+            build, (max(k_cur // 4, 1), k_cur), reps=reps, warmup=warmup
+        )
+        if slope["reliable"] or k_cur >= max_k:
+            break
+        # cost estimate for the doubled chains from the medians just
+        # measured (x2 for the doubling, x1.5 safety): escalate only if the
+        # remaining budget covers it — a partial escalation that trips the
+        # caller's alarm would erase the measurement it was refining
+        est_s = 3.0 * (reps + warmup) * sum(slope["med_ms"].values()) / 1e3
+        if _budget_left() < est_s:
+            break
+        k_cur = min(2 * k_cur, max_k)
+        escalations += 1
     return {
-        "k": k,
+        "k": k_cur,
         "per_frame_ms": slope["per_item_ms"],
         "dispatch_overhead_ms": slope["overhead_ms"],
         "chain_medians_ms": slope["med_ms"],
-        # a physical slope is strictly positive; a loaded shared link can
-        # jitter the two medians past each other (a NEGATIVE -0.69 ms/frame
-        # was captured live) — callers must not publish ratios off an
-        # unreliable slope
-        "slope_ok": slope["per_item_ms"] > 0,
+        "delta_ms": slope["delta_ms"],
+        "jitter_ms": slope["jitter_ms"],
+        "escalations": escalations,
+        # reliability verdict (jitter-aware, not just positivity — a loaded
+        # shared link can jitter the two medians past each other, a NEGATIVE
+        # -0.69 ms/frame was captured live, and BENCH_r04 published a
+        # positive-but-meaningless 0.0655): callers must not publish ratios
+        # off an unreliable slope
+        "slope_ok": slope["reliable"],
     }
 
 
-def measure_chained(
+def measure_chained_stats(
     chained,
     prev: jnp.ndarray,
     curr: jnp.ndarray,
@@ -314,12 +446,16 @@ def measure_chained(
     pipeline: int = 1,
     warmup: int = 3,
     progress: Callable[[float], None] | None = None,
-) -> float:
-    """Steady-state items/sec of a :func:`make_chained` function.
+) -> dict:
+    """Steady-state items/sec of a :func:`make_chained` function, WITH the
+    per-window spread.
 
     ``pipeline`` calls are kept in flight per timed window (a streaming
     consumer's shape); every window's results are materialized on the host.
-    Returns the p50 of per-window rates (robust to scheduler jitter).
+    The headline ``rate`` is the p50 of per-window rates (robust to
+    scheduler jitter), and ``window_rates``/``rate_min``/``rate_max``
+    publish the spread — a single scalar made a −8.6% round-over-round
+    drift unadjudicable (pool load vs regression, VERDICT r4 weak 2/3).
 
     ``progress``, when given, is called ONCE with the first timed window's
     rate as soon as it lands — the incremental-emission hook that lets
@@ -342,5 +478,17 @@ def measure_chained(
         times.append(time.perf_counter() - t0)
         if progress is not None and len(times) == 1:
             progress(items_per_call * pipeline / times[0])
-    times.sort()
-    return items_per_call * pipeline / times[len(times) // 2]
+    rates = sorted(items_per_call * pipeline / t for t in times)
+    return {
+        "rate": rates[len(rates) // 2],
+        "rate_min": rates[0],
+        "rate_max": rates[-1],
+        "window_rates": rates,
+        "n_windows": len(rates),
+    }
+
+
+def measure_chained(chained, prev, curr, **kw) -> float:
+    """p50-only wrapper over :func:`measure_chained_stats` (the tuning
+    scripts' shape; ``bench.py`` consumes the full stats)."""
+    return measure_chained_stats(chained, prev, curr, **kw)["rate"]
