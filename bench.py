@@ -105,36 +105,23 @@ def _measure_accuracy(modes, n_pairs: int = 6) -> dict:
     driver artifact (the reference's dual-backend conformance axis,
     ``src/FftMethod.cpp:1824-1836``; until round 5 it was proven on
     hardware only by builder-run scripts).  ``modes``: (field_name,
-    mxu_passes) pairs.  Band-limited textures, known sub-pixel shifts
-    (exact Fourier shift), quantized to uint8 AFTER shifting — the camera
-    contract; the oracle consumes the same 8-bit pixels so the diff
-    isolates backend fidelity (scripts/accuracy_report.py, condensed)."""
+    mxu_passes) pairs.  Pair synthesis + oracle answers come from the ONE
+    shared definition (``tests/oracle.py::make_accuracy_pairs``) so this
+    number and the builder table (``scripts/accuracy_report.py``) can
+    never drift apart.  A mode that NaNs any window (the shifts are clean
+    textures well inside every validity gate — a NaN means the compiled
+    kernel broke) reports ``<field>_nan_windows``, which fails the budget
+    check: ``nanmax`` alone would silently ignore a regression that
+    invalidity-gates windows instead of mis-locating peaks."""
     sys.path.insert(
         0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests")
     )
-    from oracle import fourier_shift, phase_correlate_oracle, smooth_random_image
+    from oracle import make_accuracy_pairs
 
     size, patch = 480, 120
-    rng = np.random.default_rng(42)
-    prevs, currs = [], []
-    for _ in range(n_pairs):
-        base = smooth_random_image(rng, size, cutoff=0.35)
-        d = rng.uniform(-25, 25, 2)
-        prevs.append(np.clip(np.rint(base), 0, 255).astype(np.uint8))
-        currs.append(np.clip(
-            np.rint(fourier_shift(base, d[0], d[1])), 0, 255
-        ).astype(np.uint8))
-    prev, curr = np.stack(prevs), np.stack(currs)
-    q = size // patch
-    osh = np.empty((n_pairs, q * q, 2))
-    for b in range(n_pairs):
-        for j in range(q):
-            for i in range(q):
-                sl = (slice(j * patch, (j + 1) * patch),
-                      slice(i * patch, (i + 1) * patch))
-                sh, _ = phase_correlate_oracle(curr[b][sl], prev[b][sl])
-                osh[b, j * q + i] = np.asarray(sh)
-
+    prev, curr, _truth, osh = make_accuracy_pairs(
+        np.random.default_rng(42), n_pairs, size=size, patch=patch
+    )
     on_tpu = jax.default_backend() == "tpu"
     pj, cj = jnp.asarray(prev), jnp.asarray(curr)
     out = {}
@@ -145,6 +132,9 @@ def _measure_accuracy(modes, n_pairs: int = 6) -> dict:
         ))
         s = np.asarray(eng.step_batch(pj, cj).shifts)
         out[field] = round(float(np.nanmax(np.abs(s - osh))), 5)
+        nans = int(np.isnan(s).any(axis=-1).sum())
+        if nans:
+            out[f"{field}_nan_windows"] = nans
     return out
 
 
@@ -259,12 +249,19 @@ def main():
             if not pinned:
                 modes.append(("accuracy_px_fast", 1))
             acc = _measure_accuracy(modes)
-            ok = all(v < ACCURACY_BUDGET_PX for v in acc.values())
+            # every error under budget AND zero NaN'd windows (a compiled
+            # regression may invalidity-gate windows instead of
+            # mis-locating peaks; nanmax alone would wave that through)
+            ok = all(v < ACCURACY_BUDGET_PX
+                     for k_, v in acc.items()
+                     if not k_.endswith("_nan_windows"))
+            ok = ok and not any(k_.endswith("_nan_windows") for k_ in acc)
             em.emit(**acc, accuracy_budget_px=ACCURACY_BUDGET_PX,
                     accuracy_ok=ok)
             if not ok:
                 em.update(accuracy_error="flow error exceeds the 0.1 px "
-                                         "budget on this backend")
+                                         "budget (or windows NaN'd) on "
+                                         "this backend")
         except TimeoutError as e:
             em.emit(final=True, accuracy_error=str(e))
             raise SystemExit(1)

@@ -136,11 +136,16 @@ class OpticFlowConfig:
     scale_rot_lp_resolution: int = 0
     #: tilt deadband for the scale/rotation DECODE (deviation 23): the
     #: log-polar similarity model assumes centred zoom+rotation flow
-    #: (src/scaleRotationEstimator.cpp:34-148); measured on the banked
-    #: yawing descent, tilt > ~0.03 rad or tilt rate > ~0.2 rad/s breaks
-    #: the decode outright (wrong-lobe peaks decode +-pi/2 per frame —
-    #: tests/test_flightsim.py).  Beyond either bound the published decode
-    #: is NaN (invalid => NaN convention); raise both to disable.
+    #: (src/scaleRotationEstimator.cpp:34-148).  Measured on the banked
+    #: yawing descent (tests/test_flightsim.py threshold sweep): every
+    #: frame at tilt >= 0.058 rad or tilt rate >= 0.6 rad/s decoded
+    #: garbage (wrong-lobe peaks wrap the yaw decode +-pi/2 per frame),
+    #: and no sweep threshold recovered a usable survivor set.  The
+    #: defaults sit below every measured-broken point with margin; the
+    #: region between them and the level-flight regime is unmeasured —
+    #: conservative users should tighten, not loosen.  Beyond either bound
+    #: the published decode is NaN (invalid => NaN convention); raise both
+    #: to disable.
     scale_rot_max_tilt: float = 0.05  # [rad]
     scale_rot_max_tilt_rate: float = 0.3  # [rad/s]
 

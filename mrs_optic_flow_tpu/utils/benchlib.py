@@ -294,13 +294,16 @@ def measure_device_chain_latency(
     measured rep jitter (``measure_scan_slope.reliable`` — a loaded shared
     link can leave both medians inside one jitter band, which is how
     BENCH_r04 published a 4.5x-optimistic 0.0655 ms/frame), the chain
-    length ESCALATES (k doubles, up to ``max_k``, default ``4*k``; at
-    0.3 ms/frame a 100 -> 400 chain adds ~90 ms of separation) and
-    remeasures, while ``budget_s`` (a zero-arg seconds-remaining callable
-    or a float; None = no budget limit) allows.  The frame stack is
-    allocated at ``max_k`` up front so every escalation reuses the ONE
-    compiled program.  The result's ``slope_ok`` is the final reliability
-    verdict — callers must not publish ratios off ``slope_ok=False``."""
+    length ESCALATES (k doubles, up to ``max_k``; at 0.3 ms/frame a
+    100 -> 400 chain adds ~90 ms of separation) and remeasures.
+    Escalation is OPT-IN: it activates only when the caller passes
+    ``budget_s`` (a zero-arg seconds-remaining callable or a float —
+    ``max_k`` then defaults to ``4*k``) or an explicit ``max_k``; with
+    neither, the measurement keeps its legacy fixed cost (and memory —
+    the frame stack is allocated at ``max_k`` up front so every
+    escalation reuses the ONE compiled program).  The result's
+    ``slope_ok`` is the final reliability verdict — callers must not
+    publish ratios off ``slope_ok=False``."""
     import jax
     import jax.numpy as jnp
 
@@ -366,7 +369,14 @@ def measure_device_chain_latency(
 
     if k < 2:
         raise ValueError(f"k must be >= 2 to fit a slope, got {k}")
-    max_k = max(int(max_k) if max_k is not None else 4 * k, k)
+    # escalation is OPT-IN via budget_s (or an explicit max_k): the frame
+    # stack is allocated at max_k up front (4*k quadruples its memory and
+    # a jittery link could multiply a caller's measurement time), so
+    # legacy fixed-cost callers (scripts/verify_sr_fused.py and the tune
+    # scripts) keep their old envelope unless they hand over a budget
+    if max_k is None:
+        max_k = 4 * k if budget_s is not None else k
+    max_k = max(int(max_k), k)
 
     @jax.jit
     def _make_frames(key):
@@ -385,12 +395,22 @@ def measure_device_chain_latency(
     sr_state0 = None if scale_rotation is None else scale_rotation.init_state()
     sr_w = () if scale_rotation is None else scale_rotation.lp_weights
 
+    gen = {"n": 0}
+
     def build(kk):
+        # generation counter folded into the bias: an ESCALATED round
+        # re-measures chain lengths already dispatched (k_lo of round 2 ==
+        # k_hi of round 0) with freshly-reset state, and a rep-index-only
+        # bias would make those dispatches value-identical to the earlier
+        # round's — servable from the RPC dedupe cache, corrupting the very
+        # slope the escalation is refining
+        g = gen["n"]
+        gen["n"] += 1
         holder = {"state": engine.init_state()}
 
         def run(i):
             st, chk = chain(holder["state"], sr_state0, sr_w, frames, keys,
-                            jnp.float32(i) * 1e-3, jnp.int32(kk))
+                            jnp.float32(g * 1000 + i) * 1e-3, jnp.int32(kk))
             float(chk)
             holder["state"] = st
 
@@ -478,11 +498,18 @@ def measure_chained_stats(
         times.append(time.perf_counter() - t0)
         if progress is not None and len(times) == 1:
             progress(items_per_call * pipeline / times[0])
-    rates = sorted(items_per_call * pipeline / t for t in times)
+    # headline keeps the historical convention: the upper-middle TIME
+    # (even window counts round to the SLOWER of the middle pair — sorting
+    # rates instead would flip it to the faster one, a silent optimistic
+    # bias of ~half the window spread vs every earlier round's capture)
+    rate = items_per_call * pipeline / sorted(times)[len(times) // 2]
+    # window_rates stay CHRONOLOGICAL so the artifact can distinguish
+    # monotone within-run drift (e.g. a warming pool) from random jitter
+    rates = [items_per_call * pipeline / t for t in times]
     return {
-        "rate": rates[len(rates) // 2],
-        "rate_min": rates[0],
-        "rate_max": rates[-1],
+        "rate": rate,
+        "rate_min": min(rates),
+        "rate_max": max(rates),
         "window_rates": rates,
         "n_windows": len(rates),
     }

@@ -26,7 +26,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests"))
-from oracle import fourier_shift, phase_correlate_oracle, smooth_random_image
+from oracle import make_accuracy_pairs
 
 from mrs_optic_flow_tpu.models import FftMethod, FftMethodConfig
 from mrs_optic_flow_tpu.utils.cache import enable_persistent_cache
@@ -37,43 +37,19 @@ N_PAIRS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 SIZE, PATCH = 480, 120
 
 
-def make_pairs(rng):
-    """uint8 frame pairs with known sub-pixel shifts.
-
-    The frames are quantized to 8-bit AFTER the exact Fourier shift — the
-    camera contract (CV_8U capture, ``src/optic_flow.cpp:1465``) and what
-    the engine carries internally (``quantize_8bit``).  The oracle consumes
-    the SAME uint8 pixels, so the "vs ORACLE" column isolates backend
-    fidelity; quantization noise lands in the "vs truth" columns where it
-    belongs (it is part of the method's physical error, not of this
-    implementation)."""
-    prevs, currs, truth = [], [], []
-    for _ in range(N_PAIRS):
-        base = smooth_random_image(rng, SIZE, cutoff=0.35)
-        d = rng.uniform(-25, 25, 2)
-        prevs.append(np.clip(np.rint(base), 0, 255).astype(np.uint8))
-        currs.append(
-            np.clip(np.rint(fourier_shift(base, d[0], d[1])), 0, 255).astype(np.uint8)
-        )
-        truth.append(d)
-    return np.stack(prevs), np.stack(currs), np.stack(truth)
-
-
 def main():
-    rng = np.random.default_rng(42)
-    prev, curr, truth = make_pairs(rng)
-    q = SIZE // PATCH
+    # pair synthesis + oracle answers: the ONE shared definition
+    # (tests/oracle.py::make_accuracy_pairs) also used by bench.py's
+    # on-chip accuracy stage — uint8-after-Fourier-shift camera contract;
+    # "vs ORACLE" isolates backend fidelity, quantization noise lands in
+    # "vs truth" where it belongs
+    prev, curr, truth, osh = make_accuracy_pairs(
+        np.random.default_rng(42), N_PAIRS, size=SIZE, patch=PATCH
+    )
 
     # the oracle itself vs ground truth: the floor of the METHOD — the
     # reference algorithm's intrinsic sub-pixel centroid bias, identical
     # for every faithful implementation
-    osh = np.empty((N_PAIRS, q * q, 2))
-    for b in range(N_PAIRS):
-        for j in range(q):
-            for i in range(q):
-                sl = (slice(j * PATCH, (j + 1) * PATCH), slice(i * PATCH, (i + 1) * PATCH))
-                sh, _ = phase_correlate_oracle(curr[b][sl], prev[b][sl])
-                osh[b, j * q + i] = np.asarray(sh)
     oerr = np.abs(osh - truth[:, None, :])
     print(f"backend={jax.default_backend()}  pairs={N_PAIRS}  budget=0.1 px")
     print(f"{'path':<42} {'vs truth':>9} {'vs truth':>9} {'vs ORACLE':>10}")

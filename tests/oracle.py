@@ -44,6 +44,44 @@ def phase_correlate_oracle(curr, prev, search_radius=55, centroid_radius=3):
     return np.array([cx, cy]), maxval
 
 
+def make_accuracy_pairs(rng, n_pairs, size=480, patch=120, max_shift=25.0,
+                        cutoff=0.35):
+    """uint8 frame pairs with known sub-pixel shifts + the oracle's
+    per-patch answers — the ONE definition shared by the builder accuracy
+    table (``scripts/accuracy_report.py``) and the driver artifact's
+    on-chip accuracy stage (``bench.py``), so the two published numbers
+    can never drift apart.
+
+    Frames are quantized to 8-bit AFTER the exact Fourier shift — the
+    camera contract (CV_8U capture, ``src/optic_flow.cpp:1465``) and what
+    the engine carries (``quantize_8bit``).  The oracle consumes the SAME
+    uint8 pixels, so diffing an engine's shifts against ``oracle_shifts``
+    isolates backend fidelity; quantization noise lands against ``truth``
+    where it belongs.  Returns ``(prev, curr, truth, oracle_shifts)`` with
+    shapes ``[B, size, size]`` / ``[B, 2]`` / ``[B, (size//patch)**2, 2]``
+    (content-motion sign, matching ``FlowResult.shifts``)."""
+    prevs, currs, truth = [], [], []
+    for _ in range(n_pairs):
+        base = smooth_random_image(rng, size, cutoff=cutoff)
+        d = rng.uniform(-max_shift, max_shift, 2)
+        prevs.append(np.clip(np.rint(base), 0, 255).astype(np.uint8))
+        currs.append(np.clip(
+            np.rint(fourier_shift(base, d[0], d[1])), 0, 255
+        ).astype(np.uint8))
+        truth.append(d)
+    prev, curr = np.stack(prevs), np.stack(currs)
+    q = size // patch
+    osh = np.empty((n_pairs, q * q, 2))
+    for b in range(n_pairs):
+        for j in range(q):
+            for i in range(q):
+                sl = (slice(j * patch, (j + 1) * patch),
+                      slice(i * patch, (i + 1) * patch))
+                sh, _ = phase_correlate_oracle(curr[b][sl], prev[b][sl])
+                osh[b, j * q + i] = np.asarray(sh)
+    return prev, curr, np.stack(truth), osh
+
+
 def fourier_shift(img, dx, dy):
     """Exact circular sub-pixel shift: out(x) = img(x - (dx, dy))."""
     img = np.asarray(img, dtype=np.float64)

@@ -70,8 +70,10 @@ def test_measure_chained_stats_publishes_window_spread():
     assert st["n_windows"] == 4
     assert len(st["window_rates"]) == 4
     assert st["rate_min"] <= st["rate"] <= st["rate_max"]
-    assert st["rate"] == sorted(st["window_rates"])[2]
-    # the p50 wrapper agrees (modulo run-to-run timing, so re-derive)
+    # headline = the upper-middle TIME, i.e. the SLOWER of the two middle
+    # windows (the historical pessimistic-rounding convention) — for 4
+    # windows that is the second-slowest rate
+    assert st["rate"] == sorted(st["window_rates"])[1]
     assert st["rate"] > 0 and np.isfinite(st["rate"])
 
 

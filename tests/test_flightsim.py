@@ -441,6 +441,30 @@ def test_flight_banked_scale_rotation_tilt_gate():
     assert yr_err.max() > 5.0, yr_err
     assert np.median(vz_err) > 0.2, vz_err
 
+    # --- THE threshold sweep behind deviation 23's "no usable survivor
+    # set": for every candidate (max_tilt, max_tilt_rate) pair, the
+    # frames that pair would let through still decode garbage (median
+    # yaw-rate error >= 10x the level flight's 0.015 rad/s) or don't
+    # exist — the deadband marks the envelope boundary, it does not trim
+    # an error tail.  Also pins the default-gate consistency: every
+    # measured-broken frame lies beyond the shipped defaults.
+    tilts = np.array([np.hypot(s.roll, s.pitch) for s, _ in finite_off])
+    rates = np.array([np.hypot(s.roll_rate, s.pitch_rate)
+                      for s, _ in finite_off])
+    for t_max in (0.03, 0.05, 0.08, 0.12):
+        for r_max in (0.15, 0.3, 0.5, 1.0):
+            surv = (tilts <= t_max) & (rates <= r_max)
+            if surv.any():
+                assert np.median(yr_err[surv]) > 0.15, (
+                    t_max, r_max, yr_err[surv],
+                )
+    # default-gate consistency: frames with large errors all lie beyond
+    # the shipped deadband (tilt 0.05 / rate 0.3)
+    broken = yr_err > 0.15
+    assert np.all((tilts[broken] > 0.05) | (rates[broken] > 0.3)), (
+        tilts[broken], rates[broken],
+    )
+
 
 def test_flight_ofrec_roundtrip(flight, tmp_path):
     """The flight exports to the native ``.ofrec`` recording and replays
