@@ -147,3 +147,30 @@ def test_backend_equivalence(rng, backend):
     a, _ = phase_correlate_field(jnp.asarray(curr), jnp.asarray(prev), backend="fft")
     b, _ = phase_correlate_field(jnp.asarray(curr), jnp.asarray(prev), backend="dft")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_make_accuracy_pairs_shared_definition(rng):
+    """The ONE pair-synthesis + oracle definition shared by the builder
+    accuracy table (scripts/accuracy_report.py) and the driver artifact's
+    on-chip accuracy stage (bench.py): known-shift uint8 pairs whose
+    oracle answers track ground truth, and whose engine diff sits far
+    under the 0.1 px conformance budget at any geometry."""
+    from oracle import make_accuracy_pairs
+
+    from mrs_optic_flow_tpu.models import FftMethod, FftMethodConfig
+
+    prev, curr, truth, osh = make_accuracy_pairs(
+        rng, 2, size=96, patch=24, max_shift=5.0
+    )
+    assert prev.dtype == np.uint8 and curr.dtype == np.uint8
+    assert prev.shape == (2, 96, 96) and osh.shape == (2, 16, 2)
+    # the oracle recovers the known shifts (uint8 quantization + the
+    # method's centroid bias bound the residual)
+    assert np.median(np.abs(osh - truth[:, None, :])) < 0.5
+
+    eng = FftMethod(FftMethodConfig(frame_size=96, sample_point_size=24))
+    s = np.asarray(eng.step_batch(jnp.asarray(prev), jnp.asarray(curr)).shifts)
+    # clean textured pairs inside every validity gate: zero NaN windows
+    # (the property bench.py's accuracy stage newly asserts on-chip)
+    assert not np.isnan(s).any()
+    assert np.max(np.abs(s - osh)) < 0.1
