@@ -131,7 +131,13 @@ def _measure_accuracy(modes, n_pairs: int = 6) -> dict:
             backend="dft", use_pallas=on_tpu, mxu_passes=passes,
         ))
         s = np.asarray(eng.step_batch(pj, cj).shifts)
-        out[field] = round(float(np.nanmax(np.abs(s - osh))), 5)
+        err = np.abs(s - osh)
+        # null (strict JSON) rather than NaN when EVERY window NaN'd —
+        # json.dumps would otherwise emit a bare NaN token, making the
+        # record documenting the regression itself unparseable to strict
+        # consumers; main() treats None as a budget failure
+        out[field] = (None if np.isnan(err).all()
+                      else round(float(np.nanmax(err)), 5))
         nans = int(np.isnan(s).any(axis=-1).sum())
         if nans:
             out[f"{field}_nan_windows"] = nans
@@ -252,7 +258,7 @@ def main():
             # every error under budget AND zero NaN'd windows (a compiled
             # regression may invalidity-gate windows instead of
             # mis-locating peaks; nanmax alone would wave that through)
-            ok = all(v < ACCURACY_BUDGET_PX
+            ok = all(v is not None and v < ACCURACY_BUDGET_PX
                      for k_, v in acc.items()
                      if not k_.endswith("_nan_windows"))
             ok = ok and not any(k_.endswith("_nan_windows") for k_ in acc)

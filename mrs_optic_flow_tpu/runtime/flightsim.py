@@ -539,16 +539,20 @@ def evaluate_flight(
     def _match(t: float):
         if not len(pub_stamps):
             return None
-        j = int(np.searchsorted(pub_stamps, t))
+        # ALL candidates within the tolerance window, not just the two
+        # nearest neighbors: consumption (below) can hide a still-valid
+        # unconsumed publication one slot further out when publications
+        # are spaced under 2*stamp_tol
+        lo = int(np.searchsorted(pub_stamps, t - stamp_tol))
+        hi = int(np.searchsorted(pub_stamps, t + stamp_tol, side="right"))
         best = None
-        for k in (j - 1, j):
+        for k in range(lo, hi):
             # consume matches: without the `matched` screen one publication
             # could pair with two adjacent ground-truth samples whenever
             # sample spacing is under 2*stamp_tol, double-counting it in
             # coverage and RMSE (silent at the shipped dt=0.05 vs tol=1e-3,
             # a live hazard for denser replays)
-            if (0 <= k < len(pub_stamps) and k not in matched
-                    and abs(pub_stamps[k] - t) <= stamp_tol):
+            if k not in matched and abs(pub_stamps[k] - t) <= stamp_tol:
                 if best is None or abs(pub_stamps[k] - t) < abs(
                     pub_stamps[best] - t
                 ):

@@ -369,13 +369,21 @@ def measure_device_chain_latency(
 
     if k < 2:
         raise ValueError(f"k must be >= 2 to fit a slope, got {k}")
+    def _budget_now():
+        if budget_s is None:
+            return None
+        return budget_s() if callable(budget_s) else float(budget_s)
+
     # escalation is OPT-IN via budget_s (or an explicit max_k): the frame
     # stack is allocated at max_k up front (4*k quadruples its memory and
     # a jittery link could multiply a caller's measurement time), so
     # legacy fixed-cost callers (scripts/verify_sr_fused.py and the tune
-    # scripts) keep their old envelope unless they hand over a budget
+    # scripts) keep their old envelope unless they hand over a budget.
+    # An ALREADY-EXHAUSTED budget also sizes at k: escalation could never
+    # run, so the 4x stack would be pure wasted HBM/setup.
     if max_k is None:
-        max_k = 4 * k if budget_s is not None else k
+        b_now = _budget_now()
+        max_k = 4 * k if (b_now is not None and b_now > 0) else k
     max_k = max(int(max_k), k)
 
     @jax.jit
@@ -417,9 +425,8 @@ def measure_device_chain_latency(
         return run
 
     def _budget_left():
-        if budget_s is None:
-            return float("inf")
-        return budget_s() if callable(budget_s) else float(budget_s)
+        b = _budget_now()
+        return float("inf") if b is None else b
 
     # k_lo stays strictly below k (and within the max_k-frame stack every
     # chain length shares), so the slope denominator can never degenerate

@@ -126,12 +126,16 @@ def main():
         # same compiled program, host-side single-in-flight (the
         # reference's blocking-queue shape) — no new compile
         single = _measure(chained, 1, prev, curr)
-        em.emit(value_single=round(single["rate"], 1))
+        em.emit(value_single=round(single["rate"], 1),
+                value_single_min=round(single["rate_min"], 1),
+                value_single_max=round(single["rate_max"], 1))
         if _remaining() > 1500:  # fast mode pays a second pipeline compile
             fast = _measure(_build_chained(1), PIPELINE, prev, curr)
             em.emit(value_fast=round(fast["rate"], 1),
                     value_fast_windows=[round(r, 1)
-                                        for r in fast["window_rates"]])
+                                        for r in fast["window_rates"]],
+                    value_fast_min=round(fast["rate_min"], 1),
+                    value_fast_max=round(fast["rate_max"], 1))
         else:
             em.update(value_fast_skipped="budget")
     except TimeoutError as e:

@@ -334,6 +334,37 @@ def test_evaluate_flight_consumes_matches():
     assert rep.n_published == 1
 
 
+def test_evaluate_flight_consumed_match_does_not_hide_neighbor():
+    """The inverse hazard of consumption: with publications spaced under
+    2*stamp_tol, a consumed candidate must not hide a still-valid
+    UNCONSUMED publication slightly further away — the match search scans
+    every candidate inside the tolerance window, not just the two nearest
+    neighbors."""
+    from mrs_optic_flow_tpu.runtime.flightsim import FlightSample
+    from mrs_optic_flow_tpu.runtime.msgs import TwistWithCovarianceStamped
+
+    tol = 1e-3
+
+    def sample(t):
+        return FlightSample(t=t, pos=np.array([0.0, 0.0, 2.0]),
+                            vel=np.array([0.5, 0.0, 0.0]), yaw=0.0,
+                            yaw_rate=0.0, tracker="MpcTracker",
+                            phase="cruise")
+
+    # two pad samples absorb warmup_frames; the interesting pair follows
+    samples = [sample(9.0), sample(9.5), sample(10.0), sample(10.0005)]
+    pubs = [
+        ("velocity_out", TwistWithCovarianceStamped.make(
+            frame_id="fcu", stamp=t, linear=(0.5, 0.0, 0.0),
+            angular=(0.0, 0.0, 0.0), cov_xy=0.01))
+        for t in (9.9997, 10.0001)
+    ]
+    rep = evaluate_flight(samples, pubs, stamp_tol=tol)
+    # sample 10.0 consumes 10.0001 (nearest); sample 10.0005 must still
+    # match the unconsumed 9.9997 (|delta| = 0.8e-3 <= tol)
+    assert rep.n_published == 2
+
+
 @pytest.mark.slow
 def test_flight_descent_scale_rotation_vz(flight):
     """The yawing-descent phase with ``scale_rotation: true``: the fused
