@@ -361,6 +361,24 @@ def test_bench_accuracy_stage_emitted_and_budget_checked(
     assert "accuracy_error" in final
     assert final["value"] == 50000.0
 
+    # the all-windows-NaN'd regression shape: the error field is null
+    # (strict JSON — a bare NaN token would make the record documenting
+    # the regression unparseable), the NaN count is published, and the
+    # budget check fails
+    monkeypatch.setattr(
+        bench_module, "_measure_accuracy",
+        lambda modes: {"accuracy_px": None, "accuracy_px_nan_windows": 96,
+                       "accuracy_px_fast": 0.005},
+    )
+    bench_module.main()
+    lines = [line for line in capsys.readouterr().out.splitlines()
+             if line.startswith("{")]
+    assert '"accuracy_px": null' in lines[-1]  # strict JSON, parseable
+    final = json.loads(lines[-1])
+    assert final["accuracy_px"] is None
+    assert final["accuracy_px_nan_windows"] == 96
+    assert final["accuracy_ok"] is False
+
 
 def test_bench_wedged_probe_reports_and_exits(bench_module, monkeypatch, capsys):
     monkeypatch.setenv("BENCH_PROBE", "1")
