@@ -142,7 +142,16 @@ def _h4_b(x4, y4, u4, v4):
         for i in range(3)
         for j in range(3)
     ]
-    return jnp.stack(rows, axis=1)  # [I, 9, B]
+    h = jnp.stack(rows, axis=1)  # [I, 9, B]
+    # normalize each hypothesis to O(1) scale (the per-sample solver's
+    # _norm_h role): the raw adjugate product scales as ~s^8 of the
+    # normalized-coordinate scale, and at very long focal lengths genuine
+    # projection denominators would fall under _project_err2_b's absolute
+    # 1e-12 clamp and mis-score every hypothesis.  Max-abs (not h22) is
+    # degeneracy-safe; a homography is defined up to scale, so downstream
+    # math is unchanged.
+    scale = jnp.max(jnp.abs(h), axis=1, keepdims=True)
+    return h / jnp.where(scale > 0.0, scale, 1.0)
 
 
 def _project_err2_b(h, ax, ay, bx, by):
@@ -501,11 +510,15 @@ def get_rt_batch(
     ok = jnp.isfinite(1.0 / dts)
     ok &= jnp.sum(valid, axis=0) >= shifted_pts_thr
 
-    ax, ay = _undistort_xy(cxs, cys, fx, fy, ccx, ccy, dist_coeffs)  # [P, 1]
+    # [P, 1] for the shared-camera scalar ul_corner_x; [P, B] when the
+    # caller batches per-sample crop offsets (a [B] ul_corner_x) — passed
+    # through UN-sliced: _ransac_h_b broadcasts either shape, and slicing
+    # column 0 here would silently feed sample 0's grid to every sample
+    ax, ay = _undistort_xy(cxs, cys, fx, fy, ccx, ccy, dist_coeffs)
     bx, by = _undistort_xy(cxs + sx, cys + sy, fx, fy, ccx, ccy, dist_coeffs)
 
     h9, inliers, n_inl, h_ok = _ransac_h_b(
-        ax[:, 0], ay[:, 0], bx, by, valid, keys[0], ransac_iterations, ransac_threshold
+        ax, ay, bx, by, valid, keys[0], ransac_iterations, ransac_threshold
     )
     ok &= h_ok
     ok &= n_inl >= shifted_pts_thr

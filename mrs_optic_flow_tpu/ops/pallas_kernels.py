@@ -423,9 +423,11 @@ def _fused_kernel(
     out_ref[pl.ds(pl.program_id(0), 1), :] = _pack_row(maxval, cx, cy)
 
 
-def _split_bf16(m: np.ndarray):
-    """hi/lo bfloat16 split of a float32 matrix: m ~= hi + lo exactly to
-    ~16 mantissa bits — the operand decomposition behind bf16x3 matmuls."""
+def _split_bf16(m):
+    """hi/lo bfloat16 split of a float32 numpy matrix: m ~= hi + lo exactly
+    to ~16 mantissa bits — the operand decomposition behind bf16x3 matmuls.
+    (No annotation: numpy is imported function-locally, and a dangling
+    ``np.ndarray`` annotation would NameError under get_type_hints.)"""
     import numpy as _np
 
     hi = _np.asarray(m, _np.float32).astype(jnp.bfloat16)
@@ -487,7 +489,7 @@ def _mm_fns(bf16x3):
     operands already exact in bfloat16 (uint8/int8 pixel data: 8-bit
     integers fit bf16's mantissa) — the data's low-order split vanishes, so
     it runs min(passes, 2)."""
-    passes = 3 if bf16x3 is True else int(bf16x3)
+    passes = _canon_passes(bf16x3)
     if passes:
         acc = functools.partial(jax.lax.dot, preferred_element_type=jnp.float32)
 

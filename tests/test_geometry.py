@@ -643,3 +643,71 @@ def test_get_rt_batch_bad_dt(rng):
     ok = np.asarray(out.ok)
     assert ok[0] and ok[2] and not ok[1]
     assert np.all(np.isnan(np.asarray(out.tran)[1]))
+
+
+def test_get_rt_batch_per_sample_ul_corner(rng):
+    """A [B] ``ul_corner_x`` (per-sample crop offsets) is honored per
+    sample: before round 5 the undistorted grid was silently sliced to
+    sample 0's column, feeding every sample homographies fit against the
+    wrong grid centres."""
+    from mrs_optic_flow_tpu.geometry.batched import get_rt_batch
+
+    b = 3
+    cam = jnp.asarray([[300.0, 0, 240.0], [0, 300.0, 240.0], [0, 0, 1]], jnp.float32)
+    shifts = np.tile(rng.normal(5.0, 0.3, size=(b, 1, 2)), (1, 16, 1))
+    shifts = jnp.asarray(
+        shifts + 0.02 * rng.standard_normal((b, 16, 2)), jnp.float32
+    )
+    heights = jnp.full((b,), 3.0, jnp.float32)
+    dts = jnp.full((b,), 0.02, jnp.float32)
+    c2b = jnp.asarray([0, 0, 0, 1], jnp.float32)
+    rates = jnp.tile(jnp.asarray([0, 0, 0, 1], jnp.float32), (b, 1))
+    keys = jax.random.split(jax.random.PRNGKey(0), b)
+    uls = jnp.asarray([0.0, 60.0, 140.0], jnp.float32)
+    kw = dict(frame_size=480, patch=120, ransac_iterations=128)
+
+    got = get_rt_batch(shifts, heights, dts, uls, cam, None, c2b, rates,
+                       keys, **kw)
+    assert np.asarray(got.ok).all(), got
+    # each sample must agree with a batch-of-one run at its own scalar ul
+    for i in range(b):
+        one = get_rt_batch(
+            shifts[i:i + 1], heights[i:i + 1], dts[i:i + 1],
+            jnp.float32(float(uls[i])), cam, None, c2b, rates[i:i + 1],
+            keys[i:i + 1], **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.tran[i]), np.asarray(one.tran[0]), atol=5e-3
+        )
+
+
+def test_h4_b_hypothesis_scale_normalization(rng):
+    """``_h4_b`` hypotheses come back max-abs-normalized to O(1), so
+    ``_project_err2_b``'s absolute 1e-12 denominator clamp can never bite
+    a genuine denominator.  The raw adjugate product scales as ~s^8 of the
+    coordinate scale: at s = 0.005 (a very-long-focal normalized grid) the
+    un-normalized entries sit near 1e-18, every denominator got replaced
+    by the clamp, and the EXACT defining correspondences scored huge
+    errors — the pre-round-5 fragility this pins."""
+    from mrs_optic_flow_tpu.geometry.batched import _h4_b, _project_err2_b
+
+    for s in (1.0, 0.05, 0.005):
+        pts = rng.uniform(-1.0, 1.0, (4, 2)).astype(np.float32) * s
+        t = np.array([0.3, -0.2], np.float32) * s
+        tile = lambda a: jnp.asarray(  # noqa: E731
+            np.tile(a[None, :, None], (2, 1, 3)), jnp.float32
+        )  # [I=2, 4, B=3]
+        x4, y4 = tile(pts[:, 0]), tile(pts[:, 1])
+        u4, v4 = x4 + t[0], y4 + t[1]
+        h = _h4_b(x4, y4, u4, v4)  # [2, 9, 3]
+        # normalized to O(1) at every coordinate scale
+        np.testing.assert_allclose(
+            np.max(np.abs(np.asarray(h)), axis=1), 1.0, rtol=1e-5
+        )
+        # the exact defining correspondences score ~zero error (pre-fix,
+        # at s=0.005 the clamp replaced every denominator and these exact
+        # points scored err2 >> threshold^2 = 1e-4)
+        ax = jnp.asarray(np.tile(pts[:, 0][:, None], (1, 3)), jnp.float32)
+        ay = jnp.asarray(np.tile(pts[:, 1][:, None], (1, 3)), jnp.float32)
+        err2 = _project_err2_b(h, ax, ay, ax + t[0], ay + t[1])
+        assert float(jnp.max(err2)) < 1e-9, (s, np.asarray(err2))
