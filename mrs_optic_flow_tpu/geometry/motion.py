@@ -122,6 +122,13 @@ def get_rt(
     solution differs from IMU by more than pi/4 (``:682-684``) -> scale:
     ``v = R (+-t) * height / dt`` (``:701``), rate quaternion with the angle
     divided by dt (``:697``).
+
+    DELIBERATE deviation 24: the RANSAC inlier count is ALSO gated at
+    ``shifted_pts_thr`` (the reference gates only the pre-RANSAC valid
+    count, ``:547-549``, and would publish a velocity fit from as few as 4
+    consenting windows out of 16) — a homography carried by a quarter of
+    the grid is a local-texture artifact more often than a motion estimate.
+    Same gate on the batched path (``geometry/batched.py::get_rt_batch``).
     """
     centers = jnp.asarray(grid_centers(frame_size, patch))
     valid = jnp.all(jnp.isfinite(shifts), axis=-1)
@@ -224,6 +231,12 @@ def get_2dt(
     docstring: these are raw pixel shifts), applies the roll/pitch-rate
     feed-forward correction (``:478-490``), and converts to metric velocity
     ``v = -shift * height / f * ratio / dt`` (``:491-495``).
+
+    ``ul_corner_x`` is accepted for SIGNATURE PARITY with :func:`get_rt`
+    and is deliberately unused: the crop offset only affects undistortion,
+    which the long-range path discards (deviation 3) — the reference's
+    get2DT likewise never consults the crop origin past the undistort it
+    ignores the output of.
 
     ``tran_diff`` reproduces the reference's double-added correction
     (``avgShift += corr`` happens twice, ``:486-505``), so

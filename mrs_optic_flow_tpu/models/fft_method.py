@@ -166,8 +166,13 @@ class FftMethod(FlowEngine):
 
     # -- core ----------------------------------------------------------------
 
-    def _correlate(self, curr_p: jnp.ndarray, prev_p: jnp.ndarray):
-        """Patch batch -> (shifts, response), backend-selected."""
+    def _correlate(self, curr_p: jnp.ndarray, prev_p: jnp.ndarray,
+                   exact: bool = False):
+        """Patch batch -> (shifts, response), backend-selected.
+
+        ``exact``: the operands are 8-bit-exact in bfloat16 (uint8 patches)
+        — the fullfused kernel then drops the low-order input split pass
+        (same fast path as the frames kernel's ``exact_inputs``)."""
         c = self.config
         if c.use_pallas and c.backend == "dft":
             from mrs_optic_flow_tpu.ops.pallas_kernels import (
@@ -184,18 +189,70 @@ class FftMethod(FlowEngine):
                 centroid_radius=c.centroid_radius,
                 half_spectrum=c.half_spectrum,
                 bf16x3=c.mxu_passes,
+                exact_inputs=exact,
             )
             return s.reshape(lead + curr_p.shape[-3:-2] + (2,)), m.reshape(
                 lead + curr_p.shape[-3:-2]
             )
         surf = correlation_surface(
-            curr_p, prev_p, search_radius=c.search_radius, backend=c.backend
+            curr_p.astype(jnp.float32), prev_p.astype(jnp.float32),
+            search_radius=c.search_radius, backend=c.backend
         )
         if c.use_pallas:
             from mrs_optic_flow_tpu.ops.pallas_kernels import peak_refine_pallas
 
             return peak_refine_pallas(surf, centroid_radius=c.centroid_radius)
         return peak_refine(surf, centroid_radius=c.centroid_radius)
+
+    def _lr_correlate(self, curr_d: jnp.ndarray, prev_d: jnp.ndarray):
+        """Downsampled frame(s) ``[(B,) h, w]`` -> raw LR shifts/response.
+
+        Shared by :meth:`step_long_range` and
+        :meth:`step_batch_long_range`: TRIMS to the ``sq_num_lr * patch_lr``
+        window grid first (top-left aligned, matching the reference's
+        Rect-based window placement, ``src/FftMethod.cpp:1945-1957``) so
+        geometries where the downsampled frame is not an exact multiple of
+        the LR patch — which the reference accepts, e.g. frame 600 / patch
+        120 / ratio 4 -> a 150 px image with one 120 px window — no longer
+        crash ``patchify``'s reshape; then routes through the frame-banded
+        Pallas kernel whenever the (trimmed) geometry qualifies, for the
+        single-frame lane as well as the batch."""
+        c = self.config
+        patch = self.patch_lr
+        m = self.sq_num_lr * patch
+        curr_d = curr_d[..., :m, :m]
+        prev_d = prev_d[..., :m, :m]
+        batched = curr_d.ndim == 3
+        if c.use_pallas and c.backend == "dft" and patch % 8 == 0:
+            from mrs_optic_flow_tpu.ops.pallas_kernels import (
+                phase_correlate_frames_pallas,
+            )
+
+            # honor the tuned banding where it fits the coarser grid;
+            # fall back to auto-pick when it doesn't divide the LR rows
+            g = c.bands_per_step
+            if g is not None and self.sq_num_lr % g:
+                g = None
+            cb = curr_d if batched else curr_d[None]
+            pb = prev_d if batched else prev_d[None]
+            raw, resp = phase_correlate_frames_pallas(
+                cb, pb,
+                patch=patch,
+                search_radius=c.search_radius,
+                centroid_radius=c.centroid_radius,
+                half_spectrum=c.half_spectrum,
+                bands_per_step=g,
+                pairs_per_step=(
+                    c.pairs_per_step
+                    if batched and c.pairs_per_step
+                    and cb.shape[0] % c.pairs_per_step == 0
+                    else None
+                ),
+                band_stack=c.band_stack,
+                bf16x3=c.mxu_passes,
+            )
+            return (raw, resp) if batched else (raw[0], resp[0])
+        return self._correlate(patchify(curr_d, patch), patchify(prev_d, patch))
 
     def _gate(self, shifts: jnp.ndarray, patch: int, max_speed: float) -> jnp.ndarray:
         """Validity gating -> NaN poisoning (``src/FftMethod.cpp:1840-1854``):
@@ -246,9 +303,15 @@ class FftMethod(FlowEngine):
             )
             raw, resp = raw[0], resp[0]
         else:
-            curr_p = patchify(curr.astype(jnp.float32), c.sample_point_size)
-            prev_p = patchify(prev.astype(jnp.float32), c.sample_point_size)
-            raw, resp = self._correlate(curr_p, prev_p)
+            # patches keep the carry dtype: the fullfused kernel casts in
+            # VMEM and 8-bit-exact operands drop the low-order split pass
+            # (the non-pallas path casts to f32 inside _correlate)
+            curr_p = patchify(curr, c.sample_point_size)
+            prev_p = patchify(prev, c.sample_point_size)
+            raw, resp = self._correlate(
+                curr_p, prev_p,
+                exact=_exact_in_bf16(curr) and _exact_in_bf16(prev),
+            )
         shifts = self._gate(raw, c.sample_point_size, c.max_pixel_speed)
 
         new_state = FlowState(prev=curr, first=jnp.asarray(False))  # imPrev swap (:1872)
@@ -272,9 +335,7 @@ class FftMethod(FlowEngine):
         # a <=0.5 LSB rounding deviation on the downsampled pixels
         curr_d = resize_by(curr.astype(jnp.float32), c.long_range_ratio)
         prev_d = resize_by(prev.astype(jnp.float32), c.long_range_ratio)
-        curr_p = patchify(curr_d, self.patch_lr)
-        prev_p = patchify(prev_d, self.patch_lr)
-        raw, resp = self._correlate(curr_p, prev_p)
+        raw, resp = self._lr_correlate(curr_d, prev_d)
         shifts = self._gate(raw, self.patch_lr, c.max_pixel_speed)
 
         new_state = FlowState(prev=curr, first=jnp.asarray(False))
@@ -324,9 +385,12 @@ class FftMethod(FlowEngine):
                 exact_inputs=exact,
             )
         else:
-            curr_p = patchify(jnp.asarray(curr_frames, jnp.float32), c.sample_point_size)
-            prev_p = patchify(jnp.asarray(prev_frames, jnp.float32), c.sample_point_size)
-            raw, resp = self._correlate(curr_p, prev_p)
+            # carry dtype preserved: the fullfused kernel casts in VMEM and
+            # 8-bit-exact operands drop the low-order split pass (exact);
+            # the non-pallas path casts to f32 inside _correlate
+            curr_p = patchify(curr_frames, c.sample_point_size)
+            prev_p = patchify(prev_frames, c.sample_point_size)
+            raw, resp = self._correlate(curr_p, prev_p, exact=exact)
         shifts = self._gate(raw, c.sample_point_size, c.max_pixel_speed)
         return FlowResult(shifts=shifts, shifts_raw=raw, response=resp)
 
@@ -339,48 +403,13 @@ class FftMethod(FlowEngine):
         throughput analogue of :meth:`step_long_range` for fleet serving at
         takeoff / low altitude.  Returns ``[B, P_lr, 2]`` shifts."""
         c = self.config
-        patch = self.patch_lr
         # bilinear resize interpolates, so the downsampled frames are no
         # longer 8-bit-exact: go through float32 (no exact-input path here);
         # _ingest first so the carry discipline matches step_long_range
         curr_d = resize_by(self._ingest(curr_frames).astype(jnp.float32), c.long_range_ratio)
         prev_d = resize_by(self._ingest(prev_frames).astype(jnp.float32), c.long_range_ratio)
-        if (
-            c.use_pallas
-            and c.backend == "dft"
-            and patch % 8 == 0
-            and curr_d.shape[-1] % patch == 0
-        ):
-            from mrs_optic_flow_tpu.ops.pallas_kernels import (
-                phase_correlate_frames_pallas,
-            )
-
-            # honor the tuned banding where it fits the coarser grid;
-            # fall back to auto-pick when it doesn't divide the LR rows
-            g = c.bands_per_step
-            if g is not None and self.sq_num_lr % g:
-                g = None
-            raw, resp = phase_correlate_frames_pallas(
-                curr_d, prev_d,
-                patch=patch,
-                search_radius=c.search_radius,
-                centroid_radius=c.centroid_radius,
-                half_spectrum=c.half_spectrum,
-                bands_per_step=g,
-                pairs_per_step=(
-                    c.pairs_per_step
-                    if c.pairs_per_step and curr_d.shape[0] % c.pairs_per_step == 0
-                    else None
-                ),
-                band_stack=c.band_stack,
-                bf16x3=c.mxu_passes,
-            )
-        else:
-            raw, resp = self._correlate(
-                patchify(curr_d, patch),
-                patchify(prev_d, patch),
-            )
-        shifts = self._gate(raw, patch, c.max_pixel_speed)
+        raw, resp = self._lr_correlate(curr_d, prev_d)
+        shifts = self._gate(raw, self.patch_lr, c.max_pixel_speed)
         return FlowResult(shifts=shifts, shifts_raw=raw, response=resp)
 
     # hashable/static for jax.jit static_argnames=("self",)

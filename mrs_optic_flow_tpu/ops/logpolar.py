@@ -253,6 +253,10 @@ class LPPlan:
     c_used: int
     p8: int  # rows per octant family: res // 8 + 1
     interp: str
+    #: the optimM the rho grid was built for — carried so the fast path can
+    #: reject a plan/magnitude mismatch (the weights bake the grid in; a
+    #: silent mismatch would skew the decode by the magnitude ratio)
+    magnitude: float
     #: per rho chunk: (c0, c1, x windows ((lo, len) x 4 tensors),
     #: t1 y ranges ((lo, len) x 4 tensors))
     chunks: Tuple[tuple, ...]
@@ -373,6 +377,7 @@ def build_lp_plan(
 
     plan = LPPlan(
         n=n, res=res, c_used=c_used, p8=p8, interp=interp,
+        magnitude=float(magnitude),
         chunks=tuple(chunks), assembly=tuple(assembly),
     )
     return plan, tuple(weights)
@@ -498,6 +503,18 @@ def logpolar(
                 f"plan was built for n={plan.n}/{plan.interp}, "
                 f"got n={n}/{interp}"
             )
+        # the weights bake the rho/phi grid in, so magnitude/resolution
+        # mismatches must fail loudly — a silent mismatch skews the decode
+        # by the magnitude ratio (scale = exp(dx/M))
+        if abs(plan.magnitude - float(magnitude)) > 1e-9:
+            raise ValueError(
+                f"plan was built for magnitude={plan.magnitude}, "
+                f"got {float(magnitude)}"
+            )
+        if resolution is not None and plan.res != resolution:
+            raise ValueError(
+                f"plan was built for resolution={plan.res}, got {resolution}"
+            )
         return _logpolar_v2_impl(img, weights, plan=plan)
     return _logpolar_impl(
         img,
@@ -512,9 +529,13 @@ def logpolar(
 def _logpolar_v2_impl(
     img: jnp.ndarray, weights: Tuple[jnp.ndarray, ...], *, plan: LPPlan
 ) -> jnp.ndarray:
-    # 8-bit integer frames are exact in bf16 — drop the low-order image pass
-    exact = jnp.issubdtype(img.dtype, jnp.integer) and img.dtype.itemsize == 1
-    return _resample_v2(img.astype(jnp.float32), weights, plan, exact)
+    # 8-bit integer frames are exact in bf16 — drop the low-order image
+    # pass (the ONE predicate: pallas_kernels.is_8bit)
+    from mrs_optic_flow_tpu.ops.pallas_kernels import is_8bit
+
+    return _resample_v2(
+        img.astype(jnp.float32), weights, plan, is_8bit(img.dtype)
+    )
 
 
 @functools.partial(
@@ -532,8 +553,11 @@ def _logpolar_impl(
     n = img.shape[-1]
     res = resolution or n
     # 8-bit integer frames (the node's uint8 grayscale carry) are exact in
-    # bf16 — the resample drops its low-order image pass (1 of 3 MXU passes)
-    exact = jnp.issubdtype(img.dtype, jnp.integer) and img.dtype.itemsize == 1
+    # bf16 — the resample drops its low-order image pass (1 of 3 MXU
+    # passes; the ONE predicate: pallas_kernels.is_8bit)
+    from mrs_optic_flow_tpu.ops.pallas_kernels import is_8bit
+
+    exact = is_8bit(img.dtype)
     img = img.astype(jnp.float32)
     offsets, weight_fn = _interp_taps(interp)
 

@@ -290,3 +290,53 @@ def test_step_packing_knobs_from_config(rng):
     r2 = FftMethod(packed).step_batch(jnp.asarray(prev[:3]), jnp.asarray(curr[:3]))
     np.testing.assert_array_equal(
         np.asarray(r0.shifts[:3]), np.asarray(r2.shifts))
+
+
+def test_long_range_non_multiple_downsample(rng):
+    """Downsampled frame NOT an exact multiple of the LR patch — a geometry
+    the reference accepts (frame 600 / patch 120 / ratio 4 -> 150 px image,
+    one 120 px window) — runs instead of crashing patchify's reshape: the
+    LR core trims to the sq_num_lr*patch_lr grid, top-left aligned like the
+    reference's Rect windows (src/FftMethod.cpp:1945-1957)."""
+    import jax.numpy as jnp
+
+    eng = FftMethod(FftMethodConfig(frame_size=600, sample_point_size=120))
+    assert eng.patch_lr == 120 and eng.num_windows_lr == 1
+    prev = smooth_random_image(rng, 600, cutoff=0.4)
+    curr = np.roll(prev, (-8, 12), axis=(0, 1))
+    # single-frame lane
+    state = eng.init_state()
+    state, _ = eng.step_long_range(state, jnp.asarray(prev))
+    _, single = eng.step_long_range(state, jnp.asarray(curr))
+    assert single.shifts.shape == (1, 2)
+    np.testing.assert_allclose(
+        np.asarray(single.shifts)[0], [3.0, -2.0], atol=0.3
+    )
+    # batched lane agrees
+    batched = eng.step_batch_long_range(
+        jnp.asarray(prev)[None], jnp.asarray(curr)[None]
+    )
+    np.testing.assert_allclose(
+        np.asarray(batched.shifts[0]), np.asarray(single.shifts), atol=1e-4
+    )
+
+
+def test_unaligned_patch_uint8_exact_bit_identical(rng):
+    """patch % 8 != 0 routes through the fullfused patch-batch kernel; with
+    the r5 exact-input plumbing, uint8 frames must give bit-identical
+    results to pre-converted float32 frames there too (previously only the
+    frames kernel had the fast path)."""
+    import jax.numpy as jnp
+
+    eng = FftMethod(FftMethodConfig(frame_size=300, sample_point_size=100))
+    assert eng.config.sample_point_size % 8 != 0
+    prev8 = (smooth_random_image(rng, 300, cutoff=0.4) * 0.5 + 64).astype(np.uint8)
+    curr8 = np.roll(prev8, (5, -9), axis=(0, 1))
+    r8 = eng.step_batch(jnp.asarray(prev8)[None], jnp.asarray(curr8)[None])
+    rf = eng.step_batch(
+        jnp.asarray(prev8, jnp.float32)[None], jnp.asarray(curr8, jnp.float32)[None]
+    )
+    np.testing.assert_array_equal(np.asarray(r8.shifts), np.asarray(rf.shifts))
+    np.testing.assert_allclose(
+        np.asarray(r8.shifts)[0, 4], [-9.0, 5.0], atol=0.3
+    )

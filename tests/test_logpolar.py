@@ -466,3 +466,26 @@ def test_scale_rotation_lp_resolution_decode(rng):
     # 64 log-polar rows -> one row = 5.6 deg; sub-pixel centroid gets closer
     assert abs(float(res.rotation[0]) - np.deg2rad(deg_true)) < np.deg2rad(3.0)
     assert abs(float(res.scale[0]) - 1.0) < 0.08
+
+
+def test_logpolar_plan_mismatch_rejected(rng):
+    """The precomputed-weight fast path validates magnitude and resolution,
+    not just n/interp: the weights bake the rho grid in, so a mismatched
+    plan would silently skew the decode by the magnitude ratio."""
+    import pytest
+
+    from mrs_optic_flow_tpu.ops.logpolar import build_lp_plan, logpolar
+
+    n, mag = 64, 12.0
+    built = build_lp_plan(n, mag)
+    assert built is not None
+    plan, w = built
+    w = tuple(jnp.asarray(x) for x in w)
+    img = jnp.asarray(smooth_random_image(rng, n, cutoff=0.4))
+    # matching call works
+    out = logpolar(img, mag, plan=plan, weights=w)
+    assert out.shape == (n, n)
+    with pytest.raises(ValueError, match="magnitude"):
+        logpolar(img, mag * 2, plan=plan, weights=w)
+    with pytest.raises(ValueError, match="resolution"):
+        logpolar(img, mag, resolution=n // 2, plan=plan, weights=w)
