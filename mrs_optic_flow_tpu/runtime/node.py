@@ -71,6 +71,29 @@ from mrs_optic_flow_tpu.utils.quat_np import (
 )
 
 
+def _per_instance_cache(fn):
+    """Per-node memoization of the jit program builders.
+
+    ``functools.lru_cache`` on a method keys a CLASS-global cache by
+    ``self``: every node ever constructed stays pinned for the process
+    lifetime (engine, device buffers, compiled executables), and all nodes
+    share one 8-slot pool — more than 8 live (node, geometry) combos evict
+    each other and the next frame silently re-creates and RECOMPILES the
+    whole fused program mid-stream.  An unbounded per-instance dict is the
+    right shape: one node sees a handful of geometries, and the cache dies
+    with the node."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args):
+        cache = self.__dict__.setdefault("_program_cache", {})
+        key = (fn.__name__, args)
+        if key not in cache:
+            cache[key] = fn(self, *args)
+        return cache[key]
+
+    return wrapper
+
+
 class OpticFlowNode:
     def __init__(
         self,
@@ -327,22 +350,6 @@ class OpticFlowNode:
             return self.uav_height < self.config.takeoff_height
         return False
 
-    @functools.lru_cache(maxsize=8)
-    def _preprocess_fn(self, h: int, w: int, channels: int, cx: int):
-        """Jit-compiled preprocessing per input geometry: grayscale ->
-        optional resize -> camera-centred crop (``src/optic_flow.cpp:
-        1602-1622``), all on device."""
-        c = self.config
-
-        @jax.jit
-        def run(img):
-            g = to_grayscale(img) if channels == 3 else jnp.asarray(img, jnp.float32)
-            if abs(c.scale_factor - 1.0) > 0.01:
-                g = resize_by(g, c.scale_factor)
-            return center_crop(g, c.frame_size, cx)
-
-        return run
-
     def _sr_weights(self) -> tuple:
         """Scale/rotation log-polar weight arrays for the frame programs
         (empty tuple when SR is off or the geometry lacks the precomputed
@@ -350,7 +357,7 @@ class OpticFlowNode:
         sr = self.scale_rotation_estimator
         return sr.lp_weights if sr is not None else ()
 
-    @functools.lru_cache(maxsize=8)
+    @_per_instance_cache
     def _frame_program(self, h: int, w: int, channels: int, cx_eff: int):
         """ONE fused device program per input geometry for the short-range
         path: preprocess -> engine step -> getRT -> detilt + body-frame
@@ -420,7 +427,7 @@ class OpticFlowNode:
 
         return run
 
-    @functools.lru_cache(maxsize=8)
+    @_per_instance_cache
     def _frame_program_simple(self, h: int, w: int, channels: int, cx_eff: int):
         """Fused program for the block-matching engines (methods 3/5):
         preprocess -> SAD engine step -> per-cell velocities -> consensus
@@ -428,14 +435,18 @@ class OpticFlowNode:
         toolkit of ``src/utilityFunctions.cpp:58-216`` applied in velocity
         space like the reference's legacy pipeline).  The reference node
         refuses methods 3/5 outright (``src/optic_flow.cpp:953-1011``), so
-        this path is an extension."""
+        this path is an extension.  An enabled scale/rotation estimator is
+        FUSED here exactly as on the FFT path (it is engine-agnostic;
+        ``scale_rotation: true`` with method 3/5 previously built the
+        estimator and then silently never stepped or published it)."""
         from mrs_optic_flow_tpu.filters import allsac_mean, point_mean, ransac_mean
 
         c = self.config
         pre_cropped = channels == 1 and (h, w) == (c.frame_size, c.frame_size)
+        sr = self.scale_rotation_estimator
 
         @jax.jit
-        def run(state, key, img, height, dt, cam, c2b):
+        def run(state, sr_state, sr_w, key, img, height, dt, cam, c2b):
             if pre_cropped:
                 gray = jnp.asarray(img, jnp.float32)
             else:
@@ -466,12 +477,17 @@ class OpticFlowNode:
             ok = jnp.any(valid) & jnp.all(jnp.isfinite(vec))
             tran = jnp.concatenate([vec, jnp.zeros((1,), vec.dtype)])
             tran_b = quat_rotate(c2b, tran)
-            summary = jnp.concatenate([ok.astype(jnp.float32)[None], tran_b])
-            return new_state, key, gray, flow, summary
+            parts = [ok.astype(jnp.float32)[None], tran_b]
+            new_sr = sr_state
+            if sr is not None:
+                new_sr, srres = sr.step_w(sr_state, gray, sr_w)
+                parts += [srres.scale[None], srres.rotation[None]]
+            summary = jnp.concatenate(parts)
+            return new_state, new_sr, key, gray, flow, summary
 
         return run
 
-    @functools.lru_cache(maxsize=8)
+    @_per_instance_cache
     def _frame_program_lr(self, h: int, w: int, channels: int, cx_eff: int):
         """Fused long-range program: preprocess -> 4x-downsampled engine
         step -> get2DT -> body-frame rotation of both output vectors
@@ -575,7 +591,14 @@ class OpticFlowNode:
         try:
             return self._process_image(msg)
         except Exception as e:  # noqa: BLE001
-            self.log(f"[OpticFlow]: frame at t={msg.stamp} failed: {type(e).__name__}: {e}")
+            # throttled: a PERSISTENT per-frame failure (e.g. a calibration
+            # whose crop lands out of bounds) would otherwise spam at full
+            # camera rate — every other degraded-mode path throttles too
+            self.log_throttled(
+                "frame_fail",
+                f"[OpticFlow]: frame at t={msg.stamp} failed: "
+                f"{type(e).__name__}: {e}",
+            )
             self._note_result(False)
             return None
         finally:
@@ -676,9 +699,8 @@ class OpticFlowNode:
             cam_eff = self.camera_matrix
         if c.host_preprocess:
             img, channels = self._maybe_host_preprocess(img, channels, cx_eff)
-        pre_cropped = channels == 1 and img.shape[:2] == (c.frame_size, c.frame_size)
-        # ulCorner of the crop in scaled-image pixels (src/optic_flow.cpp:1613)
-        ul_x = cx_eff - c.frame_size // 2
+        # (the frame programs derive pre_cropped / ul_x themselves from
+        # their geometry cache-key args)
 
         # NOTE: the RANSAC key stream evolves inside the frame programs (one
         # less host->device dispatch per frame); self._key is a device array
@@ -710,8 +732,11 @@ class OpticFlowNode:
             # through the simple metric-scaling path
             prog = self._frame_program_simple(img.shape[0], img.shape[1], channels, cx_eff)
             with self._mutex, self.profiler.routine("frame_program_simple"):
-                (self.flow_state, self._key, gray, flow, summary_dev) = prog(
+                (self.flow_state, self.scale_rot_state, self._key, gray, flow,
+                 summary_dev) = prog(
                     self.flow_state,
+                    self.scale_rot_state,
+                    self._sr_weights(),
                     self._key,
                     jnp.asarray(img),
                     jnp.float32(height),
@@ -723,7 +748,12 @@ class OpticFlowNode:
                 self.publish("points_raw_out", np.asarray(flow.shifts_raw))
             if c.store_video or c.gui:
                 self._record_overlay(msg.stamp, gray, flow)
-            summary = np.asarray(summary_dev)  # ONE readback: [ok, tran_b]
+            # ONE readback: [ok, tran_b(3)(, scale, rot)]
+            summary = np.asarray(summary_dev)
+            if self.scale_rotation_estimator is not None:
+                self._publish_scale_rotation(
+                    msg.stamp, float(summary[4]), float(summary[5]), height
+                )
             if not bool(summary[0] > 0.5):
                 self._note_result(False)
                 return None
@@ -936,7 +966,7 @@ class OpticFlowNode:
         saved = (
             self.flow_state, self.first_image, self._begin, self.dt,
             self.got_height, self.got_odometry, self.got_imu, self.got_tfs,
-            self.uav_height, self.got_active_tracker,
+            self.uav_height, self.got_active_tracker, self.active_tracker,
             # the synthetic zero-frame run must not leak into the live
             # stream: the log-polar carry, the diagnostics history, the
             # health counters, and the RANSAC key stream all get restored
@@ -946,15 +976,26 @@ class OpticFlowNode:
         )
         pub = self.publish
         self.publish = lambda *a: None
+        # the synthetic zero frames must not reach the recording/GUI either:
+        # an instance attribute shadows the bound method for the duration
+        self._record_overlay = lambda *a, **k: None
         try:
             self.got_height = self.got_odometry = self.got_imu = self.got_tfs = True
             self.got_active_tracker = True
-            self.uav_height = max(self.uav_height, 1.0)
             self.first_image = False
             self._begin = 0.0
             self.dt = 0.05
             from mrs_optic_flow_tpu.runtime.msgs import ImageMsg
 
+            # compile the SHORT-RANGE resolution explicitly (big height +
+            # a non-landoff tracker resolve every policy except always_on
+            # to short-range): with e.g. takeoff_based + LandoffTracker at
+            # bringup, _process_image alone would only compile the LR
+            # program and the first post-takeoff short-range frame would
+            # pay a cold multi-second compile mid-flight
+            self.active_tracker = "MpcTracker"
+            self.uav_height = max(self.uav_height, 1.0,
+                                  c.takeoff_height + 1.0)
             for shape in shapes:
                 self._process_image(ImageMsg(stamp=0.05, data=np.zeros(shape, np.uint8)))
             # compile the fused long-range program for the same geometries
@@ -978,10 +1019,11 @@ class OpticFlowNode:
                     )
         finally:
             self.publish = pub
+            del self._record_overlay  # restore the class method
             (
                 self.flow_state, self.first_image, self._begin, self.dt,
                 self.got_height, self.got_odometry, self.got_imu, self.got_tfs,
-                self.uav_height, self.got_active_tracker,
+                self.uav_height, self.got_active_tracker, self.active_tracker,
                 self.scale_rot_state, self._speed_history,
                 self._frames_processed, self._consecutive_failures, self._key,
             ) = saved
@@ -1040,6 +1082,15 @@ class OpticFlowNode:
         z = np.load(path)
         prev = jnp.asarray(z["prev"])
         proto = self.engine.init_state().prev
+        if prev.shape != proto.shape:
+            # fail at LOAD time with a clear message — a silently accepted
+            # geometry-mismatched carry would instead shape-error inside
+            # the fused program on every subsequent frame (swallowed by the
+            # per-frame fault containment: the node would publish nothing)
+            raise ValueError(
+                f"checkpoint flow carry {prev.shape} does not match this "
+                f"node's frame geometry {proto.shape}"
+            )
         if prev.dtype != proto.dtype:
             # e.g. a float32-carry checkpoint resumed into the 8-bit-carry
             # engine (tpu.quantize_8bit) or vice versa

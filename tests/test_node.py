@@ -880,3 +880,40 @@ def test_host_preprocess_gray_contract():
     )
     assert host.shape == dev.shape == (480, 480)
     assert np.abs(host.astype(int) - dev.astype(int)).max() <= 1
+
+
+@pytest.mark.slow
+def test_node_block_matching_with_scale_rotation():
+    """scale_rotation: true on a block-matching engine (method 3): the
+    estimator is engine-agnostic and FUSED into the simple frame program —
+    previously it was built and then silently never stepped or published
+    (the scale_rotation_out topic just disappeared)."""
+    published = []
+    node = _make_node(
+        published,
+        scale_rotation=True,
+        mrs_optic_flow={
+            "method": 3, "frame_size": 96, "sample_point_size": 24,
+            "scan_radius": 8, "step_size": 8,
+        },
+    )
+    scene = SyntheticScene(
+        uav_height=HEIGHT, width=128, height_px=128, fx=100.0, fy=100.0,
+        texture_cutoff=0.35, texture_scale=50.0, seed=31,
+    )
+    node.on_camera_info(scene.camera_info())
+    for i in range(4):
+        t = 100.0 + i * DT
+        node.on_imu(Imu(stamp=t, angular_velocity=(0, 0, 0), orientation=(0, 0, 0, 1)))
+        node.on_odometry(Odometry(stamp=t, orientation=(0, 0, 0, 1)))
+        node.on_height(Float64Stamped(stamp=t, value=HEIGHT))
+        node.on_image(ImageMsg(stamp=t, data=scene.render((0.02 * i, 0.0))))
+    sr = [m for t, m in published if t == "scale_rotation_out"]
+    assert len(sr) >= 3, node.health
+    # hovering translation: the decode exists and sits near the no-change
+    # point (scale ~1 -> vz ~0, yaw_rate ~0)
+    for m in sr[1:]:
+        assert np.isfinite(m["scale"]) and abs(m["scale"] - 1.0) < 0.2, m
+        assert np.isfinite(m["yaw_rate"]), m
+    # the velocity path still publishes alongside
+    assert any(t == "velocity_out" for t, _ in published)
